@@ -1,0 +1,190 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Versioned binary serialization for every sketch.
+  *
+  * The reference keeps filter state RAM-only (no serde —
+  * `/root/reference/Cargo.toml` lists only `ahash`); a distributed engine
+  * cannot: sketch state crosses the shuffle between partial and final
+  * aggregation, lands in checkpoints, and is stored in BinaryType columns.
+  *
+  * Layout (all little-endian):
+  *   magic "GSK1" (4 bytes) | typeId (1) | version (1) | payload
+  */
+object SketchCodec {
+  private val Magic: Array[Byte] = Array('G', 'S', 'K', '1').map(_.toByte)
+
+  object TypeId {
+    val Bloom: Byte = 1
+    val Hll: Byte = 2
+    val Cms: Byte = 3
+    val TDigest: Byte = 4
+    val Kll: Byte = 5
+  }
+  private val Version: Byte = 1
+
+  private def writer(typeId: Byte, payloadSize: Int): ByteBuffer = {
+    val bb = ByteBuffer.allocate(6 + payloadSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(Magic).put(typeId).put(Version)
+    bb
+  }
+
+  private def reader(bytes: Array[Byte], expectType: Byte): ByteBuffer = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val m = new Array[Byte](4)
+    bb.get(m)
+    require(java.util.Arrays.equals(m, Magic), "not a graft sketch (bad magic)")
+    val t = bb.get()
+    require(t == expectType, s"sketch type mismatch: expected $expectType, got $t")
+    val v = bb.get()
+    require(v == Version, s"unsupported sketch codec version $v")
+    bb
+  }
+
+  /** Sniff the sketch type of an encoded blob without decoding it. */
+  def typeOf(bytes: Array[Byte]): Byte = {
+    require(bytes.length >= 6, "truncated sketch blob")
+    bytes(4)
+  }
+
+  // -------------------------------------------------------------- Bloom
+  // payload: variant(1) capacity(8) fpp(8) nWords(4) numBits(8) words(8*n)
+  def encodeBloom(s: BloomSketch): Array[Byte] = {
+    val w = s.bits.words
+    val bb = writer(TypeId.Bloom, 1 + 8 + 8 + 4 + 8 + 8 * w.length)
+    bb.put(s.variant)
+    bb.putLong(s.config.capacity)
+    bb.putDouble(s.config.fpp)
+    bb.putInt(w.length)
+    bb.putLong(s.bits.numBits)
+    var i = 0
+    while (i < w.length) { bb.putLong(w(i)); i += 1 }
+    bb.array()
+  }
+
+  def decodeBloom(bytes: Array[Byte]): BloomSketch = {
+    val bb = reader(bytes, TypeId.Bloom)
+    val variant = bb.get()
+    val capacity = bb.getLong()
+    val fpp = bb.getDouble()
+    val nWords = bb.getInt()
+    val numBits = bb.getLong()
+    val words = new Array[Long](nWords)
+    var i = 0
+    while (i < nWords) { words(i) = bb.getLong(); i += 1 }
+    val cfg = BloomConfig(capacity, fpp)
+    require(cfg.totalBits == numBits,
+      s"corrupt Bloom blob: config says ${cfg.totalBits} bits, payload has $numBits")
+    val bits = BitArray.fromWords(words, numBits)
+    variant match {
+      case BloomVariant.KM => new KMBloomSketch(cfg, bits)
+      case BloomVariant.Seeded => new SeededBloomSketch(cfg, bits)
+      case v => throw new IllegalArgumentException(s"unknown Bloom variant $v")
+    }
+  }
+
+  // -------------------------------------------------------------- HLL
+  // payload: p(4) registers(m bytes)
+  def encodeHll(s: HLLSketch): Array[Byte] = {
+    val bb = writer(TypeId.Hll, 4 + s.registers.length)
+    bb.putInt(s.p)
+    bb.put(s.registers)
+    bb.array()
+  }
+
+  def decodeHll(bytes: Array[Byte]): HLLSketch = {
+    val bb = reader(bytes, TypeId.Hll)
+    val p = bb.getInt()
+    val regs = new Array[Byte](1 << p)
+    bb.get(regs)
+    new HLLSketch(p, regs)
+  }
+
+  // -------------------------------------------------------------- CMS
+  // payload: depth(4) width(4) total(8) counters(8 * d*w)
+  def encodeCms(s: CMSSketch): Array[Byte] = {
+    val n = s.counters.length
+    val bb = writer(TypeId.Cms, 4 + 4 + 8 + 8 * n)
+    bb.putInt(s.depth)
+    bb.putInt(s.width)
+    bb.putLong(s.totalCount)
+    var i = 0
+    while (i < n) { bb.putLong(s.counters(i)); i += 1 }
+    bb.array()
+  }
+
+  def decodeCms(bytes: Array[Byte]): CMSSketch = {
+    val bb = reader(bytes, TypeId.Cms)
+    val d = bb.getInt()
+    val w = bb.getInt()
+    val total = bb.getLong()
+    val counters = new Array[Long](d * w)
+    var i = 0
+    while (i < counters.length) { counters(i) = bb.getLong(); i += 1 }
+    new CMSSketch(d, w, counters, total)
+  }
+
+  // -------------------------------------------------------------- TDigest
+  // payload: compression(8) min(8) max(8) n(4) [mean(8) weight(8)]*n
+  def encodeTDigest(s: TDigestSketch): Array[Byte] = {
+    val (means, weights) = s.centroids
+    val bb = writer(TypeId.TDigest, 8 + 8 + 8 + 4 + 16 * means.length)
+    bb.putDouble(s.compression)
+    bb.putDouble(s.minValue)
+    bb.putDouble(s.maxValue)
+    bb.putInt(means.length)
+    var i = 0
+    while (i < means.length) { bb.putDouble(means(i)); bb.putDouble(weights(i)); i += 1 }
+    bb.array()
+  }
+
+  def decodeTDigest(bytes: Array[Byte]): TDigestSketch = {
+    val bb = reader(bytes, TypeId.TDigest)
+    val compression = bb.getDouble()
+    val minV = bb.getDouble()
+    val maxV = bb.getDouble()
+    val n = bb.getInt()
+    val means = new Array[Double](n)
+    val weights = new Array[Double](n)
+    var i = 0
+    while (i < n) { means(i) = bb.getDouble(); weights(i) = bb.getDouble(); i += 1 }
+    val t = TDigestSketch.fromCentroids(compression, means, weights)
+    t.minValue = minV
+    t.maxValue = maxV
+    t
+  }
+
+  // -------------------------------------------------------------- KLL
+  // payload: k(4) n(8) minV(8) maxV(8) numLevels(4) [levelLen(4)]* [items(8)...]
+  def encodeKll(s: KLLSketch): Array[Byte] = {
+    val levels = s.levelsSnapshot
+    val nItems = levels.map(_.length).sum
+    val bb = writer(TypeId.Kll, 4 + 8 + 8 + 8 + 4 + 4 * levels.length + 8 * nItems)
+    bb.putInt(s.k)
+    bb.putLong(s.count)
+    bb.putDouble(s.minValue)
+    bb.putDouble(s.maxValue)
+    bb.putInt(levels.length)
+    levels.foreach(l => bb.putInt(l.length))
+    levels.foreach(l => l.foreach(bb.putDouble))
+    bb.array()
+  }
+
+  def decodeKll(bytes: Array[Byte]): KLLSketch = {
+    val bb = reader(bytes, TypeId.Kll)
+    val k = bb.getInt()
+    val count = bb.getLong()
+    val minV = bb.getDouble()
+    val maxV = bb.getDouble()
+    val nLevels = bb.getInt()
+    val lens = Array.fill(nLevels)(bb.getInt())
+    val levels = lens.map { len =>
+      val a = new Array[Double](len)
+      var i = 0
+      while (i < len) { a(i) = bb.getDouble(); i += 1 }
+      a
+    }
+    KLLSketch.fromLevels(k, count, minV, maxV, levels)
+  }
+}

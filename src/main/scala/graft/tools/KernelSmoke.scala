@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.core._
+
+/** CLI smoke drive of the core kernels through their public API — the
+  * same build → serialize → merge → probe → estimate path Spark's
+  * partial/final aggregation takes. Run: `sbt "runMain graft.tools.KernelSmoke"`. */
+object KernelSmoke {
+  def main(args: Array[String]): Unit = {
+    val cfg = BloomConfig(100000L, 0.001)
+    println(s"sizing: m=${cfg.optimalBitCount} k=${cfg.numberOfHashers} bph=${cfg.bitsPerHasher}")
+    val partA = KMBloomSketch(cfg)
+    val partB = KMBloomSketch(cfg)
+    (0 until 50000).foreach(i => partA.insert(s"conv-$i|0"))
+    (50000 until 100000).foreach(i => partB.insert(s"conv-$i|0"))
+    val merged = SketchCodec.decodeBloom(SketchCodec.encodeBloom(partA))
+      .unionInPlace(SketchCodec.decodeBloom(SketchCodec.encodeBloom(partB)))
+    println(s"merged: $merged")
+    println(s"probe inserted conv-777|0 -> ${merged.mightContain("conv-777|0")} (expect true)")
+    println(s"probe missing  conv-777|9 -> ${merged.mightContain("conv-777|9")} (expect false w.h.p.)")
+    println(f"estimated n=${merged.approximateElementCount}%.0f fpp=${merged.approximateCurrentFpp}%.2e")
+    try {
+      merged.unionInPlace(KMBloomSketch(5000L, 0.001))
+      println("ERROR: config mismatch NOT rejected")
+    } catch {
+      case e: IllegalArgumentException => println(s"mismatch rejected: ${e.getMessage.take(100)}")
+    }
+    val h = HLLSketch()
+    (0 until 30000).foreach(i => h.update(s"c${i % 12345}"))
+    println(f"HLL distinct est=${h.estimate}%.0f (true 12345)")
+    val c = CMSSketch(0.001, 0.01)
+    (0 until 9000).foreach(i => c.update(if (i % 3 == 0) "grep" else s"tool$i"))
+    println(s"CMS grep count est=${c.estimate("grep")} (true 3000)")
+    val t = TDigestSketch()
+    val kl = KLLSketch()
+    (1 to 100000).foreach { i => t.update(i.toDouble); kl.update(i.toDouble) }
+    println(f"tdigest p99=${t.quantile(0.99)}%.0f kll p99=${kl.quantile(0.99)}%.0f (true 99000)")
+  }
+}

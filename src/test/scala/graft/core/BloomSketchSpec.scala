@@ -1,0 +1,200 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference contract + statistical suite
+  * (/root/reference/src/lib.rs doc examples; /root/reference/tests/
+  * integration.rs). Structure mirrors the reference tests; margins re-tuned
+  * for our (xxHash64, Murmur3) pair, bound formula identical. */
+class BloomSketchSpec extends AnyFunSuite {
+
+  // -------------------------------------------------------- sizing formulas
+  test("sizing formulas match the reference exactly (lib.rs:239–249)") {
+    // independently computed expected values for a few (n, p) pairs
+    def m(n: Long, p: Double): Long =
+      math.ceil(-n.toDouble * math.log(p) / (math.log(2) * math.log(2))).toLong
+    def k(n: Long, p: Double): Int =
+      math.max(1L, math.round(m(n, p).toDouble / n * math.log(2))).toInt
+    for ((n, p) <- Seq((1000L, 0.01), (1000000L, 0.001), (5L, 0.2), (7L, 0.05))) {
+      val c = BloomConfig(n, p)
+      assert(c.optimalBitCount === m(n, p), s"m for ($n,$p)")
+      assert(c.numberOfHashers === k(n, p), s"k for ($n,$p)")
+      val bph = (m(n, p) + k(n, p) - 1) / k(n, p)
+      assert(c.bitsPerHasher === bph, s"bph for ($n,$p)")
+      assert(c.totalBits === k(n, p).toLong * bph)
+    }
+    // canonical spot check: n=10^6, p=0.001 → m=14,377,588; k=10
+    val c = BloomConfig(1000000L, 0.001)
+    assert(c.optimalBitCount === 14377588L)
+    assert(c.numberOfHashers === 10)
+  }
+
+  test("capacity == 0 rejected (reference panics, km_bloom_filter.rs:93–95)") {
+    intercept[IllegalArgumentException](KMBloomSketch(0L, 0.01))
+    intercept[IllegalArgumentException](SeededBloomSketch(0L, 0.01))
+  }
+
+  // --------------------------------------------------- doc-example contracts
+  test("insert/contains round-trip, both variants (lib.rs:61–68 example)") {
+    for (f <- Seq(KMBloomSketch(100L, 0.01): BloomSketch, SeededBloomSketch(100L, 0.01))) {
+      f.insert("5")
+      f.insert("hello")
+      f.insertLong(42L)
+      assert(f.mightContain("5"))
+      assert(f.mightContain("hello"))
+      assert(f.mightContainLong(42L))
+      assert(!f.mightContain("not inserted")) // overwhelmingly likely at this load
+    }
+  }
+
+  test("re-insert is a no-op by idempotence (lib.rs:185–186)") {
+    val f = KMBloomSketch(100L, 0.01)
+    f.insert("dup")
+    val onesAfterFirst = f.bits.countOnes
+    f.insert("dup")
+    assert(f.bits.countOnes === onesAfterFirst)
+  }
+
+  // ---------------------------------------------------- zero false negatives
+  test("zero false negatives, KM, 100k sequential ints (integration.rs:295–308 shape)") {
+    val n = 100000
+    val f = KMBloomSketch(n.toLong, 0.001)
+    var i = 0
+    while (i < n) { f.insertLong(i.toLong); i += 1 }
+    i = 0
+    while (i < n) { assert(f.mightContainLong(i.toLong), s"false negative at $i"); i += 1 }
+  }
+
+  test("zero false negatives, Seeded, 20k strings (integration.rs:276–293 shape)") {
+    val n = 20000
+    val f = SeededBloomSketch(n.toLong, 0.001)
+    (0 until n).foreach(i => f.insert(s"key-$i"))
+    (0 until n).foreach(i => assert(f.mightContain(s"key-$i")))
+  }
+
+  // -------------------------------------------- statistical FPR gates
+  /** integration.rs:148–189 shape: insert 0..n, assert estimated FPP within
+    * margin of configured p, probe n disjoint keys, gate observed FP count. */
+  private def fprGate(f: BloomSketch, n: Int, p: Double, margin: Double): Unit = {
+    var i = 0
+    while (i < n) { f.insertLong(i.toLong); i += 1 }
+    assert(f.approximateCurrentFpp <= p * (1.0 + margin),
+      s"estimated FPP ${f.approximateCurrentFpp} exceeds ${p * (1 + margin)}")
+    var fp = 0
+    i = n
+    while (i < 2 * n) { if (f.mightContainLong(i.toLong)) fp += 1; i += 1 }
+    assert(fp <= n * p * (1.0 + margin) + 3 * math.sqrt(n * p),
+      s"observed $fp false positives over $n probes (p=$p)")
+    // element-count estimator near truth (lib.rs:254–261)
+    assert(math.abs(f.approximateElementCount - n) / n <= 0.01,
+      s"element count estimate ${f.approximateElementCount} vs $n")
+  }
+
+  test("FPR within bound, KM (xxHash64+Murmur3), n=1e6 p=0.001 (integration.rs:52–100 shape)") {
+    fprGate(KMBloomSketch(1000000L, 0.001), 1000000, 0.001, 0.05)
+  }
+
+  test("FPR within bound, Seeded, n=1e6 p=0.001 (integration.rs:36–50 shape, margin 0.06)") {
+    fprGate(SeededBloomSketch(1000000L, 0.001), 1000000, 0.001, 0.06)
+  }
+
+  test("FPR within bound on random u64 corpus with fixed seeds (integration.rs:191–238)") {
+    val n = 200000
+    val p = 0.001
+    val f = KMBloomSketch(n.toLong, p)
+    val insertRnd = new scala.util.Random(0xb7b7b7b7b7b7b7L) // fixed, as integration.rs:200
+    val probeRnd = new scala.util.Random(0x3f3f3f3f3f3f3fL) // fixed, as integration.rs:209
+    val inserted = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = insertRnd.nextLong()
+      inserted.add(v)
+      f.insertLong(v)
+      i += 1
+    }
+    // zero FN on the random corpus
+    inserted.forEach(v => assert(f.mightContainLong(v)))
+    var fp = 0
+    var probes = 0
+    while (probes < n) {
+      val v = probeRnd.nextLong()
+      if (!inserted.contains(v)) {
+        if (f.mightContainLong(v)) fp += 1
+        probes += 1
+      }
+    }
+    assert(fp <= n * p * 1.05 + 3 * math.sqrt(n * p), s"observed $fp FPs")
+  }
+
+  // ------------------------------------------------------------ union/intersect
+  test("union ≡ bulk insertion, bit-identical (integration.rs:310–366 + north rule)") {
+    val n = 100000
+    val cfg = BloomConfig(n.toLong, 0.001)
+    val whole = KMBloomSketch(cfg)
+    val left = KMBloomSketch(cfg)
+    val right = KMBloomSketch(cfg)
+    (0 until n).foreach { i =>
+      whole.insertLong(i.toLong)
+      if (i < n / 2) left.insertLong(i.toLong) else right.insertLong(i.toLong)
+    }
+    val merged = left.copySketch().unionInPlace(right)
+    assert(merged === whole, "union of split halves != bulk insert")
+    // result contains everything both inputs contain (km doc 132–135)
+    (0 until n).foreach(i => assert(merged.mightContainLong(i.toLong)))
+  }
+
+  test("union is commutative + associative (merge-tree order independence)") {
+    val cfg = BloomConfig(10000L, 0.01)
+    val parts = (0 until 8).map { s =>
+      val f = KMBloomSketch(cfg)
+      (0 until 1000).foreach(i => f.insertLong((s * 1000 + i).toLong))
+      f
+    }
+    val leftFold = parts.map(_.copySketch()).reduceLeft((a, b) => a.unionInPlace(b))
+    val shuffled = new scala.util.Random(7L).shuffle(parts.toList)
+    val rightFold = shuffled.map(_.copySketch()).reduceRight((a, b) => b.unionInPlace(a))
+    assert(leftFold === rightFold)
+  }
+
+  test("config mismatch on union/intersect throws (km_bloom_filter.rs:185–187)") {
+    val a = KMBloomSketch(1000L, 0.01)
+    val b = KMBloomSketch(2000L, 0.01) // different k/bph
+    intercept[IllegalArgumentException](a.copySketch().unionInPlace(b))
+    intercept[IllegalArgumentException](a.copySketch().intersectInPlace(b))
+    // KM and Seeded are never mergeable even with equal config
+    val s = SeededBloomSketch(1000L, 0.01)
+    intercept[IllegalArgumentException](a.copySketch().unionInPlace(s))
+  }
+
+  test("intersect semantics (integration.rs:368–432 shape)") {
+    val n = 30000
+    val cfg = BloomConfig(100000L, 0.0001)
+    val a = KMBloomSketch(cfg)
+    val b = KMBloomSketch(cfg)
+    // a: [0, 2n), b: [n, 3n) → overlap [n, 2n)
+    (0 until 2 * n).foreach(i => a.insertLong(i.toLong))
+    (n until 3 * n).foreach(i => b.insertLong(i.toLong))
+    val x = a.copySketch().intersectInPlace(b)
+    // every common element still contained (no FN on the intersection)
+    (n until 2 * n).foreach(i => assert(x.mightContainLong(i.toLong)))
+    // disjoint keys mostly absent (reference margin 0.07 at p=1e-4)
+    var fp = 0
+    (3 * n until 4 * n).foreach(i => if (x.mightContainLong(i.toLong)) fp += 1)
+    assert(fp <= n * 0.0001 * 1.07 + 3 * math.sqrt(n * 0.0001) + 1, s"intersect FPs: $fp")
+  }
+
+  test("estimators on union/intersect behave as documented (km:196–204)") {
+    val cfg = BloomConfig(10000L, 0.01)
+    val a = KMBloomSketch(cfg)
+    val b = KMBloomSketch(cfg)
+    (0 until 5000).foreach(i => a.insertLong(i.toLong))
+    (2500 until 7500).foreach(i => b.insertLong(i.toLong))
+    val u = a.copySketch().unionInPlace(b)
+    assert(u.approximateElementCount >= a.approximateElementCount)
+    assert(math.abs(u.approximateElementCount - 7500) / 7500 < 0.05)
+    val x = a.copySketch().intersectInPlace(b)
+    // intersect estimate may over-estimate the true 2500 but is ≤ min input
+    assert(x.approximateElementCount <= math.min(a.approximateElementCount,
+      b.approximateElementCount) + 1.0)
+  }
+}
