@@ -72,17 +72,20 @@ final class KLLSketch(val k: Int) extends Serializable {
     if (buf.length < 2) return
     val arr = buf.toArray
     Arrays.sort(arr)
-    // deterministic pseudo-coin: keep odd or even ranked items
-    val offset = (Hashing.xxHash64Long(compactions, 0x9E3779B9L) & 1L).toInt
+    // If the length is odd, set ONE item aside (it stays at this level,
+    // weight unchanged) and halve the even remainder — promoting floor(L/2)
+    // items at double weight conserves total weight exactly.
+    val odd = arr.length % 2 == 1
+    // deterministic pseudo-coin: promote odd- or even-ranked survivors
+    val offset = (if (odd) 1 else 0) +
+      (Hashing.xxHash64Long(compactions, 0x9E3779B9L) & 1L).toInt
     compactions += 1
     if (lvl + 1 == levels.length) levels += ArrayBuffer.empty[Double]
     val promote = levels(lvl + 1)
     var i = offset
     while (i < arr.length) { promote += arr(i); i += 2 }
-    // items at this level that were "paired off" are dropped; if the length
-    // was odd, the unpaired extremal item stays at this level
     buf.clear()
-    if (arr.length % 2 == 1) buf += arr(if (offset == 0) arr.length - 1 else 0)
+    if (odd) buf += arr(0)
   }
 
   /** Level-wise concatenation + compaction — associative within the
