@@ -1,0 +1,158 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentHashMap
+
+/** Column-level sketch API: aggregation columns + scalar probe/estimator
+  * functions (SURVEY.md §2.1 #7, #10, #14–16 mapped to Spark).
+  *
+  * Scalar functions are Scala UDFs over BinaryType sketch blobs; a
+  * per-executor decode cache keeps per-row probes from re-decoding the
+  * same multi-KB blob (the common case: one sketch value joined or
+  * broadcast against millions of probe rows). Aggregations are
+  * `functions.udaf`-wrapped Aggregators → ObjectHashAggregate with
+  * partial/final merge (= reference insert/union).
+  */
+object functions {
+
+  /** Canonical binary key encoding for any column tuple: columns cast to
+    * string, joined by  (never appears in the testdata keys), UTF-8.
+    * Codegen'd built-ins end-to-end — no UDF on the hot path before the
+    * aggregate. Nulls read as empty; keep key columns non-null upstream. */
+  def sketchKey(cols: Column*): Column =
+    encode(concat_ws("", cols.map(_.cast("string")): _*), "UTF-8")
+
+  // ------------------------------------------------------- aggregations
+  def bloomAgg(capacity: Long, fpp: Double)(key: Column): Column =
+    udaf(new BloomAggregator(capacity, fpp)).apply(key)
+
+  def bloomSeededAgg(capacity: Long, fpp: Double)(key: Column): Column =
+    udaf(new BloomAggregator(capacity, fpp, seeded = true)).apply(key)
+
+  def hllAgg(key: Column, p: Int = HLLSketch.DefaultP): Column =
+    udaf(new HllAggregator(p)).apply(key)
+
+  def cmsAgg(eps: Double, delta: Double)(key: Column): Column =
+    udaf(new CmsAggregator(eps, delta)).apply(key)
+
+  def tdigestAgg(v: Column, compression: Double = TDigestSketch.DefaultCompression): Column =
+    udaf(new TDigestAggregator(compression)).apply(v)
+
+  def kllAgg(v: Column, k: Int = KLLSketch.DefaultK): Column =
+    udaf(new KllAggregator(k)).apply(v)
+
+  // --------------------------------------------------------- decode cache
+  /** Executor-local decoded-sketch cache keyed by (length, xxhash) of the
+    * blob. Bounded; cleared wholesale on overflow (sketch-table
+    * cardinality is shards/groups — small by design). */
+  private object DecodeCache {
+    private val MaxEntries = 1024
+    private val m = new ConcurrentHashMap[(Int, Long), AnyRef]()
+    def get(bytes: Array[Byte], decode: Array[Byte] => AnyRef): AnyRef = {
+      val key = (bytes.length, Hashing.xxHash64(bytes, 0L))
+      var v = m.get(key)
+      if (v == null) {
+        v = decode(bytes)
+        if (m.size >= MaxEntries) m.clear()
+        m.put(key, v)
+      }
+      v
+    }
+  }
+
+  private def bloomOf(b: Array[Byte]): BloomSketch =
+    DecodeCache.get(b, SketchCodec.decodeBloom(_)).asInstanceOf[BloomSketch]
+  private def hllOf(b: Array[Byte]): HLLSketch =
+    DecodeCache.get(b, SketchCodec.decodeHll(_)).asInstanceOf[HLLSketch]
+  private def cmsOf(b: Array[Byte]): CMSSketch =
+    DecodeCache.get(b, SketchCodec.decodeCms(_)).asInstanceOf[CMSSketch]
+  private def tdigestOf(b: Array[Byte]): TDigestSketch =
+    DecodeCache.get(b, SketchCodec.decodeTDigest(_)).asInstanceOf[TDigestSketch]
+  private def kllOf(b: Array[Byte]): KLLSketch =
+    DecodeCache.get(b, SketchCodec.decodeKll(_)).asInstanceOf[KLLSketch]
+
+  // ----------------------------------------------------- scalar functions
+  /** Probe a sketch column (per-shard sketch tables). For probing ONE
+    * sketch against a big table prefer [[bloomProbe]] (broadcast form). */
+  def bloomMightContain(sketch: Column, key: Column): Column =
+    udf((s: Array[Byte], k: Array[Byte]) =>
+      if (s == null || k == null) false else bloomOf(s).mightContain(k)).apply(sketch, key)
+
+  /** Broadcast-style probe: decode once on the driver, ship the decoded
+    * sketch in the UDF closure (classic Bloom semi-join reduction). */
+  def bloomProbe(sketchBytes: Array[Byte])(key: Column): Column = {
+    val sketch = SketchCodec.decodeBloom(sketchBytes)
+    udf((k: Array[Byte]) => k != null && sketch.mightContain(k)).apply(key)
+  }
+
+  def bloomUnion(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeBloom(
+        SketchCodec.decodeBloom(x).copySketch().unionInPlace(SketchCodec.decodeBloom(y))))
+      .apply(a, b)
+
+  def bloomIntersect(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeBloom(
+        SketchCodec.decodeBloom(x).copySketch().intersectInPlace(SketchCodec.decodeBloom(y))))
+      .apply(a, b)
+
+  def bloomElementCount(sketch: Column): Column =
+    udf((s: Array[Byte]) => bloomOf(s).approximateElementCount).apply(sketch)
+
+  def bloomFpp(sketch: Column): Column =
+    udf((s: Array[Byte]) => bloomOf(s).approximateCurrentFpp).apply(sketch)
+
+  def hllEstimate(sketch: Column): Column =
+    udf((s: Array[Byte]) => math.round(hllOf(s).estimate)).apply(sketch)
+
+  def hllMerge(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeHll(
+        SketchCodec.decodeHll(x).copySketch().mergeInPlace(SketchCodec.decodeHll(y))))
+      .apply(a, b)
+
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    udf((s: Array[Byte], k: Array[Byte]) => cmsOf(s).estimate(k)).apply(sketch, key)
+
+  def cmsTotalCount(sketch: Column): Column =
+    udf((s: Array[Byte]) => cmsOf(s).totalCount).apply(sketch)
+
+  def tdigestQuantile(sketch: Column, q: Double): Column =
+    udf((s: Array[Byte]) => tdigestOf(s).quantile(q)).apply(sketch)
+
+  def kllQuantile(sketch: Column, q: Double): Column =
+    udf((s: Array[Byte]) => kllOf(s).quantile(q)).apply(sketch)
+
+  def kllRank(sketch: Column, x: Double): Column =
+    udf((s: Array[Byte]) => kllOf(s).rank(x)).apply(sketch)
+
+  /** Register the SQL-facing names (estimates/probes usable from
+    * spark.sql). Aggregations need explicit sizing, so SQL registration
+    * takes the common defaults. */
+  def registerAll(spark: SparkSession, defaultCapacity: Long = 1000000L,
+      defaultFpp: Double = 0.001): Unit = {
+    spark.udf.register("bloom_agg", udaf(new BloomAggregator(defaultCapacity, defaultFpp)))
+    spark.udf.register("hll_agg", udaf(new HllAggregator()))
+    spark.udf.register("cms_agg", udaf(new CmsAggregator(0.001, 0.01)))
+    spark.udf.register("tdigest_agg", udaf(new TDigestAggregator()))
+    spark.udf.register("kll_agg", udaf(new KllAggregator()))
+    spark.udf.register("bloom_might_contain",
+      (s: Array[Byte], k: Array[Byte]) => s != null && k != null && bloomOf(s).mightContain(k))
+    spark.udf.register("bloom_element_count", (s: Array[Byte]) => bloomOf(s).approximateElementCount)
+    spark.udf.register("bloom_fpp", (s: Array[Byte]) => bloomOf(s).approximateCurrentFpp)
+    spark.udf.register("bloom_union", (x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeBloom(SketchCodec.decodeBloom(x).copySketch()
+        .unionInPlace(SketchCodec.decodeBloom(y))))
+    spark.udf.register("bloom_intersect", (x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeBloom(SketchCodec.decodeBloom(x).copySketch()
+        .intersectInPlace(SketchCodec.decodeBloom(y))))
+    spark.udf.register("hll_estimate", (s: Array[Byte]) => math.round(hllOf(s).estimate))
+    spark.udf.register("cms_estimate", (s: Array[Byte], k: Array[Byte]) => cmsOf(s).estimate(k))
+    spark.udf.register("tdigest_quantile",
+      (s: Array[Byte], q: Double) => tdigestOf(s).quantile(q))
+    spark.udf.register("kll_quantile", (s: Array[Byte], q: Double) => kllOf(s).quantile(q))
+  }
+}
