@@ -1,0 +1,139 @@
+package graft.spark
+
+import graft.core._
+import graft.spark.{functions => gf}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** North-rule properties proven under Spark's REAL partial/final
+  * aggregation: the partition count changes the merge tree, so identical
+  * results across repartitionings demonstrate merge order-independence in
+  * the execution engine itself, not just the kernel. */
+class SparkAggSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-test")
+    .getOrCreate()
+
+  private lazy val sf = "/root/testdata/sf0.001"
+
+  test("Bloom UDAF: state identical across 1 vs 16 partitions and ≡ core bulk insert") {
+    import spark.implicits._
+    val keys = (0 until 20000).map(i => s"conv-${i % 997}|${i}")
+    val cap = 20000L
+    def buildWith(parts: Int): BloomSketch = {
+      val df = keys.toDF("k").repartition(parts)
+      SketchCodec.decodeBloom(
+        df.agg(gf.bloomAgg(cap, 0.001)(gf.sketchKey(col("k")))).head.getAs[Array[Byte]](0))
+    }
+    val one = buildWith(1)
+    val many = buildWith(16)
+    assert(one === many, "partition count changed Bloom state")
+    // ≡ driver-side bulk insertion over the same canonical encoding
+    val bulk = KMBloomSketch(cap, 0.001)
+    keys.foreach(k => bulk.insert(k))
+    assert(one === bulk, "Spark aggregation != core bulk insert")
+  }
+
+  test("HLL / CMS UDAFs: state identical across partitionings") {
+    import spark.implicits._
+    val keys = (0 until 30000).map(i => s"item-${i % 5000}")
+    def hll(parts: Int) = SketchCodec.decodeHll(
+      keys.toDF("k").repartition(parts)
+        .agg(gf.hllAgg(gf.sketchKey(col("k")))).head.getAs[Array[Byte]](0))
+    def cms(parts: Int) = SketchCodec.decodeCms(
+      keys.toDF("k").repartition(parts)
+        .agg(gf.cmsAgg(0.001, 0.01)(gf.sketchKey(col("k")))).head.getAs[Array[Byte]](0))
+    assert(hll(1) === hll(13))
+    assert(cms(1) === cms(13))
+    assert(math.abs(hll(13).estimate - 5000) <= 3 * hll(13).relativeStandardError * 5000 + 1)
+    assert(cms(13).totalCount === 30000L)
+  }
+
+  test("t-digest / KLL UDAFs: estimates within bound regardless of partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val values = Array.fill(50000)(rnd.nextDouble() * 1000)
+    val sorted = values.sorted
+    def rankOf(x: Double): Double = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) { val m = (lo + hi) / 2; if (sorted(m) <= x) lo = m + 1 else hi = m }
+      lo.toDouble / sorted.length
+    }
+    for (parts <- Seq(1, 16)) {
+      val df = values.toSeq.toDF("v").repartition(parts)
+      val td = SketchCodec.decodeTDigest(
+        df.agg(gf.tdigestAgg(col("v"))).head.getAs[Array[Byte]](0))
+      val kll = SketchCodec.decodeKll(
+        df.agg(gf.kllAgg(col("v"))).head.getAs[Array[Byte]](0))
+      for (q <- Seq(0.5, 0.95, 0.99)) {
+        assert(math.abs(rankOf(td.quantile(q)) - q) <= 0.02, s"tdigest q=$q parts=$parts")
+        assert(math.abs(rankOf(kll.quantile(q)) - q) <= 3 * kll.normalizedRankError,
+          s"kll q=$q parts=$parts")
+      }
+      assert(kll.count === 50000L)
+    }
+  }
+
+  test("grouped sketch table + query-side union/intersect functions") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (s"g${i % 4}", s"key-$i")).toDF("g", "k")
+    val cap = 10000L
+    val shards = df.groupBy($"g").agg(gf.bloomAgg(cap, 0.001)(gf.sketchKey($"k")).as("sk"))
+    assert(shards.count() === 4)
+    // fold shard sketches with the binary union function (query-side
+    // composition, reference km_bloom_filter.rs:184–194)
+    val a = shards.filter($"g" === "g0").head.getAs[Array[Byte]]("sk")
+    val b = shards.filter($"g" === "g1").head.getAs[Array[Byte]]("sk")
+    val merged = Seq((a, b)).toDF("a", "b")
+      .select(gf.bloomUnion($"a", $"b").as("u")).head.getAs[Array[Byte]]("u")
+    val m = SketchCodec.decodeBloom(merged)
+    (0 until 10000).filter(i => i % 4 == 0 || i % 4 == 1)
+      .foreach(i => assert(m.mightContain(s"key-$i")))
+    // intersect of disjoint groups: membership of the actual keys is rare;
+    // the ELEMENT-COUNT estimate over-estimates by design (random shared
+    // bits: expected fill ≈ fillA·fillB per segment — the km:196–204
+    // caveat), so gate membership, and the estimate only loosely.
+    val inter = Seq((a, b)).toDF("a", "b")
+      .select(gf.bloomIntersect($"a", $"b").as("x")).head.getAs[Array[Byte]]("x")
+    val ix = SketchCodec.decodeBloom(inter)
+    val falseHits = (0 until 10000).count(i => ix.mightContain(s"key-$i"))
+    assert(falseHits <= 25, s"disjoint intersect matched $falseHits keys")
+    assert(ix.approximateElementCount <=
+      math.min(SketchCodec.decodeBloom(a).approximateElementCount,
+        SketchCodec.decodeBloom(b).approximateElementCount))
+  }
+
+  test("bloomProbe as filter predicate: semi-join reduction keeps exactly the hits") {
+    import spark.implicits._
+    val build = (0 until 5000).map(i => s"id-$i").toDF("k")
+    val sketch = build.agg(gf.bloomAgg(5000L, 0.0001)(gf.sketchKey($"k")))
+      .head.getAs[Array[Byte]](0)
+    val probe = (0 until 10000).map(i => s"id-$i").toDF("k")
+    val kept = probe.filter(gf.bloomProbe(sketch)(gf.sketchKey($"k"))).count()
+    assert(kept >= 5000L, "lost true members — false negative!")
+    assert(kept <= 5000L + (5000 * 0.0001 * 2 + 3).toLong, s"too many FPs: $kept")
+  }
+
+  test("SQL registration surface: sketch built and probed from spark.sql") {
+    gf.registerAll(spark)
+    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events_v")
+    val est = spark.sql(
+      """SELECT hll_estimate(hll_agg(encode(CAST(user_id AS STRING), 'UTF-8'))) AS d
+        |FROM events_v""".stripMargin).head.getLong(0)
+    val exact = spark.sql("SELECT COUNT(DISTINCT user_id) FROM events_v").head.getLong(0)
+    assert(math.abs(est - exact) <= math.max(1L, (0.03 * exact).toLong))
+  }
+
+  test("sketchKey: null columns do not crash and distinct tuples stay distinct") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1)), ("a", None), ("b", Some(1))).toDF("x", "y")
+    val keys = df.select(gf.sketchKey($"x", $"y").as("k")).collect().map(_.getAs[Array[Byte]]("k"))
+    assert(keys.map(_.toSeq).distinct.length === 3)
+  }
+}
