@@ -39,11 +39,30 @@ object Bench {
     * inverts scaling. Shard count is fixed (independent of parallelism)
     * for fairness across the two measured levels. Returns elapsed secs. */
   private val NumShards = 256
+
+  /** Native-expression build (production path): raw columns shuffle, the
+    * aggregate hashes values straight from the InternalRow. */
   private def sketchBuild(spark: SparkSession, inputPath: String, capacity: Long): Double = {
+    import graft.spark.native._
     val capPerShard = math.max(1000L, capacity / NumShards)
-    // project to canonical key bytes BEFORE the shuffle: the exchange
-    // carries ~34B/row instead of full transcript rows, and the parquet
-    // scan prunes to the three key columns
+    val t = spark.read.parquet(inputPath)
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        pmod(xxhash64(col("conv_id")), lit(NumShards)).as("shard"))
+      .repartition(col("shard"))
+    val t0 = System.nanoTime()
+    t.groupBy(col("shard")).agg(
+        bloomAggNative(capPerShard, 0.001)(col("conv_id"), col("turn_idx")).as("bloom"),
+        hllAggNative(col("conv_id")).as("hll"),
+        cmsAggNative(0.001, 0.01)(col("tool")).as("cms"))
+      // force full evaluation without shipping 256 blobs to the driver
+      .select(sum(length(col("bloom"))) + sum(length(col("hll"))) + sum(length(col("cms"))))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** udaf/Aggregator path (kept for comparison in the bench output). */
+  private def sketchBuildUdaf(spark: SparkSession, inputPath: String, capacity: Long): Double = {
+    val capPerShard = math.max(1000L, capacity / NumShards)
     val t = spark.read.parquet(inputPath)
       .select(
         pmod(xxhash64(col("conv_id")), lit(NumShards)).as("shard"),
@@ -56,7 +75,6 @@ object Bench {
         gf.bloomAgg(capPerShard, 0.001)(col("turn_key")).as("bloom"),
         gf.hllAgg(col("conv_key")).as("hll"),
         gf.cmsAgg(0.001, 0.01)(col("tool_key")).as("cms"))
-      // force full evaluation without shipping 256 blobs to the driver
       .select(sum(length(col("bloom"))) + sum(length(col("hll"))) + sum(length(col("cms"))))
       .collect()
     (System.nanoTime() - t0) / 1e9
@@ -127,6 +145,11 @@ object Bench {
       spark.stop()
     }
     val jobSecs = levels.map(c => c -> samples(c).min).toMap
+    // one comparison point: Aggregator/udaf path at max parallelism
+    spark = session(cpusHi)
+    sketchBuildUdaf(spark, benchInput, turns) // warm-up
+    val udafSecs = (1 to 2).map(_ => sketchBuildUdaf(spark, benchInput, turns)).min
+    spark.stop()
     val burn = ((levels :+ 1).map(c => c -> (1 to 2).map(_ => burnSecs(c)).min)).toMap
 
     def eff(lo: Int, hi: Int, secs: Map[Int, Double]): Double =
@@ -150,6 +173,7 @@ object Bench {
       .mkString("{", ",", "}")
     val scaling =
       f"""{"turns":$turns,$levelJson,$pairs,"scaling_efficiency":$bestEff%.3f,""" +
+        f""""udaf_path_secs_at_$cpusHi":$udafSecs%.3f,""" +
         f""""note":"N-to-4N parallelism on one shared VM; hw_ceiling = what raw arithmetic scales to on this box"}"""
     println(
       f"""{"metric":"sketch-build throughput + query suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")

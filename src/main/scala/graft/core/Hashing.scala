@@ -165,6 +165,21 @@ object Hashing {
     * (KM) filter configuration. */
   def murmur3_64(bytes: Array[Byte], seed: Long): Long = murmur3_128(bytes, seed)._1
 
+  /** murmur3_128 low64 of a single long value (8 LE bytes) without
+    * materializing an array — equals murmur3_64(longBytes(v), seed).
+    * (The 8-byte input is the tail-only case: k1 = v.) */
+  def murmur3_64Long(value: Long, seed: Long): Long = {
+    var h1 = seed
+    var h2 = seed
+    var k1 = value
+    k1 *= C1; k1 = rotl(k1, 31); k1 *= C2; h1 ^= k1
+    h1 ^= 8L; h2 ^= 8L
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2
+    h1
+  }
+
   /** Canonical UTF-8 byte encoding of a string key. */
   @inline def utf8(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 }

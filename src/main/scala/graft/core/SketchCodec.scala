@@ -15,6 +15,17 @@ import java.nio.{ByteBuffer, ByteOrder}
 object SketchCodec {
   private val Magic: Array[Byte] = Array('G', 'S', 'K', '1').map(_.toByte)
 
+  /** Key-hashing convention a Bloom/CMS sketch was built with. Probing
+    * with the other convention would be silent corruption (every probe
+    * false ⇒ false negatives), so the codec records it and probe paths
+    * enforce it. */
+  object KeyMode {
+    /** caller-encoded canonical bytes (functions.sketchKey / UDAF path) */
+    val Bytes: Byte = 0
+    /** native row-hash (graft.spark.native expressions) */
+    val RowHash: Byte = 1
+  }
+
   object TypeId {
     val Bloom: Byte = 1
     val Hll: Byte = 2
@@ -49,11 +60,12 @@ object SketchCodec {
   }
 
   // -------------------------------------------------------------- Bloom
-  // payload: variant(1) capacity(8) fpp(8) nWords(4) numBits(8) words(8*n)
-  def encodeBloom(s: BloomSketch): Array[Byte] = {
+  // payload: variant(1) keyMode(1) capacity(8) fpp(8) nWords(4) numBits(8) words(8*n)
+  def encodeBloom(s: BloomSketch, keyMode: Byte = KeyMode.Bytes): Array[Byte] = {
     val w = s.bits.words
-    val bb = writer(TypeId.Bloom, 1 + 8 + 8 + 4 + 8 + 8 * w.length)
+    val bb = writer(TypeId.Bloom, 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length)
     bb.put(s.variant)
+    bb.put(keyMode)
     bb.putLong(s.config.capacity)
     bb.putDouble(s.config.fpp)
     bb.putInt(w.length)
@@ -66,6 +78,7 @@ object SketchCodec {
   def decodeBloom(bytes: Array[Byte]): BloomSketch = {
     val bb = reader(bytes, TypeId.Bloom)
     val variant = bb.get()
+    bb.get() // keyMode — surfaced via bloomKeyMode
     val capacity = bb.getLong()
     val fpp = bb.getDouble()
     val nWords = bb.getInt()
@@ -82,6 +95,12 @@ object SketchCodec {
       case BloomVariant.Seeded => new SeededBloomSketch(cfg, bits)
       case v => throw new IllegalArgumentException(s"unknown Bloom variant $v")
     }
+  }
+
+  /** Key convention of an encoded Bloom blob (header 6 + variant 1). */
+  def bloomKeyMode(bytes: Array[Byte]): Byte = {
+    require(bytes.length >= 8 && typeOf(bytes) == TypeId.Bloom, "not a Bloom blob")
+    bytes(7)
   }
 
   // -------------------------------------------------------------- HLL
@@ -102,10 +121,11 @@ object SketchCodec {
   }
 
   // -------------------------------------------------------------- CMS
-  // payload: depth(4) width(4) total(8) counters(8 * d*w)
-  def encodeCms(s: CMSSketch): Array[Byte] = {
+  // payload: keyMode(1) depth(4) width(4) total(8) counters(8 * d*w)
+  def encodeCms(s: CMSSketch, keyMode: Byte = KeyMode.Bytes): Array[Byte] = {
     val n = s.counters.length
-    val bb = writer(TypeId.Cms, 4 + 4 + 8 + 8 * n)
+    val bb = writer(TypeId.Cms, 1 + 4 + 4 + 8 + 8 * n)
+    bb.put(keyMode)
     bb.putInt(s.depth)
     bb.putInt(s.width)
     bb.putLong(s.totalCount)
@@ -116,6 +136,7 @@ object SketchCodec {
 
   def decodeCms(bytes: Array[Byte]): CMSSketch = {
     val bb = reader(bytes, TypeId.Cms)
+    bb.get() // keyMode — surfaced via cmsKeyMode
     val d = bb.getInt()
     val w = bb.getInt()
     val total = bb.getLong()
@@ -123,6 +144,12 @@ object SketchCodec {
     var i = 0
     while (i < counters.length) { counters(i) = bb.getLong(); i += 1 }
     new CMSSketch(d, w, counters, total)
+  }
+
+  /** Key convention of an encoded CMS blob (header is 6 bytes). */
+  def cmsKeyMode(bytes: Array[Byte]): Byte = {
+    require(bytes.length >= 7 && typeOf(bytes) == TypeId.Cms, "not a CMS blob")
+    bytes(6)
   }
 
   // -------------------------------------------------------------- TDigest

@@ -78,26 +78,38 @@ object functions {
     * sketch against a big table prefer [[bloomProbe]] (broadcast form). */
   def bloomMightContain(sketch: Column, key: Column): Column =
     udf((s: Array[Byte], k: Array[Byte]) =>
-      if (s == null || k == null) false else bloomOf(s).mightContain(k)).apply(sketch, key)
+      if (s == null || k == null) false
+      else { requireBytesMode(s); bloomOf(s).mightContain(k) }).apply(sketch, key)
+
+  /** Byte-key probes are only valid against byte-key-built sketches —
+    * probing a native row-hash sketch here would be silent zero-FN loss. */
+  private def requireBytesMode(blob: Array[Byte]): Unit =
+    require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.Bytes,
+      "sketch was built with native row-hash keys; probe it with graft.spark.native")
 
   /** Broadcast-style probe: decode once on the driver, ship the decoded
     * sketch in the UDF closure (classic Bloom semi-join reduction). */
   def bloomProbe(sketchBytes: Array[Byte])(key: Column): Column = {
+    requireBytesMode(sketchBytes)
     val sketch = SketchCodec.decodeBloom(sketchBytes)
     udf((k: Array[Byte]) => k != null && sketch.mightContain(k)).apply(key)
   }
 
+  private def mergeBlobs(x: Array[Byte], y: Array[Byte], intersect: Boolean): Array[Byte] = {
+    val mode = SketchCodec.bloomKeyMode(x)
+    require(mode == SketchCodec.bloomKeyMode(y),
+      "cannot combine sketches built with different key conventions")
+    val merged = SketchCodec.decodeBloom(x).copySketch()
+    if (intersect) merged.intersectInPlace(SketchCodec.decodeBloom(y))
+    else merged.unionInPlace(SketchCodec.decodeBloom(y))
+    SketchCodec.encodeBloom(merged, mode)
+  }
+
   def bloomUnion(a: Column, b: Column): Column =
-    udf((x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeBloom(
-        SketchCodec.decodeBloom(x).copySketch().unionInPlace(SketchCodec.decodeBloom(y))))
-      .apply(a, b)
+    udf((x: Array[Byte], y: Array[Byte]) => mergeBlobs(x, y, intersect = false)).apply(a, b)
 
   def bloomIntersect(a: Column, b: Column): Column =
-    udf((x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeBloom(
-        SketchCodec.decodeBloom(x).copySketch().intersectInPlace(SketchCodec.decodeBloom(y))))
-      .apply(a, b)
+    udf((x: Array[Byte], y: Array[Byte]) => mergeBlobs(x, y, intersect = true)).apply(a, b)
 
   def bloomElementCount(sketch: Column): Column =
     udf((s: Array[Byte]) => bloomOf(s).approximateElementCount).apply(sketch)
@@ -115,7 +127,11 @@ object functions {
       .apply(a, b)
 
   def cmsEstimate(sketch: Column, key: Column): Column =
-    udf((s: Array[Byte], k: Array[Byte]) => cmsOf(s).estimate(k)).apply(sketch, key)
+    udf((s: Array[Byte], k: Array[Byte]) => {
+      require(SketchCodec.cmsKeyMode(s) == SketchCodec.KeyMode.Bytes,
+        "CMS was built with native row-hash keys; query it with graft.spark.native")
+      cmsOf(s).estimate(k)
+    }).apply(sketch, key)
 
   def cmsTotalCount(sketch: Column): Column =
     udf((s: Array[Byte]) => cmsOf(s).totalCount).apply(sketch)
@@ -143,12 +159,10 @@ object functions {
       (s: Array[Byte], k: Array[Byte]) => s != null && k != null && bloomOf(s).mightContain(k))
     spark.udf.register("bloom_element_count", (s: Array[Byte]) => bloomOf(s).approximateElementCount)
     spark.udf.register("bloom_fpp", (s: Array[Byte]) => bloomOf(s).approximateCurrentFpp)
-    spark.udf.register("bloom_union", (x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeBloom(SketchCodec.decodeBloom(x).copySketch()
-        .unionInPlace(SketchCodec.decodeBloom(y))))
-    spark.udf.register("bloom_intersect", (x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeBloom(SketchCodec.decodeBloom(x).copySketch()
-        .intersectInPlace(SketchCodec.decodeBloom(y))))
+    spark.udf.register("bloom_union",
+      (x: Array[Byte], y: Array[Byte]) => mergeBlobs(x, y, intersect = false))
+    spark.udf.register("bloom_intersect",
+      (x: Array[Byte], y: Array[Byte]) => mergeBlobs(x, y, intersect = true))
     spark.udf.register("hll_estimate", (s: Array[Byte]) => math.round(hllOf(s).estimate))
     spark.udf.register("cms_estimate", (s: Array[Byte], k: Array[Byte]) => cmsOf(s).estimate(k))
     spark.udf.register("tdigest_quantile",

@@ -1,0 +1,327 @@
+package graft.spark.native
+
+import graft.core._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst sketch aggregates — the production path.
+  *
+  * Why not the `Aggregator`/udaf layer (graft.spark.SketchAggregators)?
+  * That path materializes a canonical STRING key per row (concat_ws +
+  * UTF-8 encode) and round-trips the input through a row encoder. These
+  * expressions instead hash the raw Catalyst values straight out of the
+  * InternalRow — zero per-row allocation beyond UTF8String byte access —
+  * exactly how Spark's own `xxhash64`/`hash` expressions walk their
+  * children. Buffers live as plain objects in ObjectHashAggregate and
+  * serialize through the graft codec only when crossing the shuffle.
+  *
+  * Hash-convention note: sketches built here carry KeyMode.RowHash in the
+  * codec header; byte-key probes refuse them (and vice versa) — the two
+  * conventions are not bit-compatible and mixing them would silently
+  * violate the zero-false-negative contract.
+  */
+object RowHasher {
+  private final val NullTag = 0x9E3779B97F4A7C15L
+
+  /** Chained per-child hashing: (h1, h2) start at (seed, seed) and fold
+    * each child's value through (xxHash64, murmur3_64). Returns packed
+    * (h1, h2). */
+  def hashPair(children: Seq[Expression], row: InternalRow): (Long, Long) = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < children.length) {
+      val e = children(i)
+      val v = e.eval(row)
+      if (v == null) {
+        h1 = Hashing.xxHash64Long(NullTag, h1)
+        h2 = Hashing.murmur3_64Long(NullTag, h2)
+      } else {
+        e.dataType match {
+          case StringType =>
+            val b = v.asInstanceOf[UTF8String].getBytes
+            h1 = Hashing.xxHash64(b, h1)
+            h2 = Hashing.murmur3_64(b, h2)
+          case BinaryType =>
+            val b = v.asInstanceOf[Array[Byte]]
+            h1 = Hashing.xxHash64(b, h1)
+            h2 = Hashing.murmur3_64(b, h2)
+          case LongType | IntegerType | ShortType | ByteType | DateType |
+              TimestampType | TimestampNTZType =>
+            val l = v match {
+              case x: java.lang.Long => x.longValue()
+              case x: java.lang.Integer => x.longValue()
+              case x: java.lang.Short => x.longValue()
+              case x: java.lang.Byte => x.longValue()
+              case x => x.toString.toLong
+            }
+            h1 = Hashing.xxHash64Long(l, h1)
+            h2 = Hashing.murmur3_64Long(l, h2)
+          case BooleanType =>
+            val l = if (v.asInstanceOf[Boolean]) 1L else 0L
+            h1 = Hashing.xxHash64Long(l, h1)
+            h2 = Hashing.murmur3_64Long(l, h2)
+          case DoubleType =>
+            val l = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+            h1 = Hashing.xxHash64Long(l, h1)
+            h2 = Hashing.murmur3_64Long(l, h2)
+          case FloatType =>
+            val l = java.lang.Double.doubleToLongBits(v.asInstanceOf[Float].toDouble)
+            h1 = Hashing.xxHash64Long(l, h1)
+            h2 = Hashing.murmur3_64Long(l, h2)
+          case _ =>
+            val b = UTF8String.fromString(v.toString).getBytes
+            h1 = Hashing.xxHash64(b, h1)
+            h2 = Hashing.murmur3_64(b, h2)
+        }
+      }
+      i += 1
+    }
+    (h1, h2)
+  }
+
+  /** Single 64-bit hash (the HLL/CMS item hash): h1 of the pair. */
+  def hash64(children: Seq[Expression], row: InternalRow): Long =
+    hashPair(children, row)._1
+}
+
+abstract class SketchAggBase[T] extends TypedImperativeAggregate[T] {
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+}
+
+/** §2.1 #1–#12 as one Catalyst aggregate: zero = construct, update =
+  * insert (KM double hashing), merge = union, eval = codec bytes. */
+case class BloomSketchAgg(
+    keys: Seq[Expression],
+    capacity: Long,
+    fpp: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[KMBloomSketch] {
+
+  override def children: Seq[Expression] = keys
+  override def prettyName: String = "graft_bloom_agg"
+
+  override def createAggregationBuffer(): KMBloomSketch = KMBloomSketch(capacity, fpp)
+
+  override def update(b: KMBloomSketch, input: InternalRow): KMBloomSketch = {
+    val (h1, h2) = RowHasher.hashPair(keys, input)
+    b.insertHashes(h1, h2)
+    b
+  }
+
+  override def merge(b: KMBloomSketch, o: KMBloomSketch): KMBloomSketch = {
+    b.unionInPlace(o)
+    b
+  }
+
+  override def eval(b: KMBloomSketch): Any =
+    SketchCodec.encodeBloom(b, SketchCodec.KeyMode.RowHash)
+
+  override def serialize(b: KMBloomSketch): Array[Byte] =
+    SketchCodec.encodeBloom(b, SketchCodec.KeyMode.RowHash)
+
+  override def deserialize(bytes: Array[Byte]): KMBloomSketch =
+    SketchCodec.decodeBloom(bytes).asInstanceOf[KMBloomSketch]
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomSketchAgg =
+    copy(keys = c)
+}
+
+/** Probe expression for row-hash Bloom sketches: first child is the
+  * sketch blob (typically a literal or scalar subquery), the rest are the
+  * key columns. Decodes through a tiny per-thread memo (the blob is
+  * usually one repeated value). */
+case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = sketchExpr +: keys
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private[this] var cachedBlob: Array[Byte] = _
+  @transient private[this] var cachedSketch: KMBloomSketch = _
+
+  override def eval(input: InternalRow): Any = {
+    val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
+    if (blob == null) return false
+    if (!(blob eq cachedBlob)) {
+      require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
+        "sketch was built with byte keys; probe it with graft.spark.functions")
+      cachedSketch = SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
+      cachedBlob = blob
+    }
+    val (h1, h2) = RowHasher.hashPair(keys, input)
+    cachedSketch.mightContainHashes(h1, h2)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMightContain =
+    copy(sketchExpr = c.head, keys = c.tail)
+}
+
+/** §2.2 HLL as a native aggregate. */
+case class HllSketchAgg(
+    keys: Seq[Expression],
+    p: Int = HLLSketch.DefaultP,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[HLLSketch] {
+
+  override def children: Seq[Expression] = keys
+  override def prettyName: String = "graft_hll_agg"
+
+  override def createAggregationBuffer(): HLLSketch = HLLSketch(p)
+  override def update(b: HLLSketch, input: InternalRow): HLLSketch = {
+    b.updateHash(RowHasher.hash64(keys, input))
+    b
+  }
+  override def merge(b: HLLSketch, o: HLLSketch): HLLSketch = b.mergeInPlace(o)
+  override def eval(b: HLLSketch): Any = SketchCodec.encodeHll(b)
+  override def serialize(b: HLLSketch): Array[Byte] = SketchCodec.encodeHll(b)
+  override def deserialize(bytes: Array[Byte]): HLLSketch = SketchCodec.decodeHll(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketchAgg =
+    copy(keys = c)
+}
+
+/** §2.2 count–min as a native aggregate. */
+case class CmsSketchAgg(
+    keys: Seq[Expression],
+    eps: Double,
+    delta: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[CMSSketch] {
+
+  override def children: Seq[Expression] = keys
+  override def prettyName: String = "graft_cms_agg"
+
+  override def createAggregationBuffer(): CMSSketch = CMSSketch(eps, delta)
+  override def update(b: CMSSketch, input: InternalRow): CMSSketch = {
+    b.updateHash(RowHasher.hash64(keys, input))
+    b
+  }
+  override def merge(b: CMSSketch, o: CMSSketch): CMSSketch = b.mergeInPlace(o)
+  override def eval(b: CMSSketch): Any =
+    SketchCodec.encodeCms(b, SketchCodec.KeyMode.RowHash)
+  override def serialize(b: CMSSketch): Array[Byte] =
+    SketchCodec.encodeCms(b, SketchCodec.KeyMode.RowHash)
+  override def deserialize(bytes: Array[Byte]): CMSSketch = SketchCodec.decodeCms(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsSketchAgg =
+    copy(keys = c)
+}
+
+/** Point-estimate a row-hash CMS for the key columns. */
+case class CmsEstimate(sketchExpr: Expression, keys: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = sketchExpr +: keys
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private[this] var cachedBlob: Array[Byte] = _
+  @transient private[this] var cachedSketch: CMSSketch = _
+
+  override def eval(input: InternalRow): Any = {
+    val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
+    if (blob == null) return 0L
+    if (!(blob eq cachedBlob)) {
+      require(SketchCodec.cmsKeyMode(blob) == SketchCodec.KeyMode.RowHash,
+        "CMS was built with byte keys; query it with graft.spark.functions")
+      cachedSketch = SketchCodec.decodeCms(blob)
+      cachedBlob = blob
+    }
+    cachedSketch.estimateHash(RowHasher.hash64(keys, input))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsEstimate =
+    copy(sketchExpr = c.head, keys = c.tail)
+}
+
+/** §2.2 t-digest as a native aggregate over a double column. */
+case class TDigestSketchAgg(
+    value: Expression,
+    compression: Double = TDigestSketch.DefaultCompression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[TDigestSketch] {
+
+  override def children: Seq[Expression] = Seq(value)
+  override def prettyName: String = "graft_tdigest_agg"
+
+  override def createAggregationBuffer(): TDigestSketch = TDigestSketch(compression)
+  override def update(b: TDigestSketch, input: InternalRow): TDigestSketch = {
+    val v = value.eval(input)
+    if (v != null) b.update(v match {
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.doubleValue()
+      case l: java.lang.Long => l.doubleValue()
+      case i: java.lang.Integer => i.doubleValue()
+      case x => x.toString.toDouble
+    })
+    b
+  }
+  override def merge(b: TDigestSketch, o: TDigestSketch): TDigestSketch = b.mergeInPlace(o)
+  override def eval(b: TDigestSketch): Any = SketchCodec.encodeTDigest(b)
+  override def serialize(b: TDigestSketch): Array[Byte] = SketchCodec.encodeTDigest(b)
+  override def deserialize(bytes: Array[Byte]): TDigestSketch = SketchCodec.decodeTDigest(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TDigestSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestSketchAgg =
+    copy(value = c.head)
+}
+
+/** §2.2 KLL as a native aggregate over a double column. */
+case class KllSketchAgg(
+    value: Expression,
+    k: Int = KLLSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[KLLSketch] {
+
+  override def children: Seq[Expression] = Seq(value)
+  override def prettyName: String = "graft_kll_agg"
+
+  override def createAggregationBuffer(): KLLSketch = KLLSketch(k)
+  override def update(b: KLLSketch, input: InternalRow): KLLSketch = {
+    val v = value.eval(input)
+    if (v != null) b.update(v match {
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.doubleValue()
+      case l: java.lang.Long => l.doubleValue()
+      case i: java.lang.Integer => i.doubleValue()
+      case x => x.toString.toDouble
+    })
+    b
+  }
+  override def merge(b: KLLSketch, o: KLLSketch): KLLSketch = b.mergeInPlace(o)
+  override def eval(b: KLLSketch): Any = SketchCodec.encodeKll(b)
+  override def serialize(b: KLLSketch): Array[Byte] = SketchCodec.encodeKll(b)
+  override def deserialize(bytes: Array[Byte]): KLLSketch = SketchCodec.decodeKll(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllSketchAgg =
+    copy(value = c.head)
+}

@@ -1,0 +1,36 @@
+package graft.spark
+
+import graft.core.{HLLSketch, KLLSketch, TDigestSketch}
+import org.apache.spark.sql.{Column, GraftSqlBridge => B}
+
+/** Column API over the native Catalyst sketch expressions. */
+package object native {
+
+  /** Build a KM Bloom sketch over the raw key columns (no canonical-string
+    * materialization — values are hashed straight from the InternalRow). */
+  def bloomAggNative(capacity: Long, fpp: Double)(keys: Column*): Column =
+    B.aggColumn(BloomSketchAgg(keys.map(B.expression(_)), capacity, fpp))
+
+  /** Probe a row-hash Bloom sketch column for the raw key columns. */
+  def bloomMightContainNative(sketch: Column, keys: Column*): Column =
+    B.column(BloomMightContain(B.expression(sketch), keys.map(B.expression(_))))
+
+  def hllAggNative(keys: Column*): Column =
+    B.aggColumn(HllSketchAgg(keys.map(B.expression(_))))
+
+  def hllAggNativeP(p: Int)(keys: Column*): Column =
+    B.aggColumn(HllSketchAgg(keys.map(B.expression(_)), p))
+
+  def cmsAggNative(eps: Double, delta: Double)(keys: Column*): Column =
+    B.aggColumn(CmsSketchAgg(keys.map(B.expression(_)), eps, delta))
+
+  def cmsEstimateNative(sketch: Column, keys: Column*): Column =
+    B.column(CmsEstimate(B.expression(sketch), keys.map(B.expression(_))))
+
+  def tdigestAggNative(value: Column,
+      compression: Double = TDigestSketch.DefaultCompression): Column =
+    B.aggColumn(TDigestSketchAgg(B.expression(value), compression))
+
+  def kllAggNative(value: Column, k: Int = KLLSketch.DefaultK): Column =
+    B.aggColumn(KllSketchAgg(B.expression(value), k))
+}

@@ -70,6 +70,18 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("murmur3_64Long is identical to murmur3_64 over the value's 8 LE bytes") {
+    val rnd = new scala.util.Random(0xce11L)
+    for (_ <- 1 to 2000) {
+      val v = rnd.nextLong()
+      val seed = rnd.nextLong()
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      assert(Hashing.murmur3_64Long(v, seed) === Hashing.murmur3_64(b, seed))
+    }
+  }
+
   test("hash pair (xxHash64, murmur3_64) is independent enough to differ") {
     val b = "conv-1|3".getBytes(UTF_8)
     assert(Hashing.xxHash64(b, 0L) !== Hashing.murmur3_64(b, 0L))
