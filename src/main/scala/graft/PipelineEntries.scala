@@ -1,0 +1,298 @@
+package graft
+
+import graft.core._
+import graft.pipeline.{MultimodalPipeline, TextPipeline, VectorPipeline}
+import graft.spark.native._
+import graft.spark.Transcripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline + relational queries (q12–q26), same oracle
+  * pattern as SparkEntry (exact anchors + bound booleans; fully-SQL-
+  * expressible queries get complete value-level oracles). */
+object PipelineEntries {
+
+  private def docs(s: SparkSession, dir: String) = TextPipeline.documents(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact deduplication: hash-groupBy on the text (at 100 TB: group on
+    // xxhash64(text) first, resolve collisions second — here both counts).
+    "q12_dedup_exact" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+    }),
+
+    // MinHash + LSH near-dup: banded signatures → candidate join → exact
+    // verify. Boolean gates FULL recall of the true Jaccard≥1/2 pair set.
+    "q13_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).cache()
+      val truePairs = TextPipeline.exactJaccardPairs(d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val nTrue = truePairs.count()
+      val found = TextPipeline.minhashCandidates(d)
+        .join(truePairs, Seq("doc_a", "doc_b")).count()
+      d.unpersist()
+      val out = Seq((nTrue, found == nTrue)).toDF("n_true_pairs", "lsh_recall_ok")
+      truePairs.unpersist()
+      out
+    }),
+
+    // SimHash near-dup: byte-banding recall is provably total for hd≤7, so
+    // banded pairs must EQUAL the exhaustive hd≤6 pair set.
+    "q14_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).cache()
+      val nDocs = d.count()
+      val banded = TextPipeline.simhashPairs(d, maxHd = 6).cache()
+      val sigs = TextPipeline.simhashes(d)
+      val exhaustive = sigs.as("a").crossJoin(sigs.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 6)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val nBanded = banded.count()
+      val nMissed = exhaustive.join(banded, Seq("doc_a", "doc_b"), "left_anti").count()
+      banded.unpersist(); d.unpersist()
+      Seq((nDocs, nMissed == 0L && nBanded > 0L || nBanded == 0L && nMissed == 0L))
+        .toDF("n_docs", "banding_equals_exhaustive")
+    }),
+
+    // Exact n-gram (word 3-shingle) Jaccard pairs — full value-level oracle
+    // (integer arithmetic only; DuckDB reproduces every row).
+    "q15_ngram_jaccard" -> ((s, dir) => {
+      TextPipeline.exactJaccardPairs(docs(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline; broadcast queries).
+    "q16_ann_bruteforce" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      val queries = emb.filter(col("vec_id") < 20)
+      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10).cache()
+      val nq = queries.count()
+      val nRes = bf.count()
+      val cosSane = bf.agg(max(col("cos")), min(col("cos"))).head
+      val ok = cosSane.getDouble(0) <= 1.000001 && cosSane.getDouble(1) >= -1.000001
+      val perQ = bf.groupBy(col("q_id")).count().agg(min(col("count")), max(col("count"))).head
+      val ranked = perQ.getLong(0) == 10L && perQ.getLong(1) == 10L
+      bf.unpersist(); emb.unpersist()
+      Seq((nq, nRes, ok && ranked)).toDF("n_queries", "n_results", "topk_well_formed")
+    }),
+
+    // IVF approximate ANN: deterministic codebook, probe 8/16 centroids;
+    // recall@10 vs the exact baseline gated at 0.55 (embeddings are
+    // near-random, so recall tracks the probed fraction — see BENCH.md).
+    "q17_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      val queries = emb.filter(col("vec_id") < 20)
+      val book = VectorPipeline.codebook(emb, 16).cache()
+      val assigned = VectorPipeline.ivfAssign(emb, book).cache()
+      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+        .select(col("q_id"), col("n_id"))
+      val ivf = VectorPipeline.ivfTopK(assigned, book, queries, 10, 8)
+        .select(col("q_id"), col("n_id"))
+      val nq = queries.count()
+      val overlap = bf.join(ivf, Seq("q_id", "n_id")).count()
+      val recall = overlap.toDouble / (nq * 10)
+      assigned.unpersist(); book.unpersist(); emb.unpersist()
+      Seq((nq, recall >= 0.55)).toDF("n_queries", "recall_ok")
+    }),
+
+    // Language ID heuristic: deterministic classifier; oracle anchors on
+    // exact per-lang counts (accuracy is asserted on real multilingual
+    // samples in LangIdSpec — the synthetic text doesn't encode its lang).
+    "q18_lang_id" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pred = d.select(col("lang"), TextPipeline.langIdUdf(col("text")).as("p1"),
+        TextPipeline.langIdUdf(col("text")).as("p2"))
+      pred.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) === sum(when(col("p1") === col("p2"), 1).otherwise(0)))
+            .as("deterministic"))
+        .orderBy(col("lang"))
+    }),
+
+    // Quality scoring per source: exact char totals + score-range boolean.
+    "q19_quality_score" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("total_chars"),
+          (min(TextPipeline.qualityScore(col("text"))) >= 0.0 &&
+            max(TextPipeline.qualityScore(col("text"))) <= 1.0).as("quality_in_range"))
+        .orderBy(col("source"))
+    }),
+
+    // Token counting: whitespace semantics shared exactly with DuckDB;
+    // BPE-ish subword count is Spark-side (boolean sanity only).
+    "q20_token_count" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextPipeline.wsTokenCount(col("text"))).cast("bigint").as("total_ws_tokens"),
+        max(TextPipeline.wsTokenCount(col("text"))).cast("int").as("max_ws_tokens"),
+        (sum(TextPipeline.bpeIshTokenCount(col("text"))) >=
+          sum(TextPipeline.wsTokenCount(col("text"))) - count(lit(1))).as("bpe_ok"))
+    }),
+
+    // Document fingerprinting: 64-bit fingerprint is collision-free on
+    // this corpus (injective boolean) + Bloom over fingerprints zero-FN —
+    // the BASELINE.json "text fingerprint membership" flagship.
+    "q21_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).cache()
+      val row = d.agg(
+        countDistinct(col("text")).as("cd_text"),
+        countDistinct(xxhash64(col("text"))).as("cd_fp")).head
+      val n = d.count()
+      val sketch = d.agg(bloomAggNative(math.max(n, 1000L), 0.001)(col("text")))
+        .head.getAs[Array[Byte]](0)
+      val zeroFn = d.filter(bloomMightContainNative(lit(sketch), col("text"))).count() == n
+      d.unpersist()
+      Seq((row.getLong(0), row.getLong(0) == row.getLong(1), zeroFn))
+        .toDF("n_distinct_texts", "fp_injective", "bloom_zero_fn")
+    }),
+
+    // Multimodal stub: binary payload → mapPartitions feature extraction
+    // (decode is a deterministic STUB — no codecs in the container; the
+    // Spark plumbing is real and tested).
+    "q22_multimodal_stub" -> ((s, dir) => {
+      import s.implicits._
+      val feats = MultimodalPipeline.extractFeatures(MultimodalPipeline.assets(s, dir))
+      feats.agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+        (min(col("channels")) === 3 && max(col("width")) <= 320).as("features_well_formed"))
+    }),
+
+    // Relational: TPC-H Q1-shaped pricing summary (cents as BIGINT so the
+    // oracle is exact — float sums are order-dependent).
+    "q23_pricing_summary" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("bigint")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_c"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Relational: multi-way broadcast join (dims broadcast explicitly —
+    // the plan must contain no shuffle join for region/nation/customer).
+    "q24_region_revenue" -> ((s, dir) => {
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("revenue_c"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Window sessionization over raw events (30-min gap rule).
+    "q25_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L).otherwise(0L))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("new_session")).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // Native-expression path end-to-end over transcripts (the production
+    // aggregate path is oracle-gated too, not just the udaf path).
+    "q26_native_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val t = Transcripts.load(s, dir).cache()
+      val n = t.count()
+      val row = t.agg(
+        bloomAggNative(math.max(n, 1000L), 0.001)(col("conv_id"), col("turn_idx")).as("b"),
+        hllAggNative(col("conv_id")).as("h"),
+        countDistinct(col("conv_id")).as("exact")).head
+      val zeroFn = t.filter(bloomMightContainNative(
+        lit(row.getAs[Array[Byte]]("b")), col("conv_id"), col("turn_idx"))).count() == n
+      val est = SketchCodec.decodeHll(row.getAs[Array[Byte]]("h")).estimate
+      val exact = row.getAs[Long]("exact")
+      val hllOk = math.abs(est - exact) <= 3 * 1.04 / math.sqrt(1 << 14) * exact + 1
+      t.unpersist()
+      Seq((n, zeroFn, hllOk)).toDF("n_turns", "zero_fn", "hll_ok")
+    }),
+  )
+
+  private val C = Transcripts.Cte
+
+  /** DuckDB-shared 3-shingle pair SQL (the q15 oracle, also anchoring q13). */
+  private val JaccardPairSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |        FOR i IN generate_series(1, len(ws) - 2)])) AS sh FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+      |       CAST(ca.n + cb.n - n_common AS BIGINT) AS n_union
+      |FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE 2 * n_common >= ca.n + cb.n - n_common""".stripMargin.replace("\n", " ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q12_dedup_exact" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts, " +
+        "CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_docs FROM documents"),
+    "q13_dedup_minhash" ->
+      (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS lsh_recall_ok FROM ($JaccardPairSql) t"),
+    "q14_dedup_simhash" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS banding_equals_exhaustive FROM documents",
+    "q15_ngram_jaccard" -> (JaccardPairSql + " ORDER BY doc_a, doc_b"),
+    "q16_ann_bruteforce" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(COUNT(*) * 10 AS BIGINT) AS n_results, " +
+        "true AS topk_well_formed FROM embeddings WHERE vec_id < 20"),
+    "q17_ann_ivf" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok FROM embeddings WHERE vec_id < 20",
+    "q18_lang_id" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS deterministic " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q19_quality_score" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars, " +
+        "true AS quality_in_range FROM documents GROUP BY source ORDER BY source"),
+    "q20_token_count" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens, " +
+        "CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_ws_tokens, true AS bpe_ok FROM documents"),
+    "q21_fingerprint" ->
+      ("SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts, true AS fp_injective, " +
+        "true AS bloom_zero_fn FROM documents"),
+    "q22_multimodal_stub" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_assets, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes, " +
+        "true AS features_well_formed FROM documents"),
+    "q23_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q24_region_revenue" ->
+      ("SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+    "q25_sessions" ->
+      ("SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM " +
+        "(SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) g"),
+    "q26_native_sketch" ->
+      s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS zero_fn, true AS hll_ok FROM transcripts",
+  )
+}

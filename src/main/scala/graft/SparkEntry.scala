@@ -27,8 +27,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_bloom_membership")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (q01–q11 here;
+    * training-data pipeline + relational q12–q26 in PipelineEntries). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = sketchQueries ++ PipelineEntries.queries
+
+  private def sketchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.1 #1–7, #10–12: build KM Bloom over (conv_id, turn_idx), probe
     // every inserted key — zero false negatives (lib.rs:207–208) makes the
@@ -243,7 +246,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Estimate queries anchor on exact values +
     * literal-true bound booleans (see object doc). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = sketchOracles ++ PipelineEntries.oracleSql
+
+  private def sketchOracles: Map[String, String] = Map(
     "q01_bloom_membership" ->
       s"$C SELECT role, CAST(COUNT(*) AS BIGINT) AS n_contained FROM transcripts GROUP BY role ORDER BY role",
     "q02_bloom_fpr" ->

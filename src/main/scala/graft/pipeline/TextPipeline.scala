@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import graft.core.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: exact dedup,
+  * MinHash+LSH near-dup, SimHash near-dup, exact n-gram Jaccard, language
+  * ID, quality scoring, token counting, fingerprinting.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - exact dedup = hash-groupBy (one shuffle on the text hash, never the
+  *    text itself for the count path);
+  *  - MinHash-LSH = per-doc signature (map-only) → explode band keys →
+  *    shuffle on band key (tiny rows) → candidate pairs → verify join;
+  *    no all-pairs product ever materializes;
+  *  - SimHash = 64-bit signature + byte-banding (8 keys/doc, pigeonhole
+  *    guarantees hd ≤ 7 collides in ≥ 1 band);
+  *  - exact Jaccard = inverted-index join on shingles (bounded by shared-
+  *    shingle pairs, not n²).
+  */
+object TextPipeline {
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Word 3-shingles, distinct, as an array column — built from codegen'd
+    * collection functions only (split/transform/sequence), no UDF. */
+  def shingles3(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, shingle) inverted-index relation. */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+
+  /** EXACT near-duplicate pairs by 3-shingle Jaccard ≥ 1/2, computed with
+    * integer arithmetic (2·common ≥ union) so the DuckDB oracle reproduces
+    * it bit-for-bit. Inverted-index join — never an n² product. */
+  def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"))
+      .filter(col("n_common") * 2 >= col("n_union"))
+  }
+
+  // ------------------------------------------------------------- MinHash
+  val MinhashRows = 3 // rows per band
+  val MinhashBands = 42 // bands → 126 hashes; P(candidate | j=0.5) ≈ 0.996
+
+  /** 126 minhash values per shingle set (seeded xxHash64 family). */
+  private val minhashUdf = udf { (sh: Seq[String]) =>
+    val out = new Array[Long](MinhashRows * MinhashBands)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    sh.foreach { s =>
+      val base = Hashing.xxHash64(s.getBytes("UTF-8"), 0L)
+      var i = 0
+      while (i < out.length) {
+        val h = Hashing.xxHash64Long(base, i.toLong)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"), minhashUdf(shingles3(col("text"))).as("sig"))
+    val bandKey = udf { (sig: Seq[Long], band: Int) =>
+      var h = band.toLong
+      var i = 0
+      while (i < MinhashRows) { h = Hashing.xxHash64Long(sig(band * MinhashRows + i), h); i += 1 }
+      h
+    }
+    val bands = sigs.select(col("doc_id"), explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
+      .join(sigs, "doc_id")
+      .select(col("doc_id"), col("band"), bandKey(col("sig"), col("band")).as("bkey"))
+    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over the 3-shingle feature set. */
+  private val simhashUdf = udf { (sh: Seq[String]) =>
+    val votes = new Array[Int](64)
+    sh.foreach { s =>
+      val h = Hashing.xxHash64(s.getBytes("UTF-8"), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashUdf(shingles3(col("text"))).as("simhash"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHd via byte-banding
+    * (8 bands; pigeonhole: hd ≤ 7 ⇒ some byte equal, so recall is total
+    * for maxHd ≤ 7). */
+  def simhashPairs(docs: DataFrame, maxHd: Int = 6): DataFrame = {
+    require(maxHd <= 7, "byte-banding only guarantees recall for hd <= 7")
+    val sigs = simhashes(docs)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
+    val cands = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cands.filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHd)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------ language ID
+  /** Deterministic n-gram/stopword language heuristic. The synthetic
+    * corpus's text does not correlate with its `lang` column, so accuracy
+    * is asserted on real multilingual samples in LangIdSpec; here the
+    * oracle checks determinism + exact per-lang counts. */
+  val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val t = " " + text.toLowerCase + " "
+      val scores = Map(
+        "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+        "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
+        "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+        "es" -> Seq(" el ", " la ", " y ", " los ", " es "),
+        "zh" -> Seq("的", "是", "了", "在", "我"))
+        .map { case (lang, markers) =>
+          lang -> markers.map(m => t.sliding(m.length).count(_ == m)).sum
+        }
+      val cjk = text.count(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)
+      val adjusted = scores + ("zh" -> (scores("zh") + cjk))
+      val (best, score) = adjusted.maxBy { case (l, s) => (s, l) }
+      if (score == 0) "und" else best
+    }
+  }
+
+  // ------------------------------------------------------- quality / tokens
+  /** Heuristic quality score in [0,1]: length band + space ratio +
+    * alphabetic ratio (deterministic, codegen-free scalar UDF is avoided —
+    * all built-ins). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val spaces = len - length(regexp_replace(text, " ", ""))
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val lenScore = when(len.between(20, 10000), 1.0).otherwise(0.3)
+    val spaceRatio = spaces.cast("double") / greatest(len, lit(1)).cast("double")
+    val spaceScore = when(spaceRatio.between(0.05, 0.4), 1.0).otherwise(0.5)
+    val alphaScore = (alpha.cast("double") / greatest(len, lit(1)).cast("double"))
+    (lenScore * 0.4 + spaceScore * 0.3 + alphaScore * 0.3)
+  }
+
+  /** Whitespace token count — semantics chosen to match DuckDB's
+    * len(string_split(text, ' ')) exactly (empty tokens included). */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: word-boundary pieces + digit runs + residue
+    * (regexp built-ins; the contract is determinism, not a real BPE). */
+  def bpeIshTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[ .,;:!?])|(?<=[ .,;:!?])"), s => length(trim(s)) > 0))
+}
