@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.core.{BloomSketch, SketchCodec}
+import graft.spark.native._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable sharded sketch build with per-shard lineage + metrics
+  * (north rule, BASELINE.json; SURVEY §7.7).
+  *
+  * The unit of checkpointing is the SHARD — a content-deterministic hash
+  * bucket of conv_id — not the physical partition, so resume works across
+  * different cluster sizes / partition layouts. Each completed shard is a
+  * parquet row carrying:
+  *   shard, input_rows, sketch (codec bytes), popcount, element estimate,
+  *   input_fingerprint (order-independent XOR of row hashes — detects a
+  *   changed input on resume), run_id, built_at_ms.
+  * Resume = read checkpoint, skip completed shards (a PRUNING FILTER on
+  * the scan, so a 90%-done job reads ~10% of the input), build the rest,
+  * then fold all shard sketches into the final filter.
+  */
+object CheckpointedBuild {
+
+  val NumShards = 256
+
+  private def shardCol = pmod(xxhash64(col("conv_id")), lit(NumShards)).as("shard")
+
+  /** One run: builds every shard not already in the checkpoint; returns
+    * (newly built shards, total shards done after this run). */
+  def run(spark: SparkSession, transcripts: DataFrame, checkpointDir: String,
+      capacity: Long, fpp: Double, runId: String): (Long, Long) = {
+    val capPerShard = math.max(1000L, capacity / NumShards)
+
+    val done: Set[Long] = doneShards(spark, checkpointDir)
+    val remaining = transcripts
+      .withColumn("shard", pmod(xxhash64(col("conv_id")), lit(NumShards)))
+      .filter(!col("shard").isInCollection(if (done.isEmpty) Seq(-1L) else done.toSeq))
+
+    val t0 = System.currentTimeMillis()
+    val popcountUdf = udf((b: Array[Byte]) => {
+      val s = SketchCodec.decodeBloom(b)
+      s.bits.countOnes
+    })
+    val estUdf = udf((b: Array[Byte]) => SketchCodec.decodeBloom(b).approximateElementCount)
+
+    val built = remaining
+      .repartition(col("shard"))
+      .groupBy(col("shard"))
+      .agg(
+        bloomAggNative(capPerShard, fpp)(col("conv_id"), col("turn_idx")).as("sketch"),
+        count(lit(1)).as("input_rows"),
+        // order-independent input fingerprint: XOR of per-row key hashes
+        expr("bit_xor(xxhash64(conv_id, turn_idx))").as("input_fingerprint"))
+      .withColumn("popcount", popcountUdf(col("sketch")))
+      .withColumn("element_estimate", estUdf(col("sketch")))
+      .withColumn("run_id", lit(runId))
+      .withColumn("built_at_ms", lit(t0))
+
+    built.write.mode(SaveMode.Append).parquet(checkpointDir)
+    val newly = spark.read.parquet(checkpointDir)
+      .filter(col("run_id") === runId).select(col("shard")).distinct().count()
+    val total = doneShards(spark, checkpointDir).size.toLong
+    (newly, total)
+  }
+
+  def doneShards(spark: SparkSession, checkpointDir: String): Set[Long] = {
+    if (!new java.io.File(checkpointDir).exists()) return Set.empty
+    spark.read.parquet(checkpointDir).select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Per-shard lineage table (latest record per shard wins on re-runs). */
+  def lineage(spark: SparkSession, checkpointDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("built_at_ms").desc, col("run_id").desc)
+    spark.read.parquet(checkpointDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Fold all shard sketches into one filter (reference union semantics —
+    * every shard was built with the same config, so merges are legal). */
+  def finalSketch(spark: SparkSession, checkpointDir: String): BloomSketch = {
+    val blobs = lineage(spark, checkpointDir).select(col("sketch")).collect()
+      .map(_.getAs[Array[Byte]]("sketch"))
+    require(blobs.nonEmpty, s"no shard sketches in $checkpointDir")
+    blobs.map(SketchCodec.decodeBloom).reduceLeft((a, b) => a.unionInPlace(b))
+  }
+
+  /** Verify the checkpoint against current input: recompute per-shard
+    * (rows, fingerprint) and flag shards whose input changed since build. */
+  def staleShards(spark: SparkSession, transcripts: DataFrame, checkpointDir: String): DataFrame = {
+    val current = transcripts
+      .withColumn("shard", pmod(xxhash64(col("conv_id")), lit(NumShards)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("rows_now"),
+        expr("bit_xor(xxhash64(conv_id, turn_idx))").as("fp_now"))
+    lineage(spark, checkpointDir)
+      .join(current, Seq("shard"), "full_outer")
+      .filter(col("input_rows").isNull || col("rows_now").isNull ||
+        col("input_rows") =!= col("rows_now") ||
+        col("input_fingerprint") =!= col("fp_now"))
+      .select(col("shard"), col("input_rows"), col("rows_now"),
+        col("input_fingerprint"), col("fp_now"))
+  }
+}
+
+/** spark-submit entry:
+  *   spark-submit --class graft.pipeline.SketchBuildJob <jar> \
+  *     <sfDir> <checkpointDir> <capacity> <fpp> [runId]
+  * Re-running after a failure resumes from the checkpoint. */
+object SketchBuildJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: SketchBuildJob <sfDir> <checkpointDir> <capacity> <fpp> [runId]")
+    val Array(sfDir, ckpt, capS, fppS) = args.take(4)
+    val runId = if (args.length > 4) args(4) else java.util.UUID.randomUUID().toString
+    val builder = SparkSession.builder()
+      .appName("graft-sketch-build")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit injects spark.master; running the bare main falls back
+    // to local mode sized by SPARK_GRAFT_CPUS
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = graft.spark.Transcripts.load(spark, sfDir)
+    val (newly, total) = CheckpointedBuild.run(spark, t, ckpt, capS.toLong, fppS.toDouble, runId)
+    val sketch = CheckpointedBuild.finalSketch(spark, ckpt)
+    println(s"""{"newly_built_shards":$newly,"total_shards":$total,""" +
+      s""""final_popcount":${sketch.bits.countOnes},""" +
+      s""""final_element_estimate":${sketch.approximateElementCount}}""")
+    spark.stop()
+  }
+}
