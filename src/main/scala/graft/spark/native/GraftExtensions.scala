@@ -1,0 +1,102 @@
+package graft.spark.native
+
+import graft.core.{HLLSketch, KLLSketch, SketchCodec, TDigestSketch}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the native sketch expressions, registered through the
+  * public SparkSessionExtensions hook:
+  *
+  *   spark.sql.extensions=graft.spark.native.GraftExtensions
+  *
+  * SQL forms (sizing arguments are foldable literals):
+  *   graft_bloom_agg(capacity, fpp, key...)            → binary sketch
+  *   graft_bloom_might_contain(sketch, key...)         → boolean
+  *   graft_hll_agg(key...)                             → binary sketch
+  *   graft_cms_agg(eps, delta, key...)                 → binary sketch
+  *   graft_cms_estimate(sketch, key...)                → bigint
+  *   graft_tdigest_agg(value)                          → binary sketch
+  *   graft_kll_agg(value)                              → binary sketch
+  * plus the blob-level estimators from graft.spark.functions
+  * (bloom_fpp, hll_estimate, …) via functions.registerAll.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, (usage, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def lit2Long(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval(null) match {
+      case v: Long => v
+      case v: Int => v.toLong
+      case v: Short => v.toLong
+      case other => throw new IllegalArgumentException(s"$what must be a literal integer, got $other")
+    }
+  }
+
+  private def lit2Double(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a literal number")
+    e.eval(null) match {
+      case v: Double => v
+      case v: Float => v.toDouble
+      case v: org.apache.spark.sql.types.Decimal => v.toDouble
+      case v: java.math.BigDecimal => v.doubleValue()
+      case v: Int => v.toDouble
+      case v: Long => v.toDouble
+      case other => throw new IllegalArgumentException(s"$what must be a literal number, got $other")
+    }
+  }
+
+  private[native] val builders: Seq[(String, (String, Seq[Expression] => Expression))] = Seq(
+    "graft_bloom_agg" -> ("graft_bloom_agg(capacity, fpp, key...) - mergeable KM Bloom sketch",
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "graft_bloom_agg(capacity, fpp, key...)")
+        BloomSketchAgg(args.drop(2), lit2Long(args(0), "capacity"), lit2Double(args(1), "fpp"))
+          .toAggregateExpression()
+      }),
+    "graft_bloom_might_contain" -> ("graft_bloom_might_contain(sketch, key...) - membership probe",
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "graft_bloom_might_contain(sketch, key...)")
+        BloomMightContain(args.head, args.tail)
+      }),
+    "graft_hll_agg" -> ("graft_hll_agg(key...) - mergeable HyperLogLog sketch",
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty, "graft_hll_agg(key...)")
+        HllSketchAgg(args).toAggregateExpression()
+      }),
+    "graft_cms_agg" -> ("graft_cms_agg(eps, delta, key...) - mergeable count-min sketch",
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "graft_cms_agg(eps, delta, key...)")
+        CmsSketchAgg(args.drop(2), lit2Double(args(0), "eps"), lit2Double(args(1), "delta"))
+          .toAggregateExpression()
+      }),
+    "graft_cms_estimate" -> ("graft_cms_estimate(sketch, key...) - frequency estimate",
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "graft_cms_estimate(sketch, key...)")
+        CmsEstimate(args.head, args.tail)
+      }),
+    "graft_tdigest_agg" -> ("graft_tdigest_agg(value) - mergeable t-digest sketch",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_tdigest_agg(value)")
+        TDigestSketchAgg(args.head).toAggregateExpression()
+      }),
+    "graft_kll_agg" -> ("graft_kll_agg(value) - mergeable KLL sketch",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_kll_agg(value)")
+        KllSketchAgg(args.head).toAggregateExpression()
+      }))
+
+  /** Runtime registration into an existing session (same builders the
+    * spark.sql.extensions path injects at session creation). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, (_, builder)) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-text-test")
+    .getOrCreate()
+
+  import TextPipeline._
+
+  test("shingles3: short docs yield empty arrays; dedup within doc") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c", "a b c d", "x y x y x y x y").toDF("text")
+    val got = df.select(shingles3($"text").as("sh")).collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq())
+    assert(got(1) === Seq("a b c"))
+    assert(got(2) === Seq("a b c", "b c d"))
+    assert(got(3).toSet === Set("x y x", "y x y")) // distinct
+  }
+
+  test("exactJaccardPairs finds planted near-dups and nothing else") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " lambda"), // near-dup of 0 (8/10 shingles shared)
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "cat dog bird fish lion tiger bear wolf fox deer")
+    ).toDF("doc_id", "text")
+    val pairs = exactJaccardPairs(docs).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 0L && pairs(0).getLong(1) === 1L)
+    val jac = pairs(0).getLong(2).toDouble / pairs(0).getLong(3)
+    assert(jac >= 0.5)
+  }
+
+  test("minhash candidates include every true pair (planted corpus)") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i")
+    val rnd = new scala.util.Random(5L)
+    // 50 random docs + 10 near-dup pairs
+    val randomDocs = (0 until 50).map(i =>
+      (i.toLong, rnd.shuffle(words).take(20).mkString(" ")))
+    val dupDocs = (0 until 10).flatMap { i =>
+      val t = rnd.shuffle(words).take(20).mkString(" ")
+      Seq((100L + i * 2, t), (101L + i * 2, t + " w99")) // ~17/21 shingles shared
+    }
+    val docs = (randomDocs ++ dupDocs).toDF("doc_id", "text")
+    val truePairs = exactJaccardPairs(docs).select($"doc_a", $"doc_b")
+    val cands = minhashCandidates(docs)
+    val missed = truePairs.join(cands, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(missed === 0, s"LSH missed $missed true pairs")
+    assert(truePairs.count() >= 10)
+  }
+
+  test("simhash banding equals exhaustive hd<=6 pairs") {
+    import spark.implicits._
+    val words = (0 until 60).map(i => s"t$i")
+    val rnd = new scala.util.Random(11L)
+    val docs = ((0 until 40).map(i => (i.toLong, rnd.shuffle(words).take(25).mkString(" "))) ++
+      Seq((200L, words.take(25).mkString(" ")), (201L, (words.take(24) :+ "zzz").mkString(" "))))
+      .toDF("doc_id", "text")
+    val banded = simhashPairs(docs, 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = simhashes(docs)
+    val exhaustive = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .filter(bit_count($"a.simhash".bitwiseXOR($"b.simhash")) <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(banded === exhaustive)
+  }
+
+  test("language ID recognizes real multilingual samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and the dog is happy to see the bird"),
+      ("de", "der hund ist gut und die katze ist auch das beste tier"),
+      ("fr", "le chien est bon et la maison est grande les enfants sont la"),
+      ("es", "el perro es bueno y la casa es grande los gatos son bonitos"),
+      ("zh", "我是一个学生，他在学校里学习中文，这是很好的事情"))
+    val got = samples.toDF("expected", "text")
+      .select($"expected", TextPipeline.langIdUdf($"text").as("pred"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+  }
+
+  test("token counts match DuckDB split semantics incl. trailing space") {
+    import spark.implicits._
+    val df = Seq("a b c", "a b c ", "", "solo").toDF("text")
+    val got = df.select(wsTokenCount($"text")).collect().map(_.getInt(0))
+    // split('a b c ') = [a,b,c,''] → 4 (DuckDB len(string_split(...)) agrees)
+    assert(got.toSeq === Seq(3, 4, 1, 1))
+    val bpe = df.select(bpeIshTokenCount($"text")).collect().map(_.getInt(0))
+    assert(bpe.toSeq === Seq(3, 3, 0, 1))
+  }
+
+  test("quality score stays in [0,1] on adversarial inputs") {
+    import spark.implicits._
+    val df = Seq("", " ", "a", "x" * 50000, "!!!???...,,,", "normal text with words here today")
+      .toDF("text")
+    val scores = df.select(qualityScore($"text").as("q")).collect().map(_.getDouble(0))
+    scores.foreach(s => assert(s >= 0.0 && s <= 1.0, s"score $s out of range"))
+  }
+}
