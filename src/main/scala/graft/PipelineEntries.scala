@@ -210,6 +210,28 @@ object PipelineEntries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Skew handling: two-stage salted aggregation (groupBy(key, salt) →
+    // sketchMergeAgg per key) must equal the exact distinct counts —
+    // the north-star salting pattern, oracle-gated.
+    "q27_salted_rollup" -> ((s, dir) => {
+      val t = Transcripts.load(s, dir)
+      val twoStage = t
+        .groupBy(col("role"), saltBucket(16, col("conv_id"), col("turn_idx")).as("salt"))
+        .agg(hllAggNative(col("conv_id")).as("sk"))
+        .groupBy(col("role"))
+        .agg(sketchMergeAgg(col("sk")).as("sk"))
+      val exact = t.groupBy(col("role"))
+        .agg(countDistinct(col("conv_id")).as("exact_distinct"))
+      val rse = 3 * 1.04 / math.sqrt(1 << graft.core.HLLSketch.DefaultP)
+      val estUdf = org.apache.spark.sql.functions.udf(
+        (b: Array[Byte]) => math.round(SketchCodec.decodeHll(b).estimate))
+      twoStage.join(exact, "role")
+        .select(col("role"), col("exact_distinct"),
+          (abs(estUdf(col("sk")) - col("exact_distinct"))
+            <= lit(rse) * col("exact_distinct") + 1).as("two_stage_ok"))
+        .orderBy(col("role"))
+    }),
+
     // Native-expression path end-to-end over transcripts (the production
     // aggregate path is oracle-gated too, not just the udaf path).
     "q26_native_sketch" -> ((s, dir) => {
@@ -294,5 +316,8 @@ object PipelineEntries {
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) g"),
     "q26_native_sketch" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS zero_fn, true AS hll_ok FROM transcripts",
+    "q27_salted_rollup" ->
+      (s"$C SELECT role, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct, " +
+        "true AS two_stage_ok FROM transcripts GROUP BY role ORDER BY role"),
   )
 }

@@ -20,9 +20,11 @@ object functions {
   /** Canonical binary key encoding for any column tuple: columns cast to
     * string, joined by  (never appears in the testdata keys), UTF-8.
     * Codegen'd built-ins end-to-end — no UDF on the hot path before the
-    * aggregate. Nulls read as empty; keep key columns non-null upstream. */
+    * aggregate. Nulls map to a dedicated tag — concat_ws SKIPS nulls,
+    * which would make (null,"x") collide with ("x",null). */
   def sketchKey(cols: Column*): Column =
-    encode(concat_ws("", cols.map(_.cast("string")): _*), "UTF-8")
+    encode(concat_ws("",
+      cols.map(c => coalesce(c.cast("string"), lit("NULL"))): _*), "UTF-8")
 
   // ------------------------------------------------------- aggregations
   def bloomAgg(capacity: Long, fpp: Double)(key: Column): Column =

@@ -91,6 +91,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_kll_agg(value)")
         KllSketchAgg(args.head).toAggregateExpression()
+      }),
+    "graft_sketch_merge_agg" -> ("graft_sketch_merge_agg(blob) - fold sketch blobs into one",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_sketch_merge_agg(blob)")
+        SketchMergeAgg(args.head).toAggregateExpression()
       }))
 
   /** Runtime registration into an existing session (same builders the

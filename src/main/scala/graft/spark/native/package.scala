@@ -33,4 +33,22 @@ package object native {
 
   def kllAggNative(value: Column, k: Int = KLLSketch.DefaultK): Column =
     B.aggColumn(KllSketchAgg(B.expression(value), k))
+
+  /** Fold a column of sketch blobs into one blob (hierarchical rollup /
+    * two-stage salted aggregation / incremental union). Works for every
+    * sketch type in the codec. */
+  def sketchMergeAgg(blob: Column): Column =
+    B.aggColumn(SketchMergeAgg(B.expression(blob)))
+
+  /** Skew salt: a deterministic bucket in [0, buckets) derived from the
+    * salt columns. Standard two-stage pattern:
+    *   df.groupBy($"hotKey", saltBucket(buckets, $"row_discriminator"))
+    *     .agg(hllAggNative(...).as("s"))
+    *     .groupBy($"hotKey").agg(sketchMergeAgg($"s"))
+    * Stage 1 spreads a hot key across `buckets` reducers; stage 2 merges
+    * tiny blobs. */
+  def saltBucket(buckets: Int, cols: Column*): Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(cols: _*),
+      org.apache.spark.sql.functions.lit(buckets.toLong))
 }
