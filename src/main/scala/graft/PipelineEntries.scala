@@ -210,6 +210,20 @@ object PipelineEntries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Top-k heavy hitters: CMS-ranked candidates resolved against exact
+    // counts (SURVEY §2.3 sorts/limits row) — CMS ordering must agree
+    // with the exact ordering on this corpus (est error << gaps).
+    "q28_cms_topk" -> ((s, dir) => {
+      val t = Transcripts.load(s, dir)
+      val sketch = t.agg(cmsAggNative(0.0005, 0.01)(col("tool"))).head.getAs[Array[Byte]](0)
+      val exactTop = t.groupBy(col("tool")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tool")).limit(3)
+      exactTop
+        .withColumn("cms_rank_agrees",
+          cmsEstimateNative(lit(sketch), col("tool")) >= col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tool"))
+    }),
+
     // Skew handling: two-stage salted aggregation (groupBy(key, salt) →
     // sketchMergeAgg per key) must equal the exact distinct counts —
     // the north-star salting pattern, oracle-gated.
@@ -316,6 +330,9 @@ object PipelineEntries {
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) g"),
     "q26_native_sketch" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS zero_fn, true AS hll_ok FROM transcripts",
+    "q28_cms_topk" ->
+      (s"$C SELECT tool, CAST(COUNT(*) AS BIGINT) AS exact_cnt, true AS cms_rank_agrees " +
+        "FROM transcripts GROUP BY tool ORDER BY exact_cnt DESC, tool LIMIT 3"),
     "q27_salted_rollup" ->
       (s"$C SELECT role, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct, " +
         "true AS two_stage_ok FROM transcripts GROUP BY role ORDER BY role"),

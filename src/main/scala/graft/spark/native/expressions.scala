@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * violate the zero-false-negative contract.
   */
 object RowHasher {
-  private final val NullTag = 0x9E3779B97F4A7C15L
+  /** Null marker folded into the hash chain (also embedded as a literal
+    * in BloomMightContain's generated code). */
+  final val NullTagValue = 0x9E3779B97F4A7C15L
+  private final val NullTag = NullTagValue
 
   /** Chained per-child hashing: (h1, h2) start at (seed, seed) and fold
     * each child's value through (xxHash64, murmur3_64). Returns packed
@@ -137,23 +140,14 @@ case class BloomSketchAgg(
     copy(keys = c)
 }
 
-/** Probe expression for row-hash Bloom sketches: first child is the
-  * sketch blob (typically a literal or scalar subquery), the rest are the
-  * key columns. Decodes through a tiny per-thread memo (the blob is
-  * usually one repeated value). */
-case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
-  extends Expression with CodegenFallback {
-
-  override def children: Seq[Expression] = sketchExpr +: keys
-  override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
-  override def prettyName: String = "graft_bloom_might_contain"
-
+/** Per-instance decode memo used by both the interpreted and codegen'd
+  * probe paths (the blob is usually one repeated literal/broadcast value,
+  * so the identity check hits on every row after the first). */
+final class BloomProbeHelper extends Serializable {
   @transient private[this] var cachedBlob: Array[Byte] = _
   @transient private[this] var cachedSketch: KMBloomSketch = _
 
-  override def eval(input: InternalRow): Any = {
-    val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
+  def probe(blob: Array[Byte], h1: Long, h2: Long): Boolean = {
     if (blob == null) return false
     if (!(blob eq cachedBlob)) {
       require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
@@ -161,8 +155,98 @@ case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
       cachedSketch = SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
       cachedBlob = blob
     }
-    val (h1, h2) = RowHasher.hashPair(keys, input)
     cachedSketch.mightContainHashes(h1, h2)
+  }
+}
+
+/** Probe expression for row-hash Bloom sketches: first child is the
+  * sketch blob (typically a literal or scalar subquery), the rest are the
+  * key columns. Participates in whole-stage codegen: the generated code
+  * hashes child values inline (static Hashing calls on the primitive /
+  * UTF8String representations) and probes through the cached helper. */
+case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
+  extends Expression {
+
+  override def children: Seq[Expression] = sketchExpr +: keys
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val helper = new BloomProbeHelper
+
+  override def eval(input: InternalRow): Any = {
+    val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
+    if (blob == null) return false
+    val (h1, h2) = RowHasher.hashPair(keys, input)
+    helper.probe(blob, h1, h2)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val helperRef = ctx.addReferenceObj("graftProbeHelper", helper,
+      classOf[BloomProbeHelper].getName)
+    val sketchEval = sketchExpr.genCode(ctx)
+    val h1 = ctx.freshName("graftH1")
+    val h2 = ctx.freshName("graftH2")
+    val hashing = "graft.core.Hashing"
+    val nullTag = s"${RowHasher.NullTagValue}L"
+
+    val perKey = keys.map { k =>
+      val kev = k.genCode(ctx)
+      val update = k.dataType match {
+        case StringType =>
+          val b = ctx.freshName("kb")
+          s"""byte[] $b = ${kev.value}.getBytes();
+             |$h1 = $hashing.xxHash64($b, $h1);
+             |$h2 = $hashing.murmur3_64($b, $h2);""".stripMargin
+        case BinaryType =>
+          s"""$h1 = $hashing.xxHash64(${kev.value}, $h1);
+             |$h2 = $hashing.murmur3_64(${kev.value}, $h2);""".stripMargin
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+            TimestampType | TimestampNTZType =>
+          s"""$h1 = $hashing.xxHash64Long((long) ${kev.value}, $h1);
+             |$h2 = $hashing.murmur3_64Long((long) ${kev.value}, $h2);""".stripMargin
+        case BooleanType =>
+          s"""$h1 = $hashing.xxHash64Long(${kev.value} ? 1L : 0L, $h1);
+             |$h2 = $hashing.murmur3_64Long(${kev.value} ? 1L : 0L, $h2);""".stripMargin
+        case DoubleType =>
+          s"""$h1 = $hashing.xxHash64Long(Double.doubleToLongBits(${kev.value}), $h1);
+             |$h2 = $hashing.murmur3_64Long(Double.doubleToLongBits(${kev.value}), $h2);""".stripMargin
+        case FloatType =>
+          s"""$h1 = $hashing.xxHash64Long(Double.doubleToLongBits((double) ${kev.value}), $h1);
+             |$h2 = $hashing.murmur3_64Long(Double.doubleToLongBits((double) ${kev.value}), $h2);""".stripMargin
+        case _ =>
+          val b = ctx.freshName("kb")
+          s"""byte[] $b = org.apache.spark.unsafe.types.UTF8String
+             |  .fromString(String.valueOf(${kev.value})).getBytes();
+             |$h1 = $hashing.xxHash64($b, $h1);
+             |$h2 = $hashing.murmur3_64($b, $h2);""".stripMargin
+      }
+      s"""${kev.code}
+         |if (${kev.isNull}) {
+         |  $h1 = $hashing.xxHash64Long($nullTag, $h1);
+         |  $h2 = $hashing.murmur3_64Long($nullTag, $h2);
+         |} else {
+         |  $update
+         |}""".stripMargin
+    }.mkString("\n")
+
+    ev.copy(
+      code = code"""
+        ${sketchEval.code}
+        boolean ${ev.value} = false;
+        if (!${sketchEval.isNull}) {
+          long $h1 = 0L;
+          long $h2 = 0L;
+          $perKey
+          ${ev.value} = $helperRef.probe(${sketchEval.value}, $h1, $h2);
+        }
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMightContain =
