@@ -145,6 +145,30 @@ object Bench {
       spark.stop()
     }
     val jobSecs = levels.map(c => c -> samples(c).min).toMap
+    // single-core kernel baseline: the reference crate is single-threaded
+    // by construction (&mut self), so one core is its ceiling — report the
+    // same 3-sketch per-row work as a pure in-memory loop for context
+    val kernelRps = {
+      val rows = 5000000
+      def pass(): Double = {
+        val bloom = graft.core.KMBloomSketch(rows.toLong, 0.001)
+        val hll = graft.core.HLLSketch()
+        val cms = graft.core.CMSSketch(0.001, 0.01)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < rows) {
+          val h1 = graft.core.Hashing.xxHash64Long(i.toLong, 0L)
+          val h2 = graft.core.Hashing.murmur3_64Long(i.toLong, 0L)
+          bloom.insertHashes(h1, h2)
+          hll.updateHash(h1)
+          cms.updateHash(h1)
+          i += 1
+        }
+        rows / ((System.nanoTime() - t0) / 1e9)
+      }
+      pass() // warm-up
+      pass()
+    }
     // one comparison point: Aggregator/udaf path at max parallelism
     spark = session(cpusHi)
     sketchBuildUdaf(spark, benchInput, turns) // warm-up
@@ -174,6 +198,7 @@ object Bench {
     val scaling =
       f"""{"turns":$turns,$levelJson,$pairs,"scaling_efficiency":$bestEff%.3f,""" +
         f""""udaf_path_secs_at_$cpusHi":$udafSecs%.3f,""" +
+        f""""single_core_kernel_rows_per_sec":$kernelRps%.0f,""" +
         f""""note":"N-to-4N parallelism on one shared VM; hw_ceiling = what raw arithmetic scales to on this box"}"""
     println(
       f"""{"metric":"sketch-build throughput + query suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")

@@ -47,16 +47,26 @@ object PipelineEntries {
       import s.implicits._
       val d = docs(s, dir).cache()
       val nDocs = d.count()
-      val banded = TextPipeline.simhashPairs(d, maxHd = 6).cache()
-      val sigs = TextPipeline.simhashes(d)
-      val exhaustive = sigs.as("a").crossJoin(sigs.as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 6)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      val nBanded = banded.count()
-      val nMissed = exhaustive.join(banded, Seq("doc_a", "doc_b"), "left_anti").count()
-      banded.unpersist(); d.unpersist()
-      Seq((nDocs, nMissed == 0L && nBanded > 0L || nBanded == 0L && nMissed == 0L))
+      val banded = TextPipeline.simhashPairs(d, maxHd = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exhaustive verification gate: signatures are 8 bytes/doc, so the
+      // all-pairs check is a driver-side popcount loop, not a 25M-row NLJ
+      // (at production scale the banded path alone is the output)
+      val sigs = TextPipeline.simhashes(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      d.unpersist()
+      val exhaustive = scala.collection.mutable.Set.empty[(Long, Long)]
+      var i = 0
+      while (i < sigs.length) {
+        var j = i + 1
+        while (j < sigs.length) {
+          if (java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 6)
+            exhaustive += ((sigs(i)._1, sigs(j)._1))
+          j += 1
+        }
+        i += 1
+      }
+      Seq((nDocs, banded == exhaustive))
         .toDF("n_docs", "banding_equals_exhaustive")
     }),
 

@@ -65,6 +65,17 @@ class BloomSketchSpec extends AnyFunSuite {
     while (i < n) { assert(f.mightContainLong(i.toLong), s"false negative at $i"); i += 1 }
   }
 
+  test("zero false negatives, KM, 10M sweep (integration.rs:295–308, un-ignored)") {
+    val n = 10000000
+    val f = KMBloomSketch(n.toLong, 0.001)
+    var i = 0
+    while (i < n) { f.insertLong(i.toLong); i += 1 }
+    i = 0
+    var fn = 0
+    while (i < n) { if (!f.mightContainLong(i.toLong)) fn += 1; i += 1 }
+    assert(fn === 0, s"$fn false negatives in the 10M sweep")
+  }
+
   test("zero false negatives, Seeded, 20k strings (integration.rs:276–293 shape)") {
     val n = 20000
     val f = SeededBloomSketch(n.toLong, 0.001)
