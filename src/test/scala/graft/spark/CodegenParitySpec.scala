@@ -1,0 +1,70 @@
+package graft.spark
+
+import graft.spark.native._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd BloomMightContain hand-dispatches on child dataType —
+  * every branch must agree with the interpreted RowHasher path, or probes
+  * would silently miss (zero-FN violation). Matrix: build via the
+  * aggregate (interpreted RowHasher), probe via whole-stage codegen, for
+  * every supported type incl. nulls. */
+class CodegenParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-parity-test")
+    .getOrCreate()
+
+  test("codegen probe = interpreted probe for every supported key type + nulls") {
+    import spark.implicits._
+    val df = spark.range(0, 5000).select(
+      concat(lit("s"), $"id".cast("string")).as("s_str"),
+      when($"id" % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("n"), $"id".cast("string"))).as("s_null"),
+      $"id".as("v_long"),
+      $"id".cast("int").as("v_int"),
+      ($"id" % 128).cast("tinyint").as("v_byte"),
+      ($"id" % 1000).cast("smallint").as("v_short"),
+      ($"id" % 2 === 0).as("v_bool"),
+      ($"id" * 1.5 - 250.25).as("v_double"),
+      ($"id" * 0.5f).cast("float").as("v_float"),
+      encode(concat(lit("b"), $"id".cast("string")), "UTF-8").as("v_bin"),
+      to_date(lit("2024-01-01")).as("v_date"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("v_ts"))
+    val keyCols = df.columns.map(col).toSeq
+    val sketch = df.agg(bloomAggNative(5000L, 0.0001)(keyCols: _*)).head.getAs[Array[Byte]](0)
+
+    // codegen path (whole-stage on)
+    val hitsCg = df.filter(bloomMightContainNative(lit(sketch), keyCols: _*)).count()
+    assert(hitsCg === 5000L, s"codegen probe lost ${5000 - hitsCg} keys")
+
+    // interpreted path (force expression eval)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val hitsIn = df.filter(bloomMightContainNative(lit(sketch), keyCols: _*)).count()
+      assert(hitsIn === 5000L, s"interpreted probe lost ${5000 - hitsIn} keys")
+      // negative probes agree too (same FP pattern bit-for-bit)
+      val neg = df.withColumn("s_str", concat(lit("x"), col("s_str")))
+      val negCg = {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        neg.filter(bloomMightContainNative(lit(sketch), keyCols: _*))
+          .select(col("v_long")).collect().map(_.getLong(0)).toSet
+      }
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val negIn = neg.filter(bloomMightContainNative(lit(sketch), keyCols: _*))
+        .select(col("v_long")).collect().map(_.getLong(0)).toSet
+      assert(negCg === negIn, "codegen and interpreted disagree on false-positive pattern")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
