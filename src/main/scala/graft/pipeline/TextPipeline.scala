@@ -79,35 +79,40 @@ object TextPipeline {
   val MinhashRows = 3 // rows per band
   val MinhashBands = 42 // bands → 126 hashes; P(candidate | j=0.5) ≈ 0.996
 
-  /** 126 minhash values per shingle set (seeded xxHash64 family). */
-  private val minhashUdf = udf { (sh: Seq[String]) =>
-    val out = new Array[Long](MinhashRows * MinhashBands)
-    java.util.Arrays.fill(out, Long.MaxValue)
+  /** One pass per doc: 126 minhash minima (seeded xxHash64 family over
+    * the shingle set) folded straight into 42 band keys — no signature
+    * column ever leaves the map side. */
+  private val bandKeysUdf = udf { (sh: Seq[String]) =>
+    val mins = new Array[Long](MinhashRows * MinhashBands)
+    java.util.Arrays.fill(mins, Long.MaxValue)
     sh.foreach { s =>
       val base = Hashing.xxHash64(s.getBytes("UTF-8"), 0L)
       var i = 0
-      while (i < out.length) {
+      while (i < mins.length) {
         val h = Hashing.xxHash64Long(base, i.toLong)
-        if (h < out(i)) out(i) = h
+        if (h < mins(i)) mins(i) = h
         i += 1
       }
     }
-    out
+    val keys = new Array[Long](MinhashBands)
+    var b = 0
+    while (b < MinhashBands) {
+      var h = b.toLong
+      var i = 0
+      while (i < MinhashRows) { h = Hashing.xxHash64Long(mins(b * MinhashRows + i), h); i += 1 }
+      keys(b) = h
+      b += 1
+    }
+    keys
   }
 
-  /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures. */
+  /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures.
+    * Shuffle carries only (doc_id, band, 8-byte key) rows — at corpus
+    * scale this is the entire cross-node traffic of near-dup detection. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = withShingles(docs, "__sh")
-      .select(col("doc_id"), minhashUdf(col("__sh")).as("sig"))
-    val bandKey = udf { (sig: Seq[Long], band: Int) =>
-      var h = band.toLong
-      var i = 0
-      while (i < MinhashRows) { h = Hashing.xxHash64Long(sig(band * MinhashRows + i), h); i += 1 }
-      h
-    }
-    val bands = sigs.select(col("doc_id"), explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
-      .join(sigs, "doc_id")
-      .select(col("doc_id"), col("band"), bandKey(col("sig"), col("band")).as("bkey"))
+    val bands = withShingles(docs, "__sh")
+      .select(col("doc_id"), posexplode_outer(bandKeysUdf(col("__sh"))).as(Seq("band", "bkey")))
+      .filter(col("bkey").isNotNull)
     bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
