@@ -77,6 +77,29 @@ object PipelineEntries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Embedding-cosine near-dup: the document embedding is its binary
+    // 3-shingle incidence vector, so exact cosine is the integer predicate
+    // 25·n_common² ≥ 9·na·nb (cos ≥ 3/5), which DuckDB recomputes in full.
+    // The corpus-scale candidate path is minhash-LSH on the vector's
+    // support — the correct angular LSH for binary embeddings at moderate
+    // τ (SRP's 0.5 → 0.73 per-bit gap cannot prune there; measured — see
+    // VectorPipeline scaladoc; SRP covers dense/high-τ in SrpLshSpec).
+    // Gate: FULL recall of the exact cosine pair set by the candidates.
+    "q29_dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).cache()
+      val truePairs = TextPipeline.exactCosinePairs(d)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val nTrue = truePairs.count()
+      val missed = truePairs
+        .join(TextPipeline.minhashCandidates(d), Seq("doc_a", "doc_b"), "left_anti")
+        .count()
+      d.unpersist()
+      val out = Seq((nTrue, missed == 0L)).toDF("n_true_pairs", "lsh_recall_ok")
+      truePairs.unpersist()
+      out
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline; broadcast queries).
     "q16_ann_bruteforce" -> ((s, dir) => {
       import s.implicits._
@@ -291,6 +314,19 @@ object PipelineEntries {
       |FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
       |WHERE 2 * n_common >= ca.n + cb.n - n_common""".stripMargin.replace("\n", " ")
 
+  /** Exact embedding-cosine pair SQL (q29 oracle): binary shingle vectors →
+    * cos = n_common/√(na·nb); cos ≥ 3/5 ⟺ 25·n_common² ≥ 9·na·nb. */
+  private val CosinePairSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |        FOR i IN generate_series(1, len(ws) - 2)])) AS sh FROM w WHERE len(ws) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b
+      |FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE 25 * n_common * n_common >= 9 * ca.n * cb.n""".stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] = Map(
     "q12_dedup_exact" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts, " +
@@ -300,6 +336,8 @@ object PipelineEntries {
     "q14_dedup_simhash" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS banding_equals_exhaustive FROM documents",
     "q15_ngram_jaccard" -> (JaccardPairSql + " ORDER BY doc_a, doc_b"),
+    "q29_dedup_embedding" ->
+      (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS lsh_recall_ok FROM ($CosinePairSql) t"),
     "q16_ann_bruteforce" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(COUNT(*) * 10 AS BIGINT) AS n_results, " +
         "true AS topk_well_formed FROM embeddings WHERE vec_id < 20"),

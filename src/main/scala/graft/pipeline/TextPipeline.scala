@@ -57,10 +57,10 @@ object TextPipeline {
       .select(col("doc_id"), explode_outer(col("__sh")).as("sh"))
       .filter(col("sh").isNotNull)
 
-  /** EXACT near-duplicate pairs by 3-shingle Jaccard ≥ 1/2, computed with
-    * integer arithmetic (2·common ≥ union) so the DuckDB oracle reproduces
-    * it bit-for-bit. Inverted-index join — never an n² product. */
-  def exactJaccardPairs(docs: DataFrame): DataFrame = {
+  /** (doc_a, doc_b, n_common, na, nb) for every doc pair sharing ≥ 1
+    * shingle — the shared base of the exact Jaccard and exact cosine
+    * near-dup criteria. Inverted-index join, never an n² product. */
+  private def pairStats(docs: DataFrame): DataFrame = {
     // shuffle-hash on the self-join: identical children → the second
     // Exchange is a ReusedExchange, so the shingle explode runs once for
     // the pair count (broadcast would re-evaluate it per side); the two
@@ -74,10 +74,28 @@ object TextPipeline {
     common
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+  }
+
+  /** EXACT near-duplicate pairs by 3-shingle Jaccard ≥ 1/2, computed with
+    * integer arithmetic (2·common ≥ union) so the DuckDB oracle reproduces
+    * it bit-for-bit. */
+  def exactJaccardPairs(docs: DataFrame): DataFrame =
+    pairStats(docs)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("na") + col("nb") - col("n_common")).as("n_union"))
       .filter(col("n_common") * 2 >= col("n_union"))
-  }
+
+  /** EXACT near-duplicate pairs by embedding cosine ≥ tauNum/tauDen, where
+    * the document embedding is its binary 3-shingle incidence vector: dot
+    * product = n_common and ‖v‖ = √n_sh, so cos = n_common/√(na·nb) and the
+    * threshold is the integer predicate den²·n_common² ≥ num²·na·nb —
+    * DuckDB-reproducible bit-for-bit. Jaccard ≥ 1/2 implies cos ≥ 2/3
+    * (AM–GM), so the default τ = 3/5 strictly contains the planted set. */
+  def exactCosinePairs(docs: DataFrame, tauNum: Int = 3, tauDen: Int = 5): DataFrame =
+    pairStats(docs)
+      .filter(col("n_common") * col("n_common") * (tauDen * tauDen) >=
+        col("na") * col("nb") * (tauNum * tauNum))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"), col("nb"))
 
   // ------------------------------------------------------------- MinHash
   val MinhashRows = 3 // rows per band
