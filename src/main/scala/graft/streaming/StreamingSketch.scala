@@ -1,10 +1,10 @@
 package graft.streaming
 
-import graft.core.SketchCodec
+import graft.core.{KMBloomSketch, SketchCodec}
 import graft.spark.native._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming over the sketch family. Mergeable binary state is
@@ -53,6 +53,48 @@ object StreamingSketch {
           state.merge(blob)
         }
         ()
+      }
+  }
+
+  /** Input row for the per-conversation stateful operator. */
+  case class ConvTurn(conv_id: String, turn_idx: Int)
+
+  /** flatMapGroupsWithState state: per-conversation Bloom blob + exact
+    * count of turns admitted as new. At 10^12 turns an exact per-conv
+    * turn-idx set cannot live in the state store; a Bloom does. */
+  case class ConvDedupState(bloom: Array[Byte], totalDistinct: Long)
+
+  /** One output row per conversation per micro-batch that touched it. */
+  case class ConvDedupUpdate(conv_id: String, new_turns: Long, total_distinct_turns: Long)
+
+  /** Per-conversation streaming dedup via `flatMapGroupsWithState`
+    * (custom state, shape 3 next to windowed-agg and foreachBatch): a
+    * replayed/duplicated (conv_id, turn_idx) is NEVER counted twice —
+    * Bloom zero-false-negatives is exactly the replay-detection guarantee
+    * (lib.rs:207–208) — while a genuinely new turn is miscounted with
+    * probability ≤ fpp. State per conversation is one fixed-size blob, so
+    * the state store stays O(conversations), not O(turns). */
+  def perConversationDedup(turns: Dataset[ConvTurn], capacity: Long = 8192L,
+      fpp: Double = 1e-6): Dataset[ConvDedupUpdate] = {
+    import turns.sparkSession.implicits._
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvDedupState, ConvDedupUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (convId: String, events: Iterator[ConvTurn], state: GroupState[ConvDedupState]) =>
+          val prior = state.getOption
+          val sketch = prior.map(s => SketchCodec.decodeBloom(s.bloom))
+            .getOrElse(KMBloomSketch(capacity, fpp))
+          var total = prior.map(_.totalDistinct).getOrElse(0L)
+          var fresh = 0L
+          events.foreach { e =>
+            if (!sketch.mightContainLong(e.turn_idx.toLong)) {
+              sketch.insertLong(e.turn_idx.toLong)
+              fresh += 1
+            }
+          }
+          total += fresh
+          state.update(ConvDedupState(SketchCodec.encodeBloom(sketch), total))
+          Iterator(ConvDedupUpdate(convId, fresh, total))
       }
   }
 

@@ -87,4 +87,35 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(streamed === bulk,
       "incremental micro-batch union != bulk batch build (associativity broken)")
   }
+
+  test("flatMapGroupsWithState per-conversation dedup survives replays across micro-batches") {
+    import spark.implicits._
+    import StreamingSketch.{ConvTurn, perConversationDedup}
+    val dir = Files.createTempDirectory("graft_stream_state").toString + "/in"
+    // file 1: A turns 0-9, B turns 0-4; file 2 REPLAYS A 5-9 + new A 10-14,
+    // and replays ALL of B — cross-batch dedup is the thing under test
+    val batch1 = (0 until 10).map(i => ConvTurn("A", i)) ++ (0 until 5).map(i => ConvTurn("B", i))
+    val batch2 = (5 until 15).map(i => ConvTurn("A", i)) ++ (0 until 5).map(i => ConvTurn("B", i))
+    batch1.toDS().coalesce(1).write.parquet(dir)
+    batch2.toDS().coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[ConvTurn]].schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir).as[ConvTurn]
+    val q = perConversationDedup(stream)
+      .writeStream.format("memory").queryName("conv_dedup")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val updates = spark.sql("SELECT * FROM conv_dedup").as[StreamingSketch.ConvDedupUpdate].collect()
+    // each conversation was touched by two micro-batches → two update rows
+    assert(updates.count(_.conv_id == "A") === 2, s"expected 2 micro-batches for A: ${updates.toSeq}")
+    assert(updates.count(_.conv_id == "B") === 2)
+    // replays never double-count (Bloom zero FN), order-independent checks:
+    assert(updates.filter(_.conv_id == "A").map(_.new_turns).sum === 15L)
+    assert(updates.filter(_.conv_id == "B").map(_.new_turns).sum === 5L)
+    assert(updates.filter(_.conv_id == "A").map(_.total_distinct_turns).max === 15L)
+    assert(updates.filter(_.conv_id == "B").map(_.total_distinct_turns).max === 5L)
+    // one of B's two batches must have contributed zero new turns
+    assert(updates.filter(_.conv_id == "B").map(_.new_turns).min === 0L)
+  }
 }
