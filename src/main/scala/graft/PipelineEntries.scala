@@ -84,7 +84,11 @@ object PipelineEntries {
     // support — the correct angular LSH for binary embeddings at moderate
     // τ (SRP's 0.5 → 0.73 per-bit gap cannot prune there; measured — see
     // VectorPipeline scaladoc; SRP covers dense/high-τ in SrpLshSpec).
-    // Gate: FULL recall of the exact cosine pair set by the candidates.
+    // Gate: the 42×3 banding guarantees P(miss) ≤ 0.4% per pair only at
+    // Jaccard ≥ 1/2, and cos ≥ 3/5 also admits size-asymmetric pairs down
+    // to J ≈ 0.36 where a miss is genuinely probable — so demand FULL
+    // recall on the cosine∧Jaccard core and ≥ 98% on the full cosine set
+    // (on this corpus the two sets coincide and recall measures 100%).
     "q29_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).cache()
@@ -93,9 +97,16 @@ object PipelineEntries {
       val nTrue = truePairs.count()
       val missed = truePairs
         .join(TextPipeline.minhashCandidates(d), Seq("doc_a", "doc_b"), "left_anti")
+        .cache()
+      val missedAll = missed.count()
+      val missedCore = missed
+        .join(TextPipeline.exactJaccardPairs(d).select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_semi")
         .count()
+      missed.unpersist()
       d.unpersist()
-      val out = Seq((nTrue, missed == 0L)).toDF("n_true_pairs", "lsh_recall_ok")
+      val ok = missedCore == 0L && missedAll * 50 <= nTrue // ≤ 2%
+      val out = Seq((nTrue, ok)).toDF("n_true_pairs", "lsh_recall_ok")
       truePairs.unpersist()
       out
     }),
@@ -301,14 +312,20 @@ object PipelineEntries {
 
   private val C = Transcripts.Cte
 
-  /** DuckDB-shared 3-shingle pair SQL (the q15 oracle, also anchoring q13). */
-  private val JaccardPairSql: String =
+  /** Shared shingle/count/pair-count CTE prefix of the q15/q29 oracles —
+    * one constant so the two criteria can never disagree on what a
+    * shingle is. */
+  private val PairCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, UNNEST(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |        FOR i IN generate_series(1, len(ws) - 2)])) AS sh FROM w WHERE len(ws) >= 3),
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB-shared 3-shingle pair SQL (the q15 oracle, also anchoring q13). */
+  private val JaccardPairSql: String =
+    s"""$PairCte
       |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
       |       CAST(ca.n + cb.n - n_common AS BIGINT) AS n_union
       |FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
@@ -317,12 +334,7 @@ object PipelineEntries {
   /** Exact embedding-cosine pair SQL (q29 oracle): binary shingle vectors →
     * cos = n_common/√(na·nb); cos ≥ 3/5 ⟺ 25·n_common² ≥ 9·na·nb. */
   private val CosinePairSql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, UNNEST(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-      |        FOR i IN generate_series(1, len(ws) - 2)])) AS sh FROM w WHERE len(ws) >= 3),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      |      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    s"""$PairCte
       |SELECT doc_a, doc_b
       |FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
       |WHERE 25 * n_common * n_common >= 9 * ca.n * cb.n""".stripMargin.replace("\n", " ")

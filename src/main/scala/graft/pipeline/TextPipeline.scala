@@ -61,13 +61,18 @@ object TextPipeline {
     * shingle — the shared base of the exact Jaccard and exact cosine
     * near-dup criteria. Inverted-index join, never an n² product. */
   private def pairStats(docs: DataFrame): DataFrame = {
-    // shuffle-hash on the self-join: identical children → the second
-    // Exchange is a ReusedExchange, so the shingle explode runs once for
-    // the pair count (broadcast would re-evaluate it per side); the two
-    // per-doc count joins below share one broadcast the same way
-    val sh = docShingles(docs).hint("shuffle_hash")
+    val sh = docShingles(docs)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"), "sh")
+    // merge (sort-merge), not broadcast, on the self-join: identical
+    // children → the second Exchange is a ReusedExchange, so the shingle
+    // explode runs once for the pair count (broadcast would re-evaluate it
+    // per side). SMJ rather than shuffle-hash because hot shingles shared
+    // by many docs make this a skewed big-big join — SMJ spills where a
+    // hash build side would OOM. Hint scoped to the self-join only (a
+    // hint on `sh` itself would leak into the counts joins below and
+    // stop the small counts side from broadcasting).
+    val shH = sh.hint("merge")
+    val common = shH.as("a").join(shH.as("b"), "sh")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -109,6 +114,12 @@ object TextPipeline {
     * full hash passes (~4x on the sf0.1 corpus; h2 forced odd so i ↦ g_i
     * is a bijection mod 2^64 and the minima stay well distributed). */
   private val bandKeysUdf = udf { (sh: Seq[String]) =>
+    if (sh == null || sh.isEmpty) null // no shingles ⇒ no minima: emitting
+    // keys would bucket every short doc with every other one in all bands
+    else bandKeysOf(sh)
+  }
+
+  private def bandKeysOf(sh: Seq[String]): Array[Long] = {
     val mins = new Array[Long](MinhashRows * MinhashBands)
     java.util.Arrays.fill(mins, Long.MaxValue)
     sh.foreach { s =>
@@ -154,8 +165,21 @@ object TextPipeline {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** 64-bit SimHash over the 3-shingle feature set. */
-  private val simhashUdf = udf { (sh: Seq[String]) =>
+  /** 64-bit SimHash over the 3-shingle feature set. A doc with an EMPTY
+    * feature set gets a doc-unique sentinel signature (seeded hash of its
+    * doc_id): every short doc sharing signature 0 would pair quadratically
+    * with every other one and surface as hd=0 "near-dups". A sentinel
+    * never sits within hd ≤ 7 of anything except with probability
+    * ~C(64,7)/2⁶⁴ ≈ 1e-10 per pair. NOT null: a nullable UDF makes the
+    * banded join keys nullable, and the inferred IS NOT NULL join-key
+    * filter gets substitution-pushed to the scan, re-evaluating the whole
+    * split→shingle→UDF chain per row (measured 2.5x on q14). */
+  private val simhashUdf = udf { (docId: Long, sh: Seq[String]) =>
+    if (sh == null || sh.isEmpty) Hashing.xxHash64Long(docId, 0x51D4E17L)
+    else simhashOf(sh)
+  }
+
+  private def simhashOf(sh: Seq[String]): Long = {
     val votes = new Array[Int](64)
     sh.foreach { s =>
       val h = Hashing.xxHash64(s.getBytes("UTF-8"), 0L)
@@ -171,9 +195,11 @@ object TextPipeline {
     out
   }
 
+  /** (doc_id, simhash); featureless docs carry their sentinel signature
+    * (see [[simhashUdf]]). */
   def simhashes(docs: DataFrame): DataFrame =
     withShingles(docs, "__sh")
-      .select(col("doc_id"), simhashUdf(col("__sh")).as("simhash"))
+      .select(col("doc_id"), simhashUdf(col("doc_id"), col("__sh")).as("simhash"))
 
   /** Near-dup pairs with Hamming distance ≤ maxHd via byte-banding
     * (8 bands; pigeonhole: hd ≤ 7 ⇒ some byte equal, so recall is total

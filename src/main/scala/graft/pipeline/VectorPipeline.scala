@@ -93,6 +93,8 @@ object VectorPipeline {
   private val srpBandKeysUdf = udf { (vec: Seq[Float]) =>
     if (vec == null || vec.isEmpty || !vec.exists(_ != 0f)) null
     else {
+      require(vec.length <= SrpMaxDim,
+        s"embedding dim ${vec.length} exceeds SrpMaxDim=$SrpMaxDim — raise it in VectorPipeline")
       val keys = new Array[Long](SrpBands)
       var b = 0
       while (b < SrpBands) {

@@ -64,16 +64,23 @@ object StreamingSketch {
     * turn-idx set cannot live in the state store; a Bloom does. */
   case class ConvDedupState(bloom: Array[Byte], totalDistinct: Long)
 
-  /** One output row per conversation per micro-batch that touched it. */
-  case class ConvDedupUpdate(conv_id: String, new_turns: Long, total_distinct_turns: Long)
+  /** One output row per conversation per micro-batch that touched it.
+    * `saturated` means the conversation has exceeded the Bloom capacity:
+    * from then on the ≤ fpp miscount bound no longer holds (the filter's
+    * FP rate climbs as it fills) and `new_turns` may undercount. */
+  case class ConvDedupUpdate(conv_id: String, new_turns: Long,
+      total_distinct_turns: Long, saturated: Boolean)
 
   /** Per-conversation streaming dedup via `flatMapGroupsWithState`
     * (custom state, shape 3 next to windowed-agg and foreachBatch): a
     * replayed/duplicated (conv_id, turn_idx) is NEVER counted twice —
     * Bloom zero-false-negatives is exactly the replay-detection guarantee
     * (lib.rs:207–208) — while a genuinely new turn is miscounted with
-    * probability ≤ fpp. State per conversation is one fixed-size blob, so
-    * the state store stays O(conversations), not O(turns). */
+    * probability ≤ fpp AS LONG AS the conversation stays within
+    * `capacity` distinct turns; past that the update rows carry
+    * `saturated = true` so callers can reshard or resize rather than
+    * silently undercount. State per conversation is one fixed-size blob,
+    * so the state store stays O(conversations), not O(turns). */
   def perConversationDedup(turns: Dataset[ConvTurn], capacity: Long = 8192L,
       fpp: Double = 1e-6): Dataset[ConvDedupUpdate] = {
     import turns.sparkSession.implicits._
@@ -94,7 +101,7 @@ object StreamingSketch {
           }
           total += fresh
           state.update(ConvDedupState(SketchCodec.encodeBloom(sketch), total))
-          Iterator(ConvDedupUpdate(convId, fresh, total))
+          Iterator(ConvDedupUpdate(convId, fresh, total, total >= capacity))
       }
   }
 

@@ -60,6 +60,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(truePairs.count() >= 10)
   }
 
+  test("featureless (short) docs never become LSH or simhash candidates") {
+    import spark.implicits._
+    // thousands of sub-3-word docs would pair quadratically if they shared
+    // band keys (the degenerate all-Long.MaxValue minima / simhash-0 case)
+    val docs = ((0 until 50).map(i => (i.toLong, s"w$i")) :+
+      (1000L, "alpha beta gamma delta") :+ (1001L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val mh = minhashCandidates(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.forall { case (a, b) => a >= 1000L && b >= 1000L },
+      s"short docs paired in minhash: ${mh.mkString(",")}")
+    val sp = simhashPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sp.forall { case (a, b) => a >= 1000L && b >= 1000L },
+      s"short docs paired in simhash: ${sp.mkString(",")}")
+  }
+
   test("simhash banding equals exhaustive hd<=6 pairs") {
     import spark.implicits._
     val words = (0 until 60).map(i => s"t$i")

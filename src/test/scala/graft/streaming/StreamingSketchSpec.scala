@@ -117,5 +117,23 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(updates.filter(_.conv_id == "B").map(_.total_distinct_turns).max === 5L)
     // one of B's two batches must have contributed zero new turns
     assert(updates.filter(_.conv_id == "B").map(_.new_turns).min === 0L)
+    // nowhere near the default capacity
+    assert(updates.forall(!_.saturated))
+  }
+
+  test("per-conversation dedup flags saturation past Bloom capacity") {
+    import spark.implicits._
+    import StreamingSketch.{ConvTurn, perConversationDedup}
+    val dir = Files.createTempDirectory("graft_stream_sat").toString + "/in"
+    (0 until 50).map(i => ConvTurn("big", i)).toDS().coalesce(1).write.parquet(dir)
+    val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[ConvTurn]].schema)
+      .parquet(dir).as[ConvTurn]
+    val q = perConversationDedup(stream, capacity = 10L)
+      .writeStream.format("memory").queryName("conv_dedup_sat")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val updates = spark.sql("SELECT * FROM conv_dedup_sat")
+      .as[StreamingSketch.ConvDedupUpdate].collect()
+    assert(updates.exists(_.saturated), s"saturation not flagged: ${updates.toSeq}")
   }
 }
