@@ -92,16 +92,17 @@ object PipelineEntries {
     "q29_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).cache()
-      val truePairs = TextPipeline.exactCosinePairs(d)
-        .select(col("doc_a"), col("doc_b")).cache()
+      // exactCosinePairs carries n_common/na/nb, so core (Jaccard ≥ 1/2)
+      // membership of a missed pair is a plain filter — no second
+      // inverted-index pass
+      val truePairs = TextPipeline.exactCosinePairs(d).cache()
       val nTrue = truePairs.count()
       val missed = truePairs
         .join(TextPipeline.minhashCandidates(d), Seq("doc_a", "doc_b"), "left_anti")
         .cache()
       val missedAll = missed.count()
       val missedCore = missed
-        .join(TextPipeline.exactJaccardPairs(d).select(col("doc_a"), col("doc_b")),
-          Seq("doc_a", "doc_b"), "left_semi")
+        .filter(col("n_common") * 2 >= col("na") + col("nb") - col("n_common"))
         .count()
       missed.unpersist()
       d.unpersist()
