@@ -43,7 +43,7 @@ object Bench {
   /** Native-expression build (production path): raw columns shuffle, the
     * aggregate hashes values straight from the InternalRow. */
   private def sketchBuild(spark: SparkSession, inputPath: String, capacity: Long): Double = {
-    import graft.spark.native._
+    import graft.spark.catalyst._
     val capPerShard = math.max(1000L, capacity / NumShards)
     val t = spark.read.parquet(inputPath)
       .select(col("conv_id"), col("turn_idx"), col("tool"),

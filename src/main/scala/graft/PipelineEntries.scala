@@ -1,8 +1,8 @@
 package graft
 
 import graft.core._
-import graft.pipeline.{MultimodalPipeline, TextPipeline, VectorPipeline}
-import graft.spark.native._
+import graft.pipeline.{MultimodalPipeline, TextPipeline, VectorPipeline, Winnowing}
+import graft.spark.catalyst._
 import graft.spark.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

@@ -22,7 +22,7 @@ object SketchCodec {
   object KeyMode {
     /** caller-encoded canonical bytes (functions.sketchKey / UDAF path) */
     val Bytes: Byte = 0
-    /** native row-hash (graft.spark.native expressions) */
+    /** native row-hash (graft.spark.catalyst expressions) */
     val RowHash: Byte = 1
   }
 

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.core.{BloomSketch, SketchCodec}
-import graft.spark.native._
+import graft.spark.catalyst._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 

@@ -1,4 +1,4 @@
-package graft.spark.native
+package graft.spark.catalyst
 
 import graft.core.{HLLSketch, KLLSketch, SketchCodec, TDigestSketch}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 /** SQL surface for the native sketch expressions, registered through the
   * public SparkSessionExtensions hook:
   *
-  *   spark.sql.extensions=graft.spark.native.GraftExtensions
+  *   spark.sql.extensions=graft.spark.catalyst.GraftExtensions
   *
   * SQL forms (sizing arguments are foldable literals):
   *   graft_bloom_agg(capacity, fpp, key...)            → binary sketch
@@ -54,7 +54,7 @@ object GraftExtensions {
     }
   }
 
-  private[native] val builders: Seq[(String, (String, Seq[Expression] => Expression))] = Seq(
+  private[catalyst] val builders: Seq[(String, (String, Seq[Expression] => Expression))] = Seq(
     "graft_bloom_agg" -> ("graft_bloom_agg(capacity, fpp, key...) - mergeable KM Bloom sketch",
       (args: Seq[Expression]) => {
         require(args.length >= 3, "graft_bloom_agg(capacity, fpp, key...)")

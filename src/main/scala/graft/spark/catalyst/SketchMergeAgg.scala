@@ -1,4 +1,4 @@
-package graft.spark.native
+package graft.spark.catalyst
 
 import graft.core._
 import org.apache.spark.sql.catalyst.InternalRow

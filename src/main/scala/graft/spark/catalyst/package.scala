@@ -4,7 +4,7 @@ import graft.core.{HLLSketch, KLLSketch, TDigestSketch}
 import org.apache.spark.sql.{Column, GraftSqlBridge => B}
 
 /** Column API over the native Catalyst sketch expressions. */
-package object native {
+package object catalyst {
 
   /** Build a KM Bloom sketch over the raw key columns (no canonical-string
     * materialization — values are hashed straight from the InternalRow). */

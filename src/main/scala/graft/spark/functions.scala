@@ -87,7 +87,7 @@ object functions {
     * probing a native row-hash sketch here would be silent zero-FN loss. */
   private def requireBytesMode(blob: Array[Byte]): Unit =
     require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.Bytes,
-      "sketch was built with native row-hash keys; probe it with graft.spark.native")
+      "sketch was built with native row-hash keys; probe it with graft.spark.catalyst")
 
   /** Broadcast-style probe: decode once on the driver, ship the decoded
     * sketch in the UDF closure (classic Bloom semi-join reduction). */
@@ -131,7 +131,7 @@ object functions {
   def cmsEstimate(sketch: Column, key: Column): Column =
     udf((s: Array[Byte], k: Array[Byte]) => {
       require(SketchCodec.cmsKeyMode(s) == SketchCodec.KeyMode.Bytes,
-        "CMS was built with native row-hash keys; query it with graft.spark.native")
+        "CMS was built with native row-hash keys; query it with graft.spark.catalyst")
       cmsOf(s).estimate(k)
     }).apply(sketch, key)
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.{KMBloomSketch, SketchCodec}
-import graft.spark.native._
+import graft.spark.catalyst._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.core.SketchCodec
 import graft.spark.Transcripts
-import graft.spark.native._
+import graft.spark.catalyst._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite

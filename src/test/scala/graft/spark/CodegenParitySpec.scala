@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.spark.native._
+import graft.spark.catalyst._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -66,5 +66,27 @@ class CodegenParitySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
+  }
+
+  test("probe expression actually janino-compiles (no silent interpreter fallback)") {
+    // CODEGEN_ONLY turns Spark's silent interpreted fallback into a hard
+    // error. Pins the graft.spark.`native` regression: `native` is a Java
+    // keyword, so every generated fully-qualified reference into that
+    // package was unparseable by Janino and ALL probes ran interpreted
+    // while the parity test above silently passed via FALLBACK mode.
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      $"id", concat(lit("c"), $"id".cast("string")).as("c"))
+    val sketch = df.agg(bloomAggNative(1000L, 0.001)($"c", $"id"))
+      .head.getAs[Array[Byte]](0)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val hits = df.filter(bloomMightContainNative(lit(sketch), $"c", $"id")).count()
+      assert(hits === 1000L)
+      val est = df.agg(cmsAggNative(0.01, 0.01)($"c")).head.getAs[Array[Byte]](0)
+      val probed = df.select(cmsEstimateNative(lit(est), $"c").as("e"))
+        .agg(min($"e")).head.getLong(0)
+      assert(probed >= 1L)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 }

@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core._
-import graft.spark.native._
+import graft.spark.catalyst._
 import graft.spark.{functions => gf}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._

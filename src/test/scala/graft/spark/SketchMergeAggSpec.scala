@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core._
-import graft.spark.native._
+import graft.spark.catalyst._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.SketchCodec
-import graft.spark.native._
+import graft.spark.catalyst._
 import graft.spark.Transcripts
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
