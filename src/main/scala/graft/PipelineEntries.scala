@@ -112,6 +112,34 @@ object PipelineEntries {
       out
     }),
 
+    // Winnowing rolling-hash fingerprints (SIGMOD 2003 / MOSS): k-gram
+    // Rabin–Karp rolling hash → window-min selection → inverted-index
+    // candidate pairs. Anchors: doc counts + the guaranteed-pair relation
+    // (both DuckDB-exact); gate: the winnowing theorem itself — every
+    // pair sharing a ≥(w+k−1)-char normalized run MUST share a
+    // fingerprint — plus the 2/(w+1) density diagnostic.
+    "q30_winnow_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text")).cache()
+      val nDocs = d.count()
+      val nFp = d.filter(Winnowing.kgramCountUdf()(col("text")) > 0).count()
+      val guaranteed = Winnowing.guaranteedPairs(d).cache()
+      val nGuaranteed = guaranteed.count()
+      val uncovered = guaranteed
+        .join(Winnowing.candidates(d), Seq("doc_a", "doc_b"), "left_anti").count()
+      guaranteed.unpersist()
+      val dens = d
+        .select(size(Winnowing.fingerprintsUdf()(col("text"))).as("nf"),
+          Winnowing.kgramCountUdf()(col("text")).as("ng"))
+        .filter(col("ng") >= 64)
+        .agg(avg(col("nf").cast("double") / col("ng"))).head.getDouble(0)
+      d.unpersist()
+      // expected density 2/(w+1) ≈ 0.222 at w=8; loose corpus-safe band
+      Seq((nDocs, nFp, nGuaranteed, uncovered == 0L, dens >= 0.08 && dens <= 0.5))
+        .toDF("n_docs", "n_fingerprintable", "n_guaranteed_pairs",
+          "guarantee_covered", "density_ok")
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline; broadcast queries).
     "q16_ann_bruteforce" -> ((s, dir) => {
       import s.implicits._
@@ -351,6 +379,15 @@ object PipelineEntries {
     "q15_ngram_jaccard" -> (JaccardPairSql + " ORDER BY doc_a, doc_b"),
     "q29_dedup_embedding" ->
       (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS lsh_recall_ok FROM ($CosinePairSql) t"),
+    "q30_winnow_fingerprint" ->
+      (s"""$PairCte, g AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+         |AND LENGTH(REGEXP_REPLACE(sh, '[^a-zA-Z0-9]', '', 'g')) >= 15)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         | WHERE LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9]', '', 'g')) >= 8) AS n_fingerprintable,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_guaranteed_pairs,
+         |true AS guarantee_covered, true AS density_ok""".stripMargin.replace("\n", " ")),
     "q16_ann_bruteforce" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(COUNT(*) * 10 AS BIGINT) AS n_results, " +
         "true AS topk_well_formed FROM embeddings WHERE vec_id < 20"),

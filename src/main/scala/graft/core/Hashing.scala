@@ -113,7 +113,10 @@ object Hashing {
   private final val C1 = 0x87c37b91114253d5L
   private final val C2 = 0x4cf5ad432745937fL
 
-  @inline private def fmix64(v: Long): Long = {
+  /** Murmur3 64-bit finalizer (avalanche) — public for callers that need
+    * to whiten a weak structured hash (e.g. a polynomial rolling hash)
+    * before using it in min-selection or bucketing. */
+  @inline def fmix64(v: Long): Long = {
     var k = v
     k ^= k >>> 33
     k *= 0xff51afd7ed558ccdL

@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import graft.core.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Document fingerprinting by winnowing over a Rabin–Karp rolling hash
+  * (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+  * Document Fingerprinting", SIGMOD 2003 — the MOSS scheme).
+  *
+  * Pipeline: normalize (keep ASCII alphanumerics, case-folded) →
+  * k-gram polynomial rolling hashes (O(1) per position) → per hash a
+  * Murmur3 fmix64 whitening (the raw polynomial hash is too structured
+  * for fair min-selection) → winnow: in every window of `w` consecutive
+  * k-gram hashes select the minimum (rightmost occurrence on ties),
+  * record each selected position once → the fingerprint set is the
+  * distinct selected hash values.
+  *
+  * Guarantee (SIGMOD 2003, Theorem in §3): two documents sharing a
+  * contiguous run of ≥ w + k − 1 normalized characters share at least
+  * one fingerprint; density converges to 2/(w+1) of k-gram positions.
+  *
+  * This is the rolling-hash fingerprint the reference crate's whole-value
+  * hashing (/root/reference/src/km_bloom_filter.rs:272–285) cannot
+  * express: the reference fingerprints a value as one opaque hash; this
+  * operator fingerprints *substructure* so near-duplicates collide.
+  *
+  * Scale shape: fingerprints per doc are O(len·2/(w+1)); the candidate
+  * join is inverted-index (explode → self-join on fingerprint), never
+  * an n² product, with a document-frequency cap on hot fingerprints
+  * (boilerplate spans shared by thousands of docs would otherwise
+  * create quadratic pair blowups — same guard as the minhash band join).
+  */
+object Winnowing {
+
+  /** Polynomial rolling-hash base: odd ⇒ invertible mod 2^64, so a
+    * k-gram's hash depends on all k characters. */
+  private final val Base = 1000003L
+
+  /** Keep only ASCII alphanumerics, upper→lower by +32 (pure ASCII
+    * arithmetic — no locale/Unicode case-folding, so the DuckDB mirror
+    * `LOWER(REGEXP_REPLACE(text,'[^a-zA-Z0-9]','','g'))` is exact). */
+  def normalize(s: String): Array[Char] = {
+    val out = new Array[Char](s.length)
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') { out(n) = c; n += 1 }
+      else if (c >= 'A' && c <= 'Z') { out(n) = (c + 32).toChar; n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(out, 0, n)
+  }
+
+  /** Whitened k-gram rolling hashes: h(i+1) = (h(i) − c_i·Base^{k−1})·Base
+    * + c_{i+k}, wrapping u64, then fmix64 per emitted position. */
+  def kgramHashes(cs: Array[Char], k: Int): Array[Long] = {
+    require(k >= 1, "k-gram size must be >= 1")
+    val n = cs.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    var pow = 1L
+    var j = 1
+    while (j < k) { pow *= Base; j += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Base + cs(i); i += 1 }
+    out(0) = Hashing.fmix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - cs(i - 1) * pow) * Base + cs(i + k - 1)
+      out(i) = Hashing.fmix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** Winnow: for each window of `w` consecutive k-gram hashes select the
+    * minimum (unsigned; rightmost on ties), record each selected
+    * *position* once. O(n) monotone deque: pushing i evicts back entries
+    * with hash ≥ hash(i), so the front is always the rightmost minimum
+    * of the live window. Shorter-than-w inputs yield the single overall
+    * minimum (the degenerate one-window case). */
+  def winnow(hashes: Array[Long], w: Int): Array[Long] = {
+    require(w >= 1, "window size must be >= 1")
+    val n = hashes.length
+    if (n == 0) return Array.emptyLongArray
+    val deque = new Array[Int](n) // indices, increasing position + strictly increasing hash
+    var head = 0
+    var tail = 0 // exclusive
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var lastPos = -1
+    var i = 0
+    while (i < n) {
+      while (tail > head &&
+        java.lang.Long.compareUnsigned(hashes(deque(tail - 1)), hashes(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1 || i == n - 1) { // full window, or final partial window of a short doc
+        val pos = deque(head)
+        if (pos != lastPos) { selected.add(hashes(pos)); lastPos = pos }
+      }
+      i += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  /** Fingerprint set of a document: sorted distinct winnowed hashes.
+    * Deterministic pure function of the text; empty iff the normalized
+    * text has fewer than k characters. */
+  def fingerprints(text: String, k: Int = 8, w: Int = 8): Array[Long] =
+    winnow(kgramHashes(normalize(text), k), w)
+
+  /** Number of k-gram positions (normalized length − k + 1, floored at
+    * 0) — the denominator of the fingerprint-density diagnostic. */
+  def kgramCount(text: String, k: Int = 8): Int =
+    math.max(0, normalize(text).length - k + 1)
+
+  def fingerprintsUdf(k: Int = 8, w: Int = 8): UserDefinedFunction =
+    udf((text: String) => if (text == null) Array.emptyLongArray else fingerprints(text, k, w))
+
+  def kgramCountUdf(k: Int = 8): UserDefinedFunction =
+    udf((text: String) => if (text == null) 0 else kgramCount(text, k))
+
+  /** Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥ 1 winnow
+    * fingerprint. Inverted-index self-join on the fingerprint value —
+    * the same scale shape as the minhash band join: explode is map-side,
+    * the join shuffles on the 64-bit fingerprint, and fingerprints whose
+    * document frequency exceeds `maxDf` are dropped before the self-join
+    * (hot boilerplate guard; candidates lost this way are by definition
+    * shared by > maxDf docs and are better handled by exact grouping). */
+  def candidates(docs: DataFrame, k: Int = 8, w: Int = 8, maxDf: Long = 1000L): DataFrame = {
+    val fp = docs
+      .select(col("doc_id"), explode(fingerprintsUdf(k, w)(col("text"))).as("fp"))
+    val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
+      .select(col("fp"))
+    // fingerprint df table is small (distinct fps ≪ exploded rows) →
+    // broadcast the allow-list; the self-join itself is sort-merge so
+    // the exploded relation is exchanged once and reused on both sides.
+    val pruned = fp.join(broadcast(rare), "fp").hint("merge")
+    pruned.as("a").join(pruned.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Doc pairs sharing at least one 3-word shingle whose normalized
+    * length is ≥ w + k − 1 characters — every such pair shares a
+    * contiguous normalized run of that length (a shingle is contiguous
+    * text in both docs), so the SIGMOD 2003 guarantee says `candidates`
+    * MUST cover it. Used as the self-validating coverage gate in q30. */
+  def guaranteedPairs(docs: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
+    val minLen = w + k - 1
+    val longSh = TextPipeline.docShingles(docs)
+      .filter(length(regexp_replace(col("sh"), "[^a-zA-Z0-9]", "")) >= minLen)
+    val h = longSh.hint("merge")
+    h.as("a").join(h.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+}
