@@ -89,25 +89,32 @@ object SparkEntry {
     "q04_bloom_intersect" -> ((s, dir) => {
       import s.implicits._
       val t = Transcripts.load(s, dir)
-      val convs = t.select(col("conv_id")).distinct().cache()
-      val nConv = convs.count()
+      // one shuffle: per-conv parity spread — `parity` is both the distinct
+      // conv list (nConv) and, filtered to par=2, the true intersection
+      val parity = t.groupBy(col("conv_id"))
+        .agg(countDistinct(pmod(col("turn_idx"), lit(2))).as("par")).cache()
+      val nConv = parity.count()
       val c = cap(nConv)
-      val even = t.filter(pmod(col("turn_idx"), lit(2)) === 0)
-        .agg(gf.bloomAgg(c, P)(key1("conv_id"))).head.getAs[Array[Byte]](0)
-      val odd = t.filter(pmod(col("turn_idx"), lit(2)) === 1)
-        .agg(gf.bloomAgg(c, P)(key1("conv_id"))).head.getAs[Array[Byte]](0)
+      // one pass builds BOTH sketches: the aggregators skip null keys, so
+      // each side's when() masks the other parity's rows (same inserted
+      // sets as two filtered jobs, half the scan + hash work)
+      val p = pmod(col("turn_idx"), lit(2))
+      val row = t.agg(
+        gf.bloomAgg(c, P)(when(p === 0, key1("conv_id"))).as("even"),
+        gf.bloomAgg(c, P)(when(p === 1, key1("conv_id"))).as("odd")).head
       val inter = SketchCodec.encodeBloom(
-        SketchCodec.decodeBloom(even).intersectInPlace(SketchCodec.decodeBloom(odd)))
-      val both = t.groupBy(col("conv_id"))
-        .agg(countDistinct(pmod(col("turn_idx"), lit(2))).as("par"))
-        .filter(col("par") === 2).select(col("conv_id")).cache()
-      val nBoth = both.count()
+        SketchCodec.decodeBloom(row.getAs[Array[Byte]]("even"))
+          .intersectInPlace(SketchCodec.decodeBloom(row.getAs[Array[Byte]]("odd"))))
+      val nBoth = parity.filter(col("par") === 2).count()
+      val probed = parity.filter(gf.bloomProbe(inter)(key1("conv_id")))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("par") === 2, 1L).otherwise(0L)).as("nb")).head
       // no false negatives on the true intersection
-      val noFn = both.filter(gf.bloomProbe(inter)(key1("conv_id"))).count() == nBoth
+      val noFn = probed.getLong(1) == nBoth
       // false positives on the rest within margin (reference margin 0.07)
-      val extra = convs.filter(gf.bloomProbe(inter)(key1("conv_id"))).count() - nBoth
+      val extra = probed.getLong(0) - probed.getLong(1)
       val fpOk = extra <= (nConv - nBoth) * P * 1.07 + 3 * math.sqrt(nConv * P) + 1
-      convs.unpersist(); both.unpersist()
+      parity.unpersist()
       Seq((nBoth, noFn, fpOk)).toDF("n_both", "intersect_no_fn", "fp_within_margin")
     }),
 
@@ -115,14 +122,19 @@ object SparkEntry {
     // hashes, seeded_bloom_filter.rs:205–230), zero-FN + FPR gate.
     "q05_bloom_seeded" -> ((s, dir) => {
       import s.implicits._
-      val t = Transcripts.load(s, dir)
+      val t = Transcripts.load(s, dir).cache()
       val n = t.count()
       val sketch = t.agg(gf.bloomSeededAgg(cap(n), P)(key2("conv_id", "turn_idx")))
         .head.getAs[Array[Byte]](0)
-      val zeroFn = t.filter(gf.bloomProbe(sketch)(key2("conv_id", "turn_idx"))).count() == n
       val probeKey = gf.sketchKey(col("conv_id"), (col("turn_idx") + 1000000).cast("int"))
-      val fp = t.filter(gf.bloomProbe(sketch)(probeKey)).count()
-      val fprOk = fp <= n * P * 1.06 + 3 * math.sqrt(n * P) + 1 // seeded margin 0.06
+      // one pass over the cache for both the zero-FN sweep and the
+      // disjoint-key FP count
+      val probes = t.agg(
+        sum(when(gf.bloomProbe(sketch)(key2("conv_id", "turn_idx")), 1L).otherwise(0L)).as("hit"),
+        sum(when(gf.bloomProbe(sketch)(probeKey), 1L).otherwise(0L)).as("fp")).head
+      t.unpersist()
+      val zeroFn = probes.getLong(0) == n
+      val fprOk = probes.getLong(1) <= n * P * 1.06 + 3 * math.sqrt(n * P) + 1 // seeded margin 0.06
       Seq((n, zeroFn, fprOk)).toDF("n_probes", "zero_fn", "fpr_ok")
     }),
 
@@ -183,12 +195,11 @@ object SparkEntry {
       val nG = gaps.count()
       val sketch = gaps.agg(gf.tdigestAgg(col("gap"))).head.getAs[Array[Byte]](0)
       val td = SketchCodec.decodeTDigest(sketch)
-      def rankOk(q: Double, bound: Double): Boolean = {
-        val est = td.quantile(q)
-        val rank = gaps.filter(col("gap") <= est).count().toDouble / nG
-        math.abs(rank - q) <= bound
-      }
-      val out = Seq((nG, rankOk(0.5, 0.02), rankOk(0.95, 0.02), rankOk(0.99, 0.02)))
+      val ranks = exactRanks(gaps, nG, td.quantile(0.5), td.quantile(0.95), td.quantile(0.99))
+      val out = Seq((nG,
+        math.abs(ranks(0) - 0.5) <= 0.02,
+        math.abs(ranks(1) - 0.95) <= 0.02,
+        math.abs(ranks(2) - 0.99) <= 0.02))
         .toDF("n_gaps", "p50_ok", "p95_ok", "p99_ok")
       gaps.unpersist()
       out
@@ -202,12 +213,11 @@ object SparkEntry {
       val sketch = gaps.agg(gf.kllAgg(col("gap"))).head.getAs[Array[Byte]](0)
       val kll = SketchCodec.decodeKll(sketch)
       val bound = 3 * kll.normalizedRankError
-      def rankOk(q: Double): Boolean = {
-        val est = kll.quantile(q)
-        val rank = gaps.filter(col("gap") <= est).count().toDouble / nG
-        math.abs(rank - q) <= bound
-      }
-      val out = Seq((nG, rankOk(0.5), rankOk(0.95), rankOk(0.99)))
+      val ranks = exactRanks(gaps, nG, kll.quantile(0.5), kll.quantile(0.95), kll.quantile(0.99))
+      val out = Seq((nG,
+        math.abs(ranks(0) - 0.5) <= bound,
+        math.abs(ranks(1) - 0.95) <= bound,
+        math.abs(ranks(2) - 0.99) <= bound))
         .toDF("n_gaps", "p50_ok", "p95_ok", "p99_ok")
       gaps.unpersist()
       out
@@ -228,6 +238,16 @@ object SparkEntry {
   )
 
   /** ts-gap seconds per conversation (lag window), the quantile input. */
+  /** Exact ranks of three quantile estimates in ONE pass over the gaps
+    * (three filter+count jobs would rescan the cache per quantile). */
+  private def exactRanks(gaps: DataFrame, n: Long, e1: Double, e2: Double, e3: Double): Seq[Double] = {
+    val r = gaps.agg(
+      sum(when(col("gap") <= e1, 1L).otherwise(0L)),
+      sum(when(col("gap") <= e2, 1L).otherwise(0L)),
+      sum(when(col("gap") <= e3, 1L).otherwise(0L))).head
+    (0 to 2).map(i => r.getLong(i).toDouble / n)
+  }
+
   private def tsGaps(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
