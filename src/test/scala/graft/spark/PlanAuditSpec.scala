@@ -36,6 +36,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"columns not pruned:\n$plan")
   }
 
+  test("bloom probe filter runs inside a WholeStageCodegen span") {
+    val t = Transcripts.load(spark, sf)
+    val sketch = t.agg(bloomAggNative(10000L, 0.001)(col("conv_id"), col("turn_idx")))
+      .head.getAs[Array[Byte]](0)
+    val probed = t.filter(bloomMightContainNative(lit(sketch), col("conv_id"), col("turn_idx")))
+    // materialize THIS QueryExecution (count() would build a new one):
+    // AQE only inserts WSCG stages into the final plan
+    probed.collect()
+    // the `*(n)` prefix marks a WholeStageCodegen stage; the probe
+    // predicate must appear on such a line, not in an interpreted Filter
+    val line = planOf(probed).linesIterator
+      .find(_.contains("graft_bloom_might_contain"))
+      .getOrElse(fail("probe filter not found in plan"))
+    assert(line.trim.matches("""^[+\-:\s]*\*\(\d+\) Filter.*"""),
+      s"probe filter not codegen'd: $line")
+  }
+
   test("native sketch agg plans as partial ObjectHashAggregate below the exchange") {
     val t = Transcripts.load(spark, sf)
     val df = t.groupBy(col("role")).agg(bloomAggNative(1000L, 0.01)(col("conv_id")))
