@@ -121,21 +121,28 @@ object PipelineEntries {
     "q30_winnow_fingerprint" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id"), col("text")).cache()
-      val nDocs = d.count()
-      val nFp = d.filter(Winnowing.kgramCountUdf()(col("text")) > 0).count()
-      val guaranteed = Winnowing.guaranteedPairs(d).cache()
-      val nGuaranteed = guaranteed.count()
-      val uncovered = guaranteed
-        .join(Winnowing.candidates(d), Seq("doc_a", "doc_b"), "left_anti").count()
-      guaranteed.unpersist()
-      val dens = d
-        .select(size(Winnowing.fingerprintsUdf()(col("text"))).as("nf"),
-          Winnowing.kgramCountUdf()(col("text")).as("ng"))
-        .filter(col("ng") >= 64)
-        .agg(avg(col("nf").cast("double") / col("ng"))).head.getDouble(0)
-      d.unpersist()
+      // ONE winnowing pass per doc, shared by every consumer below
+      val fps = d.select(col("doc_id"),
+        Winnowing.fingerprintsUdf()(col("text")).as("fps"),
+        Winnowing.kgramCountUdf()(col("text")).as("ng")).cache()
+      val stats = fps.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ng") > 0, 1L).otherwise(0L)).as("n_fp"),
+        avg(when(col("ng") >= 64, size(col("fps")).cast("double") / col("ng"))).as("dens")).head
+      // count the guaranteed pairs and their candidate coverage in ONE
+      // action: left join + null-count instead of count + left_anti count
+      val g = Winnowing.guaranteedPairs(d)
+        .join(Winnowing.candidatesFromFps(fps).withColumn("hit", lit(1)),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("nG"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("uncov")).head
+      d.unpersist(); fps.unpersist()
+      val nGuaranteed = g.getLong(0)
+      val uncovered = if (g.isNullAt(1)) 0L else g.getLong(1)
+      val dens = stats.getDouble(2)
       // expected density 2/(w+1) ≈ 0.222 at w=8; loose corpus-safe band
-      Seq((nDocs, nFp, nGuaranteed, uncovered == 0L, dens >= 0.08 && dens <= 0.5))
+      Seq((stats.getLong(0), stats.getLong(1), nGuaranteed,
+        uncovered == 0L, dens >= 0.08 && dens <= 0.5))
         .toDF("n_docs", "n_fingerprintable", "n_guaranteed_pairs",
           "guarantee_covered", "density_ok")
     }),

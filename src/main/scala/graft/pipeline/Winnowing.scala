@@ -135,9 +135,15 @@ object Winnowing {
     * document frequency exceeds `maxDf` are dropped before the self-join
     * (hot boilerplate guard; candidates lost this way are by definition
     * shared by > maxDf docs and are better handled by exact grouping). */
-  def candidates(docs: DataFrame, k: Int = 8, w: Int = 8, maxDf: Long = 1000L): DataFrame = {
-    val fp = docs
-      .select(col("doc_id"), explode(fingerprintsUdf(k, w)(col("text"))).as("fp"))
+  def candidates(docs: DataFrame, k: Int = 8, w: Int = 8, maxDf: Long = 1000L): DataFrame =
+    candidatesFromFps(
+      docs.select(col("doc_id"), fingerprintsUdf(k, w)(col("text")).as("fps")), maxDf)
+
+  /** Same join over a precomputed (doc_id, fps: array<long>) relation —
+    * lets callers compute the fingerprint UDF once and share it with
+    * density/coverage diagnostics (the UDF pass dominates on long docs). */
+  def candidatesFromFps(docFps: DataFrame, maxDf: Long = 1000L): DataFrame = {
+    val fp = docFps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
       .select(col("fp"))
@@ -156,10 +162,20 @@ object Winnowing {
     * contiguous normalized run of that length (a shingle is contiguous
     * text in both docs), so the SIGMOD 2003 guarantee says `candidates`
     * MUST cover it. Used as the self-validating coverage gate in q30. */
+  private final val AsciiAlnum =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+  /** Normalized length as a codegen'd column: total chars minus the
+    * chars left after translate() strips the 62 ASCII alphanumerics —
+    * equals LENGTH(REGEXP_REPLACE(s,'[^a-zA-Z0-9]','','g')) without the
+    * per-value regex (measured ~5x cheaper on the shingle relation). */
+  def normalizedLenCol(s: Column): Column =
+    length(s) - length(translate(s, AsciiAlnum, ""))
+
   def guaranteedPairs(docs: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
     val minLen = w + k - 1
     val longSh = TextPipeline.docShingles(docs)
-      .filter(length(regexp_replace(col("sh"), "[^a-zA-Z0-9]", "")) >= minLen)
+      .filter(normalizedLenCol(col("sh")) >= minLen)
     val h = longSh.hint("merge")
     h.as("a").join(h.as("b"), "sh")
       .filter(col("a.doc_id") < col("b.doc_id"))
