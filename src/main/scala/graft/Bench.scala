@@ -125,12 +125,19 @@ object Bench {
       .repartition(64)
       .write.mode("overwrite").parquet(benchInput)
 
-    // ---- 2. per-query timings at cpusHi on the raw sf dir
+    // ---- 2. per-query timings at cpusHi on the raw sf dir. Min of 2
+    // runs per query: a single cold shot is hostage to ambient load
+    // spikes on this shared VM (the same query has measured 6s and 30s
+    // minutes apart under a neighbor burst).
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val secs = try math.min(once(), once())
+      catch { case _: Throwable => -1.0 }
+      name -> secs
     }
     spark.stop()
 
