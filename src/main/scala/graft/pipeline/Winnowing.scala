@@ -147,10 +147,12 @@ object Winnowing {
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2) // df=1 can't pair
       .select(col("fp"))
-    // fingerprint df table is small (distinct fps ≪ exploded rows) →
-    // broadcast the allow-list; the self-join itself is sort-merge so
-    // the exploded relation is exchanged once and reused on both sides.
-    val pruned = fp.join(broadcast(rare), "fp").hint("merge")
+    // no broadcast hint on the allow-list join: at corpus scale the
+    // distinct-fingerprint table is NOT broadcastable (O(total content));
+    // AQE broadcasts it when it measures small, shuffles otherwise. The
+    // self-join is sort-merge so the exploded relation is exchanged once
+    // and reused on both sides.
+    val pruned = fp.join(rare, "fp").hint("merge")
     pruned.as("a").join(pruned.as("b"), "fp")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
