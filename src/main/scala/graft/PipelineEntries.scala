@@ -389,10 +389,10 @@ object PipelineEntries {
     "q30_winnow_fingerprint" ->
       (s"""$PairCte, g AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
-         |AND LENGTH(REGEXP_REPLACE(sh, '[^a-zA-Z0-9]', '', 'g')) >= 15)
+         |AND LENGTH(REGEXP_REPLACE(sh, '[^a-zA-Z0-9]', '', 'g')) >= 23)
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
          |(SELECT CAST(COUNT(*) AS BIGINT) FROM documents
-         | WHERE LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9]', '', 'g')) >= 8) AS n_fingerprintable,
+         | WHERE LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9]', '', 'g')) >= 16) AS n_fingerprintable,
          |(SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_guaranteed_pairs,
          |true AS guarantee_covered, true AS density_ok""".stripMargin.replace("\n", " ")),
     "q16_ann_bruteforce" ->
