@@ -130,14 +130,15 @@ object Bench {
     // spikes on this shared VM (the same query has measured 6s and 30s
     // minutes apart under a neighbor burst).
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Double = try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
-      }
-      val secs = try math.min(once(), once())
-      catch { case _: Throwable => -1.0 }
-      name -> secs
+      } catch { case _: Throwable => -1.0 }
+      // each run guarded separately: one transient failure must not
+      // discard the other run's valid timing
+      val runs = Seq(once(), once()).filter(_ >= 0)
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     spark.stop()
 

@@ -121,25 +121,32 @@ object PipelineEntries {
     "q30_winnow_fingerprint" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id"), col("text")).cache()
-      // ONE winnowing pass per doc, shared by every consumer below
+      // ONE winnowing UDF pass per doc, shared by every consumer below;
+      // the k-gram count is a codegen'd length expression, not a second
+      // UDF pass over the text
       val fps = d.select(col("doc_id"),
         Winnowing.fingerprintsUdf()(col("text")).as("fps"),
-        Winnowing.kgramCountUdf()(col("text")).as("ng")).cache()
+        Winnowing.kgramCountCol(col("text")).as("ng")).cache()
       val stats = fps.agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("ng") > 0, 1L).otherwise(0L)).as("n_fp"),
+        coalesce(sum(when(col("ng") > 0, 1L).otherwise(0L)), lit(0L)).as("n_fp"),
         avg(when(col("ng") >= 64, size(col("fps")).cast("double") / col("ng"))).as("dens")).head
       // count the guaranteed pairs and their candidate coverage in ONE
-      // action: left join + null-count instead of count + left_anti count
+      // action: left join + null-count instead of count + left_anti count.
+      // Coverage is gated against the UNCAPPED candidate set: the SIGMOD
+      // theorem only holds without the hot-fingerprint df cap (a span
+      // shared by > maxDf docs would otherwise fail the gate by design).
       val g = Winnowing.guaranteedPairs(d)
-        .join(Winnowing.candidatesFromFps(fps).withColumn("hit", lit(1)),
+        .join(Winnowing.candidatesFromFps(fps, maxDf = Long.MaxValue)
+            .withColumn("hit", lit(1)),
           Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("nG"),
-          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("uncov")).head
+          coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L)).as("uncov")).head
       d.unpersist(); fps.unpersist()
       val nGuaranteed = g.getLong(0)
-      val uncovered = if (g.isNullAt(1)) 0L else g.getLong(1)
-      val dens = stats.getDouble(2)
+      val uncovered = g.getLong(1)
+      // density gate is vacuously satisfied when no doc is long enough to judge
+      val dens = if (stats.isNullAt(2)) 2.0 / (Winnowing.DefaultW + 1) else stats.getDouble(2)
       // expected density 2/(w+1) ≈ 0.222 at w=8; loose corpus-safe band
       Seq((stats.getLong(0), stats.getLong(1), nGuaranteed,
         uncovered == 0L, dens >= 0.08 && dens <= 0.5))

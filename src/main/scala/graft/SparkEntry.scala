@@ -108,7 +108,7 @@ object SparkEntry {
       val nBoth = parity.filter(col("par") === 2).count()
       val probed = parity.filter(gf.bloomProbe(inter)(key1("conv_id")))
         .agg(count(lit(1)).as("n"),
-          sum(when(col("par") === 2, 1L).otherwise(0L)).as("nb")).head
+          coalesce(sum(when(col("par") === 2, 1L).otherwise(0L)), lit(0L)).as("nb")).head
       // no false negatives on the true intersection
       val noFn = probed.getLong(1) == nBoth
       // false positives on the rest within margin (reference margin 0.07)
@@ -130,8 +130,9 @@ object SparkEntry {
       // one pass over the cache for both the zero-FN sweep and the
       // disjoint-key FP count
       val probes = t.agg(
-        sum(when(gf.bloomProbe(sketch)(key2("conv_id", "turn_idx")), 1L).otherwise(0L)).as("hit"),
-        sum(when(gf.bloomProbe(sketch)(probeKey), 1L).otherwise(0L)).as("fp")).head
+        coalesce(sum(when(gf.bloomProbe(sketch)(key2("conv_id", "turn_idx")), 1L).otherwise(0L)),
+          lit(0L)).as("hit"),
+        coalesce(sum(when(gf.bloomProbe(sketch)(probeKey), 1L).otherwise(0L)), lit(0L)).as("fp")).head
       t.unpersist()
       val zeroFn = probes.getLong(0) == n
       val fprOk = probes.getLong(1) <= n * P * 1.06 + 3 * math.sqrt(n * P) + 1 // seeded margin 0.06
@@ -237,17 +238,19 @@ object SparkEntry {
     }),
   )
 
-  /** ts-gap seconds per conversation (lag window), the quantile input. */
   /** Exact ranks of three quantile estimates in ONE pass over the gaps
-    * (three filter+count jobs would rescan the cache per quantile). */
+    * (three filter+count jobs would rescan the cache per quantile).
+    * coalesce: sum over zero rows is null — an empty gaps relation must
+    * yield NaN ranks (0/0, gates false), not a null-getter crash. */
   private def exactRanks(gaps: DataFrame, n: Long, e1: Double, e2: Double, e3: Double): Seq[Double] = {
     val r = gaps.agg(
-      sum(when(col("gap") <= e1, 1L).otherwise(0L)),
-      sum(when(col("gap") <= e2, 1L).otherwise(0L)),
-      sum(when(col("gap") <= e3, 1L).otherwise(0L))).head
+      coalesce(sum(when(col("gap") <= e1, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("gap") <= e2, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("gap") <= e3, 1L).otherwise(0L)), lit(0L))).head
     (0 to 2).map(i => r.getLong(i).toDouble / n)
   }
 
+  /** ts-gap seconds per conversation (lag window), the quantile input. */
   private def tsGaps(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))

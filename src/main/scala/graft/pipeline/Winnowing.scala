@@ -102,7 +102,13 @@ object Winnowing {
     val deque = new Array[Int](n) // indices, increasing position + strictly increasing hash
     var head = 0
     var tail = 0 // exclusive
-    val selected = new java.util.TreeSet[java.lang.Long]()
+    // selected positions are strictly increasing (the deque front index
+    // never moves left), so append to a primitive buffer and sort+dedupe
+    // once at the end — no per-selection boxing on the hot UDF path.
+    // Worst case (strictly decreasing hashes) selects one NEW position
+    // per window, so size n, not the 2/(w+1) expected density.
+    val selected = new Array[Long](n)
+    var nSel = 0
     var lastPos = -1
     var i = 0
     while (i < n) {
@@ -112,15 +118,19 @@ object Winnowing {
       if (deque(head) <= i - w) head += 1
       if (i >= w - 1 || i == n - 1) { // full window, or final partial window of a short doc
         val pos = deque(head)
-        if (pos != lastPos) { selected.add(hashes(pos)); lastPos = pos }
+        if (pos != lastPos) { selected(nSel) = hashes(pos); nSel += 1; lastPos = pos }
       }
       i += 1
     }
-    val out = new Array[Long](selected.size)
-    val it = selected.iterator()
+    val sorted = java.util.Arrays.copyOfRange(selected, 0, nSel)
+    java.util.Arrays.sort(sorted)
     var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    out
+    var s = 0
+    while (s < nSel) {
+      if (o == 0 || sorted(s) != sorted(o - 1)) { sorted(o) = sorted(s); o += 1 }
+      s += 1
+    }
+    java.util.Arrays.copyOfRange(sorted, 0, o)
   }
 
   /** Fingerprint set of a document: sorted distinct winnowed hashes.
@@ -139,6 +149,11 @@ object Winnowing {
 
   def kgramCountUdf(k: Int = DefaultK): UserDefinedFunction =
     udf((text: String) => if (text == null) 0 else kgramCount(text, k))
+
+  /** [[kgramCount]] as a codegen'd column (no UDF round-trip):
+    * max(0, normalizedLen − (k − 1)). */
+  def kgramCountCol(s: Column, k: Int = DefaultK): Column =
+    greatest(lit(0), normalizedLenCol(s) - lit(k - 1))
 
   /** Candidate near-duplicate pairs (doc_a < doc_b) sharing ≥ 1 winnow
     * fingerprint. Inverted-index self-join on the fingerprint value —

@@ -49,6 +49,16 @@ class WinnowingSpec extends AnyFunSuite {
     assert(winnow(Array(-1L, 4L), 2).toSeq === Seq(4L))
   }
 
+  test("winnow worst case: strictly decreasing hashes select EVERY window (density 1/1)") {
+    // regression: the selection buffer must size for one NEW position per
+    // window, not the 2/(w+1) expected density
+    val n = 100
+    val dec = Array.tabulate(n)(i => (n - i).toLong)
+    val out = winnow(dec, 4)
+    assert(out.length === n - 4 + 1) // every full window selects its right edge
+    assert(out.toSet === (1L to (n - 3).toLong).toSet)
+  }
+
   test("determinism: identical text yields identical fingerprint sets") {
     val t = randAlnum(500, new scala.util.Random(11))
     assert(fingerprints(t).toSeq === fingerprints(new String(t.toCharArray)).toSeq)
@@ -106,6 +116,26 @@ class WinnowingSpec extends AnyFunSuite {
     val candAll = candidates(docs, maxDf = Long.MaxValue)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(guaranteed.subsetOf(candAll))
+  }
+
+  test("degenerate corpus: all-short docs yield empty fingerprints and zero candidates") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, ""), (4L, "!!!???")).toDF("doc_id", "text")
+    assert(candidates(docs).count() === 0L)
+    assert(guaranteedPairs(docs).count() === 0L)
+    val ng = docs.select(kgramCountCol(col("text")).as("ng")).collect().map(_.getInt(0))
+    assert(ng.forall(_ === 0))
+  }
+
+  test("kgramCountCol (codegen'd) equals the kernel kgramCount") {
+    import spark.implicits._
+    val r = new scala.util.Random(29)
+    val texts = (1 to 50).map(_ => (0 until r.nextInt(6)).map(_ =>
+      randAlnum(1 + r.nextInt(12), r) + "!? ").mkString) :+ "" :+ "Ünïcödé, and MORE."
+    val df = texts.toDF("text")
+    val got = df.select(kgramCountCol(col("text")).as("ng")).collect().map(_.getInt(0))
+    val want = texts.map(t => kgramCount(t))
+    assert(got.toSeq === want.toSeq)
   }
 
   test("hot-fingerprint df cap prunes boilerplate pairs") {
