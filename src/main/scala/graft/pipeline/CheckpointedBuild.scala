@@ -117,6 +117,12 @@ object SketchBuildJob {
     val builder = SparkSession.builder()
       .appName("graft-sketch-build")
       .config("spark.sql.adaptive.enabled", "true")
+      // partition shuffles by data volume, not core count: start high and
+      // let AQE coalesce (partitions == cores spills per-task join/agg
+      // state once inputs outgrow executor memory — measured 15x on the
+      // 500k-doc pair join, see BENCH.md); deployments can still override
+      // via --conf
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
     // spark-submit injects spark.master; running the bare main falls back
     // to local mode sized by SPARK_GRAFT_CPUS

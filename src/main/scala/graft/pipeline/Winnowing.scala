@@ -168,7 +168,14 @@ object Winnowing {
 
   /** Same join over a precomputed (doc_id, fps: array<long>) relation —
     * lets callers compute the fingerprint UDF once and share it with
-    * density/coverage diagnostics (the UDF pass dominates on long docs). */
+    * density/coverage diagnostics (the UDF pass dominates on long docs).
+    *
+    * Sizing note (applies to every inverted-index pair join here and in
+    * TextPipeline): shuffle partitions must track DATA VOLUME, not core
+    * count — at 500k docs the band join measured 70s with partitions ==
+    * cores (per-task join state spills) vs 4.8s with 4x that; set
+    * spark.sql.adaptive.coalescePartitions.initialPartitionNum high and
+    * let AQE coalesce down (see graft.tools.DedupBench, BENCH.md). */
   def candidatesFromFps(docFps: DataFrame, maxDf: Long = 1000L): DataFrame = {
     val fp = docFps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val rare = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
