@@ -236,6 +236,57 @@ object SparkEntry {
       val fppOk = sk.approximateCurrentFpp <= P * 1.05
       Seq((n, countOk, fppOk)).toDF("exact_n", "count_est_ok", "fpp_le_bound")
     }),
+
+    // Theta (KMV) sketch: distinct counts under SET ALGEBRA — the
+    // cardinality analogue of the reference's union/intersect pair
+    // (km_bloom_filter.rs:184–263), plus difference (impossible on Bloom
+    // bit-state). One grouped pass builds a sketch per turn parity; the
+    // union/intersection/difference estimates are gated against the
+    // exact parity partition (all DuckDB-exact anchors).
+    "q31_theta_setops" -> ((s, dir) => {
+      import s.implicits._
+      import graft.spark.catalyst._
+      val t = Transcripts.load(s, dir)
+      // two overlapping TURN-KEY sets: A = even turns, B = turns ≤ 30.
+      // Turn keys (10k at sf0.01) exceed k=4096, so this exercises
+      // estimation mode; sf0.001 (1k turns) exercises exact mode.
+      val inA = pmod(col("turn_idx"), lit(2)) === 0
+      val inB = col("turn_idx") <= 30
+      val ex = t.agg(
+        count(lit(1)).as("n_turns"),
+        coalesce(sum(when(inA && inB, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(inA && !inB, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(!inA && inB, 1L).otherwise(0L)), lit(0L))).head
+      val (nTurns, nBoth, nOnlyA, nOnlyB) =
+        (ex.getLong(0), ex.getLong(1), ex.getLong(2), ex.getLong(3))
+      // one pass builds both sketches (masked keys: null keys would hash
+      // as the null tag in the native row hasher, so aggregate per side
+      // over its own filter via a grouped membership column)
+      val blobs = t.select(col("conv_id"), col("turn_idx"),
+          when(inA, 0).otherwise(1).as("ga"), when(inB, 0).otherwise(1).as("gb"))
+        .groupBy(col("ga"), col("gb"))
+        .agg(thetaAggNative(col("conv_id"), col("turn_idx")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Array[Byte]]("s")).toMap
+      def union(blobKeys: Seq[(Int, Int)]): ThetaSketch =
+        blobKeys.flatMap(blobs.get).map(SketchCodec.decodeTheta)
+          .foldLeft(ThetaSketch())((acc, x) => acc.mergeInPlace(x))
+      val a = union(Seq((0, 0), (0, 1)))      // A = even ∩ (≤30 ∪ >30)
+      val b = union(Seq((0, 0), (1, 0)))      // B = ≤30
+      val estU = union(Seq((0, 0), (0, 1), (1, 0))).estimate
+      val estI = a.intersect(b).estimate
+      val estAB = a.difference(b).estimate
+      val estBA = b.difference(a).estimate
+      // error scales with union size at theta: 5·√(n/k)·√n (exact mode ⇒ 0)
+      val k = ThetaSketch.DefaultK
+      val nU = nBoth + nOnlyA + nOnlyB
+      val slack = 5 * math.sqrt(math.max(nU, 1L).toDouble / k) * math.sqrt(nU.toDouble) + 1e-9
+      Seq((nTurns, nBoth, nOnlyA, nOnlyB,
+        math.abs(estU - nU) <= slack,
+        math.abs(estI - nBoth) <= slack,
+        math.abs(estAB - nOnlyA) <= slack && math.abs(estBA - nOnlyB) <= slack))
+        .toDF("n_turns", "n_both", "n_only_even", "n_only_early",
+          "union_ok", "intersect_ok", "difference_ok")
+    }),
   )
 
   /** Exact ranks of three quantile estimates in ONE pass over the gaps
@@ -284,6 +335,12 @@ object SparkEntry {
         "(SELECT conv_id FROM transcripts GROUP BY conv_id HAVING COUNT(DISTINCT turn_idx % 2) = 2) b"),
     "q05_bloom_seeded" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, true AS zero_fn, true AS fpr_ok FROM transcripts",
+    "q31_theta_setops" ->
+      (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, " +
+        "CAST(SUM(CASE WHEN turn_idx % 2 = 0 AND turn_idx <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_both, " +
+        "CAST(SUM(CASE WHEN turn_idx % 2 = 0 AND turn_idx > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_even, " +
+        "CAST(SUM(CASE WHEN turn_idx % 2 = 1 AND turn_idx <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_early, " +
+        "true AS union_ok, true AS intersect_ok, true AS difference_ok FROM transcripts"),
     "q06_hll_distinct" ->
       (s"$C SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_conv, true AS conv_ok, " +
         "CAST(COUNT(*) AS BIGINT) AS exact_turn, true AS turn_ok FROM transcripts"),

@@ -32,6 +32,7 @@ object SketchCodec {
     val Cms: Byte = 3
     val TDigest: Byte = 4
     val Kll: Byte = 5
+    val Theta: Byte = 6
   }
   private val Version: Byte = 1
 
@@ -213,5 +214,28 @@ object SketchCodec {
       a
     }
     KLLSketch.fromLevels(k, count, minV, maxV, levels)
+  }
+
+  // -------------------------------------------------------------- Theta
+  // payload: k(4) thetaU(8) count(4) [entry(8)...] (entries unsigned-sorted)
+  def encodeTheta(s: ThetaSketch): Array[Byte] = {
+    val es = s.entriesArray
+    val bb = writer(TypeId.Theta, 4 + 8 + 4 + 8 * es.length)
+    bb.putInt(s.k)
+    bb.putLong(s.thetaLong)
+    bb.putInt(es.length)
+    es.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def decodeTheta(bytes: Array[Byte]): ThetaSketch = {
+    val bb = reader(bytes, TypeId.Theta)
+    val k = bb.getInt()
+    val thetaU = bb.getLong()
+    val n = bb.getInt()
+    val es = new Array[Long](n)
+    var i = 0
+    while (i < n) { es(i) = bb.getLong(); i += 1 }
+    ThetaSketch.fromState(k, thetaU, es)
   }
 }

@@ -92,6 +92,11 @@ object GraftExtensions {
         require(args.length == 1, "graft_kll_agg(value)")
         KllSketchAgg(args.head).toAggregateExpression()
       }),
+    "graft_theta_agg" -> ("graft_theta_agg(key...) - mergeable theta (KMV) sketch",
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty, "graft_theta_agg(key...)")
+        ThetaSketchAgg(args).toAggregateExpression()
+      }),
     "graft_sketch_merge_agg" -> ("graft_sketch_merge_agg(blob) - fold sketch blobs into one",
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_sketch_merge_agg(blob)")

@@ -88,6 +88,7 @@ object SketchMergeAgg {
             sketch = SketchCodec.decodeCms(bytes)
           case SketchCodec.TypeId.TDigest => sketch = SketchCodec.decodeTDigest(bytes)
           case SketchCodec.TypeId.Kll => sketch = SketchCodec.decodeKll(bytes)
+          case SketchCodec.TypeId.Theta => sketch = SketchCodec.decodeTheta(bytes)
           case other => throw new IllegalArgumentException(s"unknown sketch type $other")
         }
       } else {
@@ -107,6 +108,8 @@ object SketchMergeAgg {
             sketch.asInstanceOf[TDigestSketch].mergeInPlace(SketchCodec.decodeTDigest(bytes))
           case SketchCodec.TypeId.Kll =>
             sketch.asInstanceOf[KLLSketch].mergeInPlace(SketchCodec.decodeKll(bytes))
+          case SketchCodec.TypeId.Theta =>
+            sketch.asInstanceOf[ThetaSketch].mergeInPlace(SketchCodec.decodeTheta(bytes))
         }
       }
     }
@@ -118,6 +121,7 @@ object SketchMergeAgg {
         case SketchCodec.TypeId.Cms => SketchCodec.encodeCms(s.asInstanceOf[CMSSketch], keyMode)
         case SketchCodec.TypeId.TDigest => SketchCodec.encodeTDigest(s.asInstanceOf[TDigestSketch])
         case SketchCodec.TypeId.Kll => SketchCodec.encodeKll(s.asInstanceOf[KLLSketch])
+        case SketchCodec.TypeId.Theta => SketchCodec.encodeTheta(s.asInstanceOf[ThetaSketch])
       }
     }
   }

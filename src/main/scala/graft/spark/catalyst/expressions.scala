@@ -281,6 +281,36 @@ case class HllSketchAgg(
     copy(keys = c)
 }
 
+/** Theta (KMV) distinct-count-under-set-algebra as a native aggregate —
+  * the cardinality analogue of the reference's union/intersect pair
+  * (km_bloom_filter.rs:184–263); see graft.core.ThetaSketch. */
+case class ThetaSketchAgg(
+    keys: Seq[Expression],
+    k: Int = ThetaSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[ThetaSketch] {
+
+  override def children: Seq[Expression] = keys
+  override def prettyName: String = "graft_theta_agg"
+
+  override def createAggregationBuffer(): ThetaSketch = ThetaSketch(k)
+  override def update(b: ThetaSketch, input: InternalRow): ThetaSketch = {
+    b.updateHash(RowHasher.hash64(keys, input))
+    b
+  }
+  override def merge(b: ThetaSketch, o: ThetaSketch): ThetaSketch = b.mergeInPlace(o)
+  override def eval(b: ThetaSketch): Any = SketchCodec.encodeTheta(b)
+  override def serialize(b: ThetaSketch): Array[Byte] = SketchCodec.encodeTheta(b)
+  override def deserialize(bytes: Array[Byte]): ThetaSketch = SketchCodec.decodeTheta(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ThetaSketchAgg =
+    copy(keys = c)
+}
+
 /** §2.2 count–min as a native aggregate. */
 case class CmsSketchAgg(
     keys: Seq[Expression],

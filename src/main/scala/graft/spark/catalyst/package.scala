@@ -21,6 +21,14 @@ package object catalyst {
   def hllAggNativeP(p: Int)(keys: Column*): Column =
     B.aggColumn(HllSketchAgg(keys.map(B.expression(_)), p))
 
+  /** Theta (KMV) sketch over the raw key columns: distinct counts that
+    * survive union, intersection, and difference (see functions.theta*). */
+  def thetaAggNative(keys: Column*): Column =
+    B.aggColumn(ThetaSketchAgg(keys.map(B.expression(_))))
+
+  def thetaAggNativeK(k: Int)(keys: Column*): Column =
+    B.aggColumn(ThetaSketchAgg(keys.map(B.expression(_)), k))
+
   def cmsAggNative(eps: Double, delta: Double)(keys: Column*): Column =
     B.aggColumn(CmsSketchAgg(keys.map(B.expression(_)), eps, delta))
 

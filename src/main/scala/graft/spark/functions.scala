@@ -128,6 +128,31 @@ object functions {
         SketchCodec.decodeHll(x).copySketch().mergeInPlace(SketchCodec.decodeHll(y))))
       .apply(a, b)
 
+  def thetaEstimate(sketch: Column): Column =
+    udf((s: Array[Byte]) => SketchCodec.decodeTheta(s).estimate).apply(sketch)
+
+  def thetaUnion(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeTheta(
+        SketchCodec.decodeTheta(x).mergeInPlace(SketchCodec.decodeTheta(y))))
+      .apply(a, b)
+
+  /** Distinct count of the intersection — the cardinality analogue of
+    * bloomIntersect (reference km_bloom_filter.rs:253–263). */
+  def thetaIntersect(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeTheta(
+        SketchCodec.decodeTheta(x).intersect(SketchCodec.decodeTheta(y))))
+      .apply(a, b)
+
+  /** Distinct count of A \ B — beyond the reference's union/intersect
+    * pair (impossible on Bloom bit-state, natural on theta entries). */
+  def thetaDifference(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeTheta(
+        SketchCodec.decodeTheta(x).difference(SketchCodec.decodeTheta(y))))
+      .apply(a, b)
+
   def cmsEstimate(sketch: Column, key: Column): Column =
     udf((s: Array[Byte], k: Array[Byte]) => {
       require(SketchCodec.cmsKeyMode(s) == SketchCodec.KeyMode.Bytes,
@@ -170,5 +195,13 @@ object functions {
     spark.udf.register("tdigest_quantile",
       (s: Array[Byte], q: Double) => tdigestOf(s).quantile(q))
     spark.udf.register("kll_quantile", (s: Array[Byte], q: Double) => kllOf(s).quantile(q))
+    spark.udf.register("theta_estimate", (s: Array[Byte]) => SketchCodec.decodeTheta(s).estimate)
+    spark.udf.register("theta_intersect", (x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeTheta(SketchCodec.decodeTheta(x).intersect(SketchCodec.decodeTheta(y))))
+    spark.udf.register("theta_difference", (x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeTheta(SketchCodec.decodeTheta(x).difference(SketchCodec.decodeTheta(y))))
+    spark.udf.register("theta_union", (x: Array[Byte], y: Array[Byte]) =>
+      SketchCodec.encodeTheta(
+        SketchCodec.decodeTheta(x).mergeInPlace(SketchCodec.decodeTheta(y))))
   }
 }

@@ -35,5 +35,11 @@ object KernelSmoke {
     val kl = KLLSketch()
     (1 to 100000).foreach { i => t.update(i.toDouble); kl.update(i.toDouble) }
     println(f"tdigest p99=${t.quantile(0.99)}%.0f kll p99=${kl.quantile(0.99)}%.0f (true 99000)")
+    val ta = ThetaSketch()
+    val tb = ThetaSketch()
+    (0 until 60000).foreach(i => ta.updateHash(Hashing.xxHash64Long(i.toLong, 0L)))
+    (40000 until 100000).foreach(i => tb.updateHash(Hashing.xxHash64Long(i.toLong, 0L)))
+    println(f"theta |A∪B|=${SketchCodec.decodeTheta(SketchCodec.encodeTheta(ta)).mergeInPlace(tb).estimate}%.0f (true 100000) " +
+      f"|A∩B|=${ta.intersect(tb).estimate}%.0f (true 20000) |A∖B|=${ta.difference(tb).estimate}%.0f (true 40000)")
   }
 }
