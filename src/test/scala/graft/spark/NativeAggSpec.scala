@@ -36,6 +36,33 @@ class NativeAggSpec extends AnyFunSuite {
     assert(fps <= 30000 * 0.001 * 1.05 + 3 * math.sqrt(30) + 1, s"FPs: $fps")
   }
 
+  test("native theta agg: partition-invariant state, set ops vs exact, merge rollup") {
+    import spark.implicits._
+    // 20k distinct (c, t) keys; A = even t, B = t < 12 — overlapping sets
+    val df = (0 until 20000).map(i => (s"conv-${i % 1000}", i / 1000)).toDF("c", "t")
+    def build(parts: Int, cond: org.apache.spark.sql.Column) =
+      df.filter(cond).repartition(parts).agg(thetaAggNative($"c", $"t"))
+        .head.getAs[Array[Byte]](0)
+    val a1 = build(1, $"t" % 2 === 0)
+    val a16 = build(16, $"t" % 2 === 0)
+    assert(SketchCodec.decodeTheta(a1) === SketchCodec.decodeTheta(a16),
+      "partitioning changed native theta state")
+    val b = build(4, $"t" < 12)
+    val inter = SketchCodec.decodeTheta(a1).intersect(SketchCodec.decodeTheta(b))
+    val exact = df.filter($"t" % 2 === 0 && $"t" < 12).count()
+    val k = ThetaSketch.DefaultK
+    val nU = df.filter($"t" % 2 === 0 || $"t" < 12).count()
+    val slack = 5 * math.sqrt(nU.toDouble / k) * math.sqrt(nU.toDouble) + 1e-9
+    assert(math.abs(inter.estimate - exact) <= slack, s"∩ est ${inter.estimate} vs $exact")
+    // second-level rollup: per-group theta blobs folded by sketchMergeAgg
+    // equal the direct global build
+    val global = df.agg(thetaAggNative($"c", $"t")).head.getAs[Array[Byte]](0)
+    val rolled = df.groupBy($"t").agg(thetaAggNative($"c", $"t").as("s"))
+      .agg(sketchMergeAgg($"s")).head.getAs[Array[Byte]](0)
+    assert(SketchCodec.decodeTheta(rolled) === SketchCodec.decodeTheta(global),
+      "sketchMergeAgg theta rollup diverged from direct build")
+  }
+
   test("native and udaf paths agree on estimates (different key conventions)") {
     import spark.implicits._
     val df = (0 until 20000).map(i => s"u${i % 3777}").toDF("k")
