@@ -252,23 +252,24 @@ object SparkEntry {
       // estimation mode; sf0.001 (1k turns) exercises exact mode.
       val inA = pmod(col("turn_idx"), lit(2)) === 0
       val inB = col("turn_idx") <= 30
-      val ex = t.agg(
-        count(lit(1)).as("n_turns"),
-        coalesce(sum(when(inA && inB, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(inA && !inB, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(!inA && inB, 1L).otherwise(0L)), lit(0L))).head
-      val (nTurns, nBoth, nOnlyA, nOnlyB) =
-        (ex.getLong(0), ex.getLong(1), ex.getLong(2), ex.getLong(3))
-      // one pass builds both sketches (masked keys: null keys would hash
-      // as the null tag in the native row hasher, so aggregate per side
-      // over its own filter via a grouped membership column)
-      val blobs = t.select(col("conv_id"), col("turn_idx"),
+      // ONE pass over the table: the 2x2 membership grouping yields both
+      // the per-cell sketches AND the exact anchors (cell row counts).
+      // Grouped (not null-masked) keys because the native row hasher
+      // would hash a null key as the null tag, not skip it.
+      val cells = t.select(col("conv_id"), col("turn_idx"),
           when(inA, 0).otherwise(1).as("ga"), when(inB, 0).otherwise(1).as("gb"))
         .groupBy(col("ga"), col("gb"))
-        .agg(thetaAggNative(col("conv_id"), col("turn_idx")).as("s"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Array[Byte]]("s")).toMap
+        .agg(thetaAggNative(col("conv_id"), col("turn_idx")).as("s"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getAs[Array[Byte]]("s"), r.getLong(3))).toMap
+      def cellCount(k: (Int, Int)): Long = cells.get(k).map(_._2).getOrElse(0L)
+      val nBoth = cellCount((0, 0))
+      val nOnlyA = cellCount((0, 1))
+      val nOnlyB = cellCount((1, 0))
+      val nTurns = nBoth + nOnlyA + nOnlyB + cellCount((1, 1))
       def union(blobKeys: Seq[(Int, Int)]): ThetaSketch =
-        blobKeys.flatMap(blobs.get).map(SketchCodec.decodeTheta)
+        blobKeys.flatMap(cells.get).map(c => SketchCodec.decodeTheta(c._1))
           .foldLeft(ThetaSketch())((acc, x) => acc.mergeInPlace(x))
       val a = union(Seq((0, 0), (0, 1)))      // A = even ∩ (≤30 ∪ >30)
       val b = union(Seq((0, 0), (1, 0)))      // B = ≤30

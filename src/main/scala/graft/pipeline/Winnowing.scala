@@ -147,9 +147,6 @@ object Winnowing {
   def fingerprintsUdf(k: Int = DefaultK, w: Int = DefaultW): UserDefinedFunction =
     udf((text: String) => if (text == null) Array.emptyLongArray else fingerprints(text, k, w))
 
-  def kgramCountUdf(k: Int = DefaultK): UserDefinedFunction =
-    udf((text: String) => if (text == null) 0 else kgramCount(text, k))
-
   /** [[kgramCount]] as a codegen'd column (no UDF round-trip):
     * max(0, normalizedLen − (k − 1)). */
   def kgramCountCol(s: Column, k: Int = DefaultK): Column =
