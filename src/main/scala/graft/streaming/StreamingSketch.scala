@@ -34,6 +34,10 @@ object StreamingSketch {
       .agg(
         hllAggNative(col("conv_id")).as("hll_convs"),
         bloomAggNative(capacity, 0.001)(col("conv_id"), col("turn_idx")).as("bloom_turns"),
+        // theta rather than a second HLL: the per-window sketches compose
+        // downstream with thetaIntersect/thetaDifference ("convs active
+        // in BOTH windows / NEW this window"), which HLL state cannot
+        thetaAggNative(col("conv_id")).as("theta_convs"),
         count(lit(1)).as("n_turns"))
   }
 

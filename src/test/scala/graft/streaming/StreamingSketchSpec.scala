@@ -43,7 +43,7 @@ class StreamingSketchSpec extends AnyFunSuite {
     // (tiny groups → linear counting is exact)
     val batch = StreamingSketch.windowedSketches(
       spark.read.parquet(dir)).collect()
-      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(4)).toMap
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getAs[Long]("n_turns")).toMap
     got.collect().foreach { r =>
       val est = SketchCodec.decodeHll(r.getAs[Array[Byte]]("hll_convs")).estimate
       val nTurns = r.getAs[Long]("n_turns")
@@ -65,6 +65,12 @@ class StreamingSketchSpec extends AnyFunSuite {
     val hits = inWindow.filter(
       bloomMightContainNative(lit(bloomBlob), col("conv_id"), col("turn_idx"))).count()
     assert(hits === n, s"streaming bloom lost keys: $hits of $n")
+    // theta over the same window is in exact mode (distinct convs ≪ k):
+    // estimate equals the exact distinct count
+    val theta = SketchCodec.decodeTheta(row.getAs[Array[Byte]]("theta_convs"))
+    val exactConvs = inWindow.select(col("conv_id")).distinct().count()
+    assert(!theta.isEstimation && theta.estimate === exactConvs.toDouble,
+      s"streaming theta ${theta.estimate} != exact $exactConvs")
   }
 
   test("foreachBatch incremental union == one-shot batch build (bit-identical)") {
