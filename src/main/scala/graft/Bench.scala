@@ -20,6 +20,11 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // library-recommended: partition shuffles by data volume, not core
+      // count (AQE coalesces down on small inputs; see BENCH.md's 70s vs
+      // 4.8s band-join measurement). The ladder section disables AQE and
+      // is unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
       // shuffle spill to tmpfs: local mode has no cluster network, and
       // rotating-disk I/O would serialize the scaling measurement
       .config("spark.local.dir", "/dev/shm/graft-spark")

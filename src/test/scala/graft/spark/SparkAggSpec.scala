@@ -109,6 +109,32 @@ class SparkAggSpec extends AnyFunSuite {
         SketchCodec.decodeBloom(b).approximateElementCount))
   }
 
+  test("theta column functions + SQL names: set-algebra composition over blob columns") {
+    import spark.implicits._
+    import graft.spark.catalyst.thetaAggNative
+    // A = [0, 2000), B = [1500, 3500): |A∪B| = 3500 < k = 4096, so the
+    // whole composition stays in exact mode and estimates are exact
+    val df = (0 until 3500).map(i => s"key-$i").toDF("k").cache()
+    val a = df.filter(expr("CAST(SUBSTRING(k, 5) AS INT) < 2000"))
+      .agg(thetaAggNative($"k")).head.getAs[Array[Byte]](0)
+    val b = df.filter(expr("CAST(SUBSTRING(k, 5) AS INT) >= 1500"))
+      .agg(thetaAggNative($"k")).head.getAs[Array[Byte]](0)
+    val r = Seq((a, b)).toDF("a", "b").select(
+      gf.thetaEstimate(gf.thetaUnion($"a", $"b")).as("u"),
+      gf.thetaEstimate(gf.thetaIntersect($"a", $"b")).as("i"),
+      gf.thetaEstimate(gf.thetaDifference($"b", $"a")).as("d")).head
+    assert(r.getDouble(0) === 3500.0)
+    assert(r.getDouble(1) === 500.0)
+    assert(r.getDouble(2) === 1500.0)
+    // same composition through the registered SQL names
+    gf.registerAll(spark)
+    Seq((a, b)).toDF("a", "b").createOrReplaceTempView("theta_v")
+    val sqlI = spark.sql(
+      "SELECT theta_estimate(theta_intersect(a, b)) FROM theta_v").head.getDouble(0)
+    assert(sqlI === 500.0)
+    df.unpersist()
+  }
+
   test("bloomProbe as filter predicate: semi-join reduction keeps exactly the hits") {
     import spark.implicits._
     val build = (0 until 5000).map(i => s"id-$i").toDF("k")
