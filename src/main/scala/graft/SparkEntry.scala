@@ -288,6 +288,38 @@ object SparkEntry {
         .toDF("n_turns", "n_both", "n_only_even", "n_only_early",
           "union_ok", "intersect_ok", "difference_ok")
     }),
+
+    // Bottom-k distinct sample: deterministic uniform sampling of
+    // conversations (the eval/holdout-split primitive) — same sample at
+    // ANY parallelism, gated on: membership (every sampled conv exists),
+    // partitioning-invariance (bit-identical blob at 1 vs 13 shuffles),
+    // and uniformity (subpopulation share within 5σ binomial).
+    "q32_bottomk_sample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.spark.catalyst._
+      val t = Transcripts.load(s, dir)
+      val k = 256
+      val blob = t.agg(bottomKSampleAgg(k)(col("conv_id"))).head.getAs[Array[Byte]](0)
+      val blob13 = t.repartition(13, col("turn_idx"))
+        .agg(bottomKSampleAgg(k)(col("conv_id"))).head.getAs[Array[Byte]](0)
+      val stable = java.util.Arrays.equals(blob, blob13)
+      val sample = SketchCodec.decodeBottomK(blob).sample
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      val convs = t.select(col("conv_id")).distinct().cache()
+      val nConv = convs.count()
+      val sampleDf = sample.toSeq.toDF("conv_id")
+      val exist = sampleDf.join(convs, "conv_id").count() == sample.length
+      // uniformity: share of even-user conversations, sample vs population
+      val isEven = expr("CAST(SUBSTRING(conv_id, 2) AS BIGINT) % 2 = 0")
+      val popEven = convs.filter(isEven).count().toDouble / math.max(nConv, 1L)
+      val sampEven = sampleDf.filter(isEven).count().toDouble / math.max(sample.length, 1)
+      convs.unpersist()
+      val sigma = math.sqrt(popEven * (1 - popEven) / math.max(sample.length, 1))
+      val uniformOk = math.abs(sampEven - popEven) <= 5 * sigma + 1e-9
+      Seq((nConv, sample.length.toLong, stable, exist, uniformOk))
+        .toDF("n_conv", "sample_size", "parallelism_invariant",
+          "all_sampled_exist", "uniform_ok")
+    }),
   )
 
   /** Exact ranks of three quantile estimates in ONE pass over the gaps
@@ -342,6 +374,11 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN turn_idx % 2 = 0 AND turn_idx > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_even, " +
         "CAST(SUM(CASE WHEN turn_idx % 2 = 1 AND turn_idx <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_early, " +
         "true AS union_ok, true AS intersect_ok, true AS difference_ok FROM transcripts"),
+    "q32_bottomk_sample" ->
+      (s"$C SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conv, " +
+        "CAST(LEAST(256, COUNT(DISTINCT conv_id)) AS BIGINT) AS sample_size, " +
+        "true AS parallelism_invariant, true AS all_sampled_exist, true AS uniform_ok " +
+        "FROM transcripts"),
     "q06_hll_distinct" ->
       (s"$C SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_conv, true AS conv_ok, " +
         "CAST(COUNT(*) AS BIGINT) AS exact_turn, true AS turn_ok FROM transcripts"),

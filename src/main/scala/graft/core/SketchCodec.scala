@@ -33,6 +33,7 @@ object SketchCodec {
     val TDigest: Byte = 4
     val Kll: Byte = 5
     val Theta: Byte = 6
+    val BottomK: Byte = 7
   }
   private val Version: Byte = 1
 
@@ -237,5 +238,31 @@ object SketchCodec {
     var i = 0
     while (i < n) { es(i) = bb.getLong(); i += 1 }
     ThetaSketch.fromState(k, thetaU, es)
+  }
+
+  // ------------------------------------------------------------ Bottom-k
+  // payload: k(4) count(4) [hash(8) keyLen(4) keyBytes...]*
+  def encodeBottomK(s: BottomKSketch): Array[Byte] = {
+    val es = s.entriesSeq
+    val payload = 4 + 4 + es.map(e => 8 + 4 + e._2.length).sum
+    val bb = writer(TypeId.BottomK, payload)
+    bb.putInt(s.k)
+    bb.putInt(es.size)
+    es.foreach { case (h, kb) => bb.putLong(h); bb.putInt(kb.length); bb.put(kb) }
+    bb.array()
+  }
+
+  def decodeBottomK(bytes: Array[Byte]): BottomKSketch = {
+    val bb = reader(bytes, TypeId.BottomK)
+    val k = bb.getInt()
+    val n = bb.getInt()
+    val es = (0 until n).map { _ =>
+      val h = bb.getLong()
+      val len = bb.getInt()
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      (h, kb)
+    }
+    BottomKSketch.fromEntries(k, es)
   }
 }

@@ -97,6 +97,12 @@ object GraftExtensions {
         require(args.nonEmpty, "graft_theta_agg(key...)")
         ThetaSketchAgg(args).toAggregateExpression()
       }),
+    "graft_bottomk_sample_agg" -> ("graft_bottomk_sample_agg(k, key) - deterministic bottom-k distinct sample",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bottomk_sample_agg(k, key)")
+        BottomKSampleAgg(args(1), lit2Long(args.head, "graft_bottomk_sample_agg k").toInt)
+          .toAggregateExpression()
+      }),
     "graft_sketch_merge_agg" -> ("graft_sketch_merge_agg(blob) - fold sketch blobs into one",
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_sketch_merge_agg(blob)")

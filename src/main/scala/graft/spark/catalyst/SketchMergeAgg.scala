@@ -89,6 +89,7 @@ object SketchMergeAgg {
           case SketchCodec.TypeId.TDigest => sketch = SketchCodec.decodeTDigest(bytes)
           case SketchCodec.TypeId.Kll => sketch = SketchCodec.decodeKll(bytes)
           case SketchCodec.TypeId.Theta => sketch = SketchCodec.decodeTheta(bytes)
+          case SketchCodec.TypeId.BottomK => sketch = SketchCodec.decodeBottomK(bytes)
           case other => throw new IllegalArgumentException(s"unknown sketch type $other")
         }
       } else {
@@ -110,6 +111,8 @@ object SketchMergeAgg {
             sketch.asInstanceOf[KLLSketch].mergeInPlace(SketchCodec.decodeKll(bytes))
           case SketchCodec.TypeId.Theta =>
             sketch.asInstanceOf[ThetaSketch].mergeInPlace(SketchCodec.decodeTheta(bytes))
+          case SketchCodec.TypeId.BottomK =>
+            sketch.asInstanceOf[BottomKSketch].mergeInPlace(SketchCodec.decodeBottomK(bytes))
         }
       }
     }
@@ -122,6 +125,7 @@ object SketchMergeAgg {
         case SketchCodec.TypeId.TDigest => SketchCodec.encodeTDigest(s.asInstanceOf[TDigestSketch])
         case SketchCodec.TypeId.Kll => SketchCodec.encodeKll(s.asInstanceOf[KLLSketch])
         case SketchCodec.TypeId.Theta => SketchCodec.encodeTheta(s.asInstanceOf[ThetaSketch])
+        case SketchCodec.TypeId.BottomK => SketchCodec.encodeBottomK(s.asInstanceOf[BottomKSketch])
       }
     }
   }

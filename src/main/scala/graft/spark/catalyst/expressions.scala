@@ -311,6 +311,56 @@ case class ThetaSketchAgg(
     copy(keys = c)
 }
 
+/** Bottom-k distinct sample as a native aggregate: a deterministic,
+  * merge-order-independent uniform sample of the distinct values of one
+  * string/binary column (see graft.core.BottomKSketch — the
+  * eval/holdout-split primitive). Output is the codec blob; unwrap with
+  * functions.bottomKSampleStrings / the bottomk_sample SQL fn. */
+case class BottomKSampleAgg(
+    key: Expression,
+    k: Int = BottomKSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[BottomKSketch] {
+
+  override def children: Seq[Expression] = Seq(key)
+  override def prettyName: String = "graft_bottomk_sample_agg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    key.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName takes a string or binary key column, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): BottomKSketch = BottomKSketch(k)
+
+  override def update(b: BottomKSketch, input: InternalRow): BottomKSketch = {
+    val v = key.eval(input)
+    if (v != null) {
+      val bytes = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+        case a: Array[Byte] => a
+      }
+      b.update(bytes)
+    }
+    b
+  }
+
+  override def merge(b: BottomKSketch, o: BottomKSketch): BottomKSketch = b.mergeInPlace(o)
+  override def eval(b: BottomKSketch): Any = SketchCodec.encodeBottomK(b)
+  override def serialize(b: BottomKSketch): Array[Byte] = SketchCodec.encodeBottomK(b)
+  override def deserialize(bytes: Array[Byte]): BottomKSketch = SketchCodec.decodeBottomK(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BottomKSampleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKSampleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BottomKSampleAgg =
+    copy(key = c.head)
+}
+
 /** §2.2 count–min as a native aggregate. */
 case class CmsSketchAgg(
     keys: Seq[Expression],

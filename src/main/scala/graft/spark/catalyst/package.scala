@@ -42,6 +42,12 @@ package object catalyst {
   def kllAggNative(value: Column, k: Int = KLLSketch.DefaultK): Column =
     B.aggColumn(KllSketchAgg(B.expression(value), k))
 
+  /** Deterministic bottom-k uniform sample of a string/binary column's
+    * distinct values (merge-order-independent; same sample at any
+    * parallelism — the eval-split primitive). */
+  def bottomKSampleAgg(k: Int)(key: Column): Column =
+    B.aggColumn(BottomKSampleAgg(B.expression(key), k))
+
   /** Fold a column of sketch blobs into one blob (hierarchical rollup /
     * two-stage salted aggregation / incremental union). Works for every
     * sketch type in the codec. */

@@ -153,6 +153,15 @@ object functions {
         SketchCodec.decodeTheta(x).difference(SketchCodec.decodeTheta(y))))
       .apply(a, b)
 
+  /** Unwrap a bottom-k sample blob into its sampled keys as strings
+    * (UTF-8; for binary keys use bottomKSampleBytes). */
+  def bottomKSampleStrings(sketch: Column): Column =
+    udf((s: Array[Byte]) => SketchCodec.decodeBottomK(s).sample
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))).apply(sketch)
+
+  def bottomKSampleBytes(sketch: Column): Column =
+    udf((s: Array[Byte]) => SketchCodec.decodeBottomK(s).sample).apply(sketch)
+
   def cmsEstimate(sketch: Column, key: Column): Column =
     udf((s: Array[Byte], k: Array[Byte]) => {
       require(SketchCodec.cmsKeyMode(s) == SketchCodec.KeyMode.Bytes,
