@@ -36,12 +36,15 @@ final class BottomKSketch private (
     updateHashed(Hashing.xxHash64(keyBytes, 0L), keyBytes)
 
   /** Insert with a precomputed hash (the hash MUST be a pure function of
-    * the bytes — the merge dedupes by hash). */
+    * the bytes — the merge dedupes by hash). The key bytes are copied on
+    * retention so later caller-side buffer reuse cannot corrupt the
+    * sketch's determinism/bit-identity contract. */
   def updateHashed(h: Long, keyBytes: Array[Byte]): this.type = {
-    if (entries.size < k) { entries.putIfAbsent(h, keyBytes); () }
-    else if (java.lang.Long.compareUnsigned(h, entries.lastKey()) < 0 &&
+    if (entries.size < k) {
+      if (!entries.containsKey(h)) entries.put(h, keyBytes.clone())
+    } else if (java.lang.Long.compareUnsigned(h, entries.lastKey()) < 0 &&
         !entries.containsKey(h)) {
-      entries.put(h, keyBytes)
+      entries.put(h, keyBytes.clone())
       entries.pollLastEntry()
     }
     this
@@ -60,12 +63,13 @@ final class BottomKSketch private (
 
   def size: Int = entries.size
 
-  /** The sampled keys, in hash (i.e. uniformly shuffled) order. */
+  /** The sampled keys, in hash (i.e. uniformly shuffled) order.
+    * Defensive copies — mutating the result cannot reach sketch state. */
   def sample: Array[Array[Byte]] = {
     val out = new Array[Array[Byte]](entries.size)
     val it = entries.values().iterator()
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    while (it.hasNext) { out(i) = it.next().clone(); i += 1 }
     out
   }
 

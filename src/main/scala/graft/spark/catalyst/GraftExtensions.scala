@@ -100,8 +100,10 @@ object GraftExtensions {
     "graft_bottomk_sample_agg" -> ("graft_bottomk_sample_agg(k, key) - deterministic bottom-k distinct sample",
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_bottomk_sample_agg(k, key)")
-        BottomKSampleAgg(args(1), lit2Long(args.head, "graft_bottomk_sample_agg k").toInt)
-          .toAggregateExpression()
+        val k = lit2Long(args.head, "graft_bottomk_sample_agg k")
+        require(k >= 1 && k <= Int.MaxValue,
+          s"graft_bottomk_sample_agg k out of range: $k")
+        BottomKSampleAgg(args(1), k.toInt).toAggregateExpression()
       }),
     "graft_sketch_merge_agg" -> ("graft_sketch_merge_agg(blob) - fold sketch blobs into one",
       (args: Seq[Expression]) => {

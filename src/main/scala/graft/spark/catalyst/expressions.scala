@@ -315,7 +315,8 @@ case class ThetaSketchAgg(
   * merge-order-independent uniform sample of the distinct values of one
   * string/binary column (see graft.core.BottomKSketch — the
   * eval/holdout-split primitive). Output is the codec blob; unwrap with
-  * functions.bottomKSampleStrings / the bottomk_sample SQL fn. */
+  * functions.bottomKSampleStrings (SQL: bottomk_sample_strings via
+  * functions.registerAll). */
 case class BottomKSampleAgg(
     key: Expression,
     k: Int = BottomKSketch.DefaultK,

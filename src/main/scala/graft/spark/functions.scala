@@ -154,13 +154,15 @@ object functions {
       .apply(a, b)
 
   /** Unwrap a bottom-k sample blob into its sampled keys as strings
-    * (UTF-8; for binary keys use bottomKSampleBytes). */
+    * (UTF-8; for binary keys use bottomKSampleBytes). Null blob (e.g.
+    * from an outer join against a sketch table) → null, not an NPE. */
   def bottomKSampleStrings(sketch: Column): Column =
-    udf((s: Array[Byte]) => SketchCodec.decodeBottomK(s).sample
+    udf((s: Array[Byte]) => if (s == null) null else SketchCodec.decodeBottomK(s).sample
       .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))).apply(sketch)
 
   def bottomKSampleBytes(sketch: Column): Column =
-    udf((s: Array[Byte]) => SketchCodec.decodeBottomK(s).sample).apply(sketch)
+    udf((s: Array[Byte]) =>
+      if (s == null) null else SketchCodec.decodeBottomK(s).sample).apply(sketch)
 
   def cmsEstimate(sketch: Column, key: Column): Column =
     udf((s: Array[Byte], k: Array[Byte]) => {
@@ -212,5 +214,8 @@ object functions {
     spark.udf.register("theta_union", (x: Array[Byte], y: Array[Byte]) =>
       SketchCodec.encodeTheta(
         SketchCodec.decodeTheta(x).mergeInPlace(SketchCodec.decodeTheta(y))))
+    spark.udf.register("bottomk_sample_strings", (s: Array[Byte]) =>
+      if (s == null) null else SketchCodec.decodeBottomK(s).sample
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
   }
 }

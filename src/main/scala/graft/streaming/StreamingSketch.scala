@@ -24,7 +24,12 @@ import org.apache.spark.sql.Row
   */
 object StreamingSketch {
 
-  /** Windowed per-tool HLL + Bloom over a transcript stream. */
+  /** Windowed per-tool HLL + Bloom + theta over a transcript stream.
+    * NOTE: the aggregation buffer schema is part of the streaming state
+    * schema — adding/removing a sketch column here is NOT
+    * checkpoint-compatible with queries started on an older version
+    * (Spark fails the restart with StateSchemaNotCompatible; plan a
+    * fresh checkpoint dir when changing the column set). */
   def windowedSketches(stream: DataFrame, watermark: String = "1 hour",
       window_ : String = "6 hours", capacity: Long = 100000L): DataFrame = {
     stream

@@ -135,6 +135,32 @@ class SparkAggSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("bottom-k sample: SQL builder + unwrap fns, parallelism-invariant, null-safe") {
+    import spark.implicits._
+    import graft.spark.catalyst.{bottomKSampleAgg, GraftExtensions}
+    val df = (0 until 2000).map(i => s"conv-$i").toDF("k").cache()
+    // column path at two parallelisms → bit-identical blobs
+    val b1 = df.repartition(1).agg(bottomKSampleAgg(64)($"k")).head.getAs[Array[Byte]](0)
+    val b9 = df.repartition(9).agg(bottomKSampleAgg(64)($"k")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b9), "sample not partitioning-invariant")
+    // unwrap fns: 64 real keys; null blob → null, not NPE
+    val sampled = Seq(Tuple1(b1)).toDF("s")
+      .select(gf.bottomKSampleStrings($"s").as("keys"))
+      .head.getSeq[String](0)
+    assert(sampled.length === 64 && sampled.forall(_.startsWith("conv-")))
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("s")
+      .select(gf.bottomKSampleStrings($"s")).head.isNullAt(0))
+    // SQL surface end-to-end: aggregate and unwrap by registered names
+    GraftExtensions.register(spark)
+    gf.registerAll(spark)
+    df.createOrReplaceTempView("bk_v")
+    val viaSql = spark.sql(
+      "SELECT bottomk_sample_strings(graft_bottomk_sample_agg(64, k)) FROM bk_v")
+      .head.getSeq[String](0)
+    assert(viaSql.toSet === sampled.toSet, "SQL path sample differs from column path")
+    df.unpersist()
+  }
+
   test("bloomProbe as filter predicate: semi-join reduction keeps exactly the hits") {
     import spark.implicits._
     val build = (0 until 5000).map(i => s"id-$i").toDF("k")

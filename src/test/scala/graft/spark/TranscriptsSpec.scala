@@ -53,8 +53,9 @@ class TranscriptsSpec extends AnyFunSuite {
     val b = Transcripts.load(spark, sf.stripSuffix("/"))
       .repartition(17, col("turn_idx"))
       .select(col("conv_id"), col("turn_idx"), col("text"))
+    // null-safe inequality: a null-vs-value divergence must fail too
     assert(a.join(b, Seq("conv_id", "turn_idx"))
-      .filter(a("text") =!= b("text")).count() === 0L,
+      .filter(!(a("text") <=> b("text"))).count() === 0L,
       "same (conv_id, turn_idx) produced different text across derivations")
     assert(a.count() === b.count())
   }
