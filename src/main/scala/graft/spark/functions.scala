@@ -153,6 +153,11 @@ object functions {
         SketchCodec.decodeTheta(x).difference(SketchCodec.decodeTheta(y))))
       .apply(a, b)
 
+  /** Describe ANY sketch blob (type, config, size, estimates) — the
+    * observability column for sketch tables and checkpoints. */
+  def sketchDescribe(sketch: Column): Column =
+    udf((s: Array[Byte]) => if (s == null) null else SketchCodec.describe(s)).apply(sketch)
+
   /** Unwrap a bottom-k sample blob into its sampled keys as strings
     * (UTF-8; for binary keys use bottomKSampleBytes). Null blob (e.g.
     * from an outer join against a sketch table) → null, not an NPE. */
@@ -214,6 +219,8 @@ object functions {
     spark.udf.register("theta_union", (x: Array[Byte], y: Array[Byte]) =>
       SketchCodec.encodeTheta(
         SketchCodec.decodeTheta(x).mergeInPlace(SketchCodec.decodeTheta(y))))
+    spark.udf.register("sketch_describe", (s: Array[Byte]) =>
+      if (s == null) null else SketchCodec.describe(s))
     spark.udf.register("bottomk_sample_strings", (s: Array[Byte]) =>
       if (s == null) null else SketchCodec.decodeBottomK(s).sample
         .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))

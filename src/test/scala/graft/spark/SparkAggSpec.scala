@@ -182,6 +182,34 @@ class SparkAggSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= math.max(1L, (0.03 * exact).toLong))
   }
 
+  test("sketch_describe renders every sketch type; null-safe; SQL-registered") {
+    import spark.implicits._
+    import graft.spark.catalyst._
+    val df = (0 until 500).map(i => (s"c$i", i.toDouble)).toDF("k", "v").cache()
+    val blobs = df.agg(
+      bloomAggNative(1000L, 0.01)($"k").as("bloom"),
+      hllAggNative($"k").as("hll"),
+      cmsAggNative(0.01, 0.01)($"k").as("cms"),
+      tdigestAggNative($"v").as("td"),
+      kllAggNative($"v").as("kll"),
+      thetaAggNative($"k").as("theta"),
+      bottomKSampleAgg(16)($"k").as("bk")).head
+    val descs = (0 until 7).map(i =>
+      graft.core.SketchCodec.describe(blobs.getAs[Array[Byte]](i)))
+    val expected = Seq("Bloom", "HLL", "CMS", "TDigest", "KLL", "Theta", "BottomK")
+    descs.zip(expected).foreach { case (d, e) =>
+      assert(d.contains(e), s"describe '$d' does not name $e") }
+    // column fn null-safe + SQL name
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("s")
+      .select(gf.sketchDescribe($"s")).head.isNullAt(0))
+    gf.registerAll(spark)
+    df.createOrReplaceTempView("desc_v")
+    val viaSql = spark.sql(
+      "SELECT sketch_describe(hll_agg(encode(k, 'UTF-8'))) FROM desc_v").head.getString(0)
+    assert(viaSql.contains("HLL"))
+    df.unpersist()
+  }
+
   test("sketchKey: null columns do not crash and distinct tuples stay distinct") {
     import spark.implicits._
     val df = Seq(("a", Some(1)), ("a", None), ("b", Some(1))).toDF("x", "y")
