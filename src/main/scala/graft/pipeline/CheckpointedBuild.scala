@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.core.{BloomSketch, SketchCodec}
+import graft.core.{BloomSketch, CMSSketch, HLLSketch, SketchCodec, ThetaSketch}
 import graft.spark.catalyst._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * bucket of conv_id — not the physical partition, so resume works across
   * different cluster sizes / partition layouts. Each completed shard is a
   * parquet row carrying:
-  *   shard, input_rows, sketch (codec bytes), popcount, element estimate,
+  *   shard, input_rows, sketch (Bloom codec bytes), hll / cms / theta
+  *   (the rest of the per-shard family: distinct convs, tool frequencies,
+  *   set-algebra cardinality), popcount, element estimate,
   *   input_fingerprint (order-independent XOR of row hashes — detects a
   *   changed input on resume), run_id, built_at_ms.
+  * NOTE: the checkpoint row schema is the resume contract — adding or
+  * removing a sketch column is not compatible with checkpoints written by
+  * an older build (start a fresh checkpointDir when it changes).
   * Resume = read checkpoint, skip completed shards (a PRUNING FILTER on
   * the scan, so a 90%-done job reads ~10% of the input), build the rest,
   * then fold all shard sketches into the final filter.
@@ -48,6 +53,9 @@ object CheckpointedBuild {
       .groupBy(col("shard"))
       .agg(
         bloomAggNative(capPerShard, fpp)(col("conv_id"), col("turn_idx")).as("sketch"),
+        hllAggNative(col("conv_id")).as("hll"),
+        cmsAggNative(0.001, 0.01)(col("tool")).as("cms"),
+        thetaAggNative(col("conv_id")).as("theta"),
         count(lit(1)).as("input_rows"),
         // order-independent input fingerprint: XOR of per-row key hashes
         expr("bit_xor(xxhash64(conv_id, turn_idx))").as("input_fingerprint"))
@@ -84,6 +92,19 @@ object CheckpointedBuild {
       .map(_.getAs[Array[Byte]]("sketch"))
     require(blobs.nonEmpty, s"no shard sketches in $checkpointDir")
     blobs.map(SketchCodec.decodeBloom).reduceLeft((a, b) => a.unionInPlace(b))
+  }
+
+  /** Fold the rest of the per-shard family into global sketches —
+    * executor-side via sketch_merge_agg (one tiny row to the driver,
+    * never 65k blobs). */
+  def finalFamily(spark: SparkSession, checkpointDir: String): (HLLSketch, CMSSketch, ThetaSketch) = {
+    val r = lineage(spark, checkpointDir).agg(
+      sketchMergeAgg(col("hll")).as("hll"),
+      sketchMergeAgg(col("cms")).as("cms"),
+      sketchMergeAgg(col("theta")).as("theta")).head
+    (SketchCodec.decodeHll(r.getAs[Array[Byte]]("hll")),
+      SketchCodec.decodeCms(r.getAs[Array[Byte]]("cms")),
+      SketchCodec.decodeTheta(r.getAs[Array[Byte]]("theta")))
   }
 
   /** Verify the checkpoint against current input: recompute per-shard
@@ -133,9 +154,13 @@ object SketchBuildJob {
     val t = graft.spark.Transcripts.load(spark, sfDir)
     val (newly, total) = CheckpointedBuild.run(spark, t, ckpt, capS.toLong, fppS.toDouble, runId)
     val sketch = CheckpointedBuild.finalSketch(spark, ckpt)
+    val (hll, cms, theta) = CheckpointedBuild.finalFamily(spark, ckpt)
     println(s"""{"newly_built_shards":$newly,"total_shards":$total,""" +
       s""""final_popcount":${sketch.bits.countOnes},""" +
-      s""""final_element_estimate":${sketch.approximateElementCount}}""")
+      s""""final_element_estimate":${sketch.approximateElementCount},""" +
+      f""""hll_distinct_convs":${hll.estimate}%.1f,""" +
+      s""""cms_total":${cms.totalCount},""" +
+      f""""theta_distinct_convs":${theta.estimate}%.1f}""")
     spark.stop()
   }
 }

@@ -69,6 +69,22 @@ class CheckpointSpec extends AnyFunSuite {
     val perturbed = t.limit(1).withColumn("turn_idx", col("turn_idx") + 999)
       .unionByName(t.except(t.limit(1)))
     assert(CheckpointedBuild.staleShards(spark, perturbed, dir).count() >= 1)
+
+    // the rest of the per-shard family survives resume: the merged
+    // HLL/theta over the interrupted+resumed checkpoint equal a direct
+    // one-shot build over the full input (state-identical merges)
+    val (hll, cms, theta) = CheckpointedBuild.finalFamily(spark, dir)
+    val direct = t.agg(
+      hllAggNative(col("conv_id")).as("h"),
+      cmsAggNative(0.001, 0.01)(col("tool")).as("c"),
+      thetaAggNative(col("conv_id")).as("th")).head
+    assert(hll === SketchCodec.decodeHll(direct.getAs[Array[Byte]]("h")),
+      "resumed HLL diverged from one-shot build")
+    assert(theta === SketchCodec.decodeTheta(direct.getAs[Array[Byte]]("th")),
+      "resumed theta diverged from one-shot build")
+    assert(cms.totalCount === n)
+    assert(cms === SketchCodec.decodeCms(direct.getAs[Array[Byte]]("c")),
+      "resumed CMS diverged from one-shot build")
     t.unpersist()
   }
 }
