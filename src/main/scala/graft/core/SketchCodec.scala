@@ -64,17 +64,23 @@ object SketchCodec {
   /** Human-readable render of ANY sketch blob — config + size +
     * estimates, never the raw bits (the reference's Debug surface,
     * bitset.rs:103–108 / km_bloom_filter.rs:293–301, made safe for
-    * 10^9-bit filters). */
-  def describe(bytes: Array[Byte]): String = typeOf(bytes) match {
-    case TypeId.Bloom => decodeBloom(bytes).toString
-    case TypeId.Hll => decodeHll(bytes).toString
-    case TypeId.Cms => decodeCms(bytes).toString
-    case TypeId.TDigest => decodeTDigest(bytes).toString
-    case TypeId.Kll => decodeKll(bytes).toString
-    case TypeId.Theta => decodeTheta(bytes).toString
-    case TypeId.BottomK => decodeBottomK(bytes).toString
-    case other => s"unknown sketch type $other (${bytes.length} bytes)"
-  }
+    * 10^9-bit filters). TOTAL: corrupt/truncated/foreign blobs render a
+    * diagnostic string instead of throwing — one bad row must not kill
+    * the observability query this exists for. */
+  def describe(bytes: Array[Byte]): String =
+    try typeOf(bytes) match {
+      case TypeId.Bloom => decodeBloom(bytes).toString
+      case TypeId.Hll => decodeHll(bytes).toString
+      case TypeId.Cms => decodeCms(bytes).toString
+      case TypeId.TDigest => decodeTDigest(bytes).toString
+      case TypeId.Kll => decodeKll(bytes).toString
+      case TypeId.Theta => decodeTheta(bytes).toString
+      case TypeId.BottomK => decodeBottomK(bytes).toString
+      case other => s"unknown sketch type $other (${bytes.length} bytes)"
+    } catch {
+      case e: Exception =>
+        s"invalid sketch blob (${bytes.length} bytes): ${e.getMessage}"
+    }
 
   // -------------------------------------------------------------- Bloom
   // payload: variant(1) keyMode(1) capacity(8) fpp(8) nWords(4) numBits(8) words(8*n)

@@ -36,6 +36,16 @@ object CheckpointedBuild {
       capacity: Long, fpp: Double, runId: String): (Long, Long) = {
     val capPerShard = math.max(1000L, capacity / NumShards)
 
+    // fail fast on a pre-family-schema checkpoint: parquet Append never
+    // validates schemas, and mixed footers make later reads either throw
+    // or silently drop the old shards' family columns
+    if (new java.io.File(checkpointDir).exists()) {
+      val existing = spark.read.parquet(checkpointDir).schema.fieldNames.toSet
+      require(Seq("hll", "cms", "theta").forall(existing.contains),
+        s"checkpoint at $checkpointDir predates the per-shard sketch family " +
+          "(no hll/cms/theta columns) — start a fresh checkpointDir")
+    }
+
     val done: Set[Long] = doneShards(spark, checkpointDir)
     val remaining = transcripts
       .withColumn("shard", pmod(xxhash64(col("conv_id")), lit(NumShards)))
@@ -85,26 +95,32 @@ object CheckpointedBuild {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** Fold all shard sketches into one filter (reference union semantics —
-    * every shard was built with the same config, so merges are legal). */
-  def finalSketch(spark: SparkSession, checkpointDir: String): BloomSketch = {
-    val blobs = lineage(spark, checkpointDir).select(col("sketch")).collect()
-      .map(_.getAs[Array[Byte]]("sketch"))
-    require(blobs.nonEmpty, s"no shard sketches in $checkpointDir")
-    blobs.map(SketchCodec.decodeBloom).reduceLeft((a, b) => a.unionInPlace(b))
-  }
-
-  /** Fold the rest of the per-shard family into global sketches —
-    * executor-side via sketch_merge_agg (one tiny row to the driver,
-    * never 65k blobs). */
-  def finalFamily(spark: SparkSession, checkpointDir: String): (HLLSketch, CMSSketch, ThetaSketch) = {
+  /** Fold EVERY per-shard sketch into its global counterpart in ONE
+    * lineage pass, executor-side via sketch_merge_agg — one small row to
+    * the driver, never 65k blobs (a driver-side collect+reduce would pull
+    * ~1.8 TB of Bloom state at the 10^12-turn sizing). Reference union
+    * semantics: per-shard configs are identical, so merges are legal. */
+  def finalSketches(spark: SparkSession, checkpointDir: String)
+      : (BloomSketch, HLLSketch, CMSSketch, ThetaSketch) = {
     val r = lineage(spark, checkpointDir).agg(
+      sketchMergeAgg(col("sketch")).as("bloom"),
       sketchMergeAgg(col("hll")).as("hll"),
       sketchMergeAgg(col("cms")).as("cms"),
       sketchMergeAgg(col("theta")).as("theta")).head
-    (SketchCodec.decodeHll(r.getAs[Array[Byte]]("hll")),
+    require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
+      s"no shard sketches in $checkpointDir")
+    (SketchCodec.decodeBloom(r.getAs[Array[Byte]]("bloom")),
+      SketchCodec.decodeHll(r.getAs[Array[Byte]]("hll")),
       SketchCodec.decodeCms(r.getAs[Array[Byte]]("cms")),
       SketchCodec.decodeTheta(r.getAs[Array[Byte]]("theta")))
+  }
+
+  def finalSketch(spark: SparkSession, checkpointDir: String): BloomSketch =
+    finalSketches(spark, checkpointDir)._1
+
+  def finalFamily(spark: SparkSession, checkpointDir: String): (HLLSketch, CMSSketch, ThetaSketch) = {
+    val t = finalSketches(spark, checkpointDir)
+    (t._2, t._3, t._4)
   }
 
   /** Verify the checkpoint against current input: recompute per-shard
@@ -153,14 +169,17 @@ object SketchBuildJob {
     spark.sparkContext.setLogLevel("WARN")
     val t = graft.spark.Transcripts.load(spark, sfDir)
     val (newly, total) = CheckpointedBuild.run(spark, t, ckpt, capS.toLong, fppS.toDouble, runId)
-    val sketch = CheckpointedBuild.finalSketch(spark, ckpt)
-    val (hll, cms, theta) = CheckpointedBuild.finalFamily(spark, ckpt)
+    // ONE lineage pass for all four global sketches, merged executor-side
+    val (sketch, hll, cms, theta) = CheckpointedBuild.finalSketches(spark, ckpt)
+    // Locale.ROOT: the JSON stdout contract must not follow the JVM's
+    // default decimal separator
+    def d1(x: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
     println(s"""{"newly_built_shards":$newly,"total_shards":$total,""" +
       s""""final_popcount":${sketch.bits.countOnes},""" +
       s""""final_element_estimate":${sketch.approximateElementCount},""" +
-      f""""hll_distinct_convs":${hll.estimate}%.1f,""" +
+      s""""hll_distinct_convs":${d1(hll.estimate)},""" +
       s""""cms_total":${cms.totalCount},""" +
-      f""""theta_distinct_convs":${theta.estimate}%.1f}""")
+      s""""theta_distinct_convs":${d1(theta.estimate)}}""")
     spark.stop()
   }
 }

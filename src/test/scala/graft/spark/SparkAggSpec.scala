@@ -199,9 +199,15 @@ class SparkAggSpec extends AnyFunSuite {
     val expected = Seq("Bloom", "HLL", "CMS", "TDigest", "KLL", "Theta", "BottomK")
     descs.zip(expected).foreach { case (d, e) =>
       assert(d.contains(e), s"describe '$d' does not name $e") }
-    // column fn null-safe + SQL name
+    // column fn null-safe + SQL name; corrupt blobs render a diagnostic
+    // instead of killing the query
     assert(Seq(Tuple1(null: Array[Byte])).toDF("s")
       .select(gf.sketchDescribe($"s")).head.isNullAt(0))
+    assert(graft.core.SketchCodec.describe(Array[Byte](1, 2)).contains("invalid"))
+    assert(graft.core.SketchCodec.describe("GSK1garbagebytes".getBytes).contains("unknown"))
+    // bad magic but a plausible type byte -> decode throws -> diagnostic
+    assert(graft.core.SketchCodec.describe(
+      "XXXX".getBytes ++ Array[Byte](1, 1) ++ "rest".getBytes).contains("invalid"))
     gf.registerAll(spark)
     df.createOrReplaceTempView("desc_v")
     val viaSql = spark.sql(
