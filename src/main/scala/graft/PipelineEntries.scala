@@ -29,13 +29,15 @@ object PipelineEntries {
     // verify. Boolean gates FULL recall of the true Jaccard≥1/2 pair set.
     "q13_dedup_minhash" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir).cache()
-      val truePairs = TextPipeline.exactJaccardPairs(d)
+      // ONE shingle materialization (the dominant map-side cost) cached
+      // and shared by the exact criterion and the LSH candidate path
+      val sh = TextPipeline.withShingles(docs(s, dir), "__sh").cache()
+      val truePairs = TextPipeline.exactJaccardPairsFromShingled(sh)
         .select(col("doc_a"), col("doc_b")).cache()
       val nTrue = truePairs.count()
-      val found = TextPipeline.minhashCandidates(d)
+      val found = TextPipeline.minhashCandidatesFromShingled(sh)
         .join(truePairs, Seq("doc_a", "doc_b")).count()
-      d.unpersist()
+      sh.unpersist()
       val out = Seq((nTrue, found == nTrue)).toDF("n_true_pairs", "lsh_recall_ok")
       truePairs.unpersist()
       out
@@ -91,21 +93,22 @@ object PipelineEntries {
     // (on this corpus the two sets coincide and recall measures 100%).
     "q29_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir).cache()
+      // shared cached shingle relation, as in q13
+      val sh = TextPipeline.withShingles(docs(s, dir), "__sh").cache()
       // exactCosinePairs carries n_common/na/nb, so core (Jaccard ≥ 1/2)
       // membership of a missed pair is a plain filter — no second
       // inverted-index pass
-      val truePairs = TextPipeline.exactCosinePairs(d).cache()
+      val truePairs = TextPipeline.exactCosinePairsFromShingled(sh).cache()
       val nTrue = truePairs.count()
       val missed = truePairs
-        .join(TextPipeline.minhashCandidates(d), Seq("doc_a", "doc_b"), "left_anti")
+        .join(TextPipeline.minhashCandidatesFromShingled(sh), Seq("doc_a", "doc_b"), "left_anti")
         .cache()
       val missedAll = missed.count()
       val missedCore = missed
         .filter(col("n_common") * 2 >= col("na") + col("nb") - col("n_common"))
         .count()
       missed.unpersist()
-      d.unpersist()
+      sh.unpersist()
       val ok = missedCore == 0L && missedAll * 50 <= nTrue // ≤ 2%
       val out = Seq((nTrue, ok)).toDF("n_true_pairs", "lsh_recall_ok")
       truePairs.unpersist()

@@ -53,15 +53,22 @@ object TextPipeline {
     * a pre-Generate filter that re-evaluates the whole shingle expression
     * (with the split re-inlined) once more per row — measured 20x slower. */
   def docShingles(docs: DataFrame): DataFrame =
-    withShingles(docs, "__sh")
+    docShinglesFromShingled(withShingles(docs, "__sh"))
+
+  /** Inverted-index relation from a precomputed (doc_id, __sh) frame. */
+  def docShinglesFromShingled(shingled: DataFrame): DataFrame =
+    shingled
       .select(col("doc_id"), explode_outer(col("__sh")).as("sh"))
       .filter(col("sh").isNotNull)
 
   /** (doc_a, doc_b, n_common, na, nb) for every doc pair sharing ≥ 1
     * shingle — the shared base of the exact Jaccard and exact cosine
     * near-dup criteria. Inverted-index join, never an n² product. */
-  private def pairStats(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs)
+  private def pairStats(docs: DataFrame): DataFrame =
+    pairStatsFromShingled(withShingles(docs, "__sh"))
+
+  private[pipeline] def pairStatsFromShingled(shingled: DataFrame): DataFrame = {
+    val sh = docShinglesFromShingled(shingled)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // merge (sort-merge), not broadcast, on the self-join: identical
     // children → the second Exchange is a ReusedExchange, so the shingle
@@ -85,7 +92,10 @@ object TextPipeline {
     * integer arithmetic (2·common ≥ union) so the DuckDB oracle reproduces
     * it bit-for-bit. */
   def exactJaccardPairs(docs: DataFrame): DataFrame =
-    pairStats(docs)
+    exactJaccardPairsFromShingled(withShingles(docs, "__sh"))
+
+  def exactJaccardPairsFromShingled(shingled: DataFrame): DataFrame =
+    pairStatsFromShingled(shingled)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("na") + col("nb") - col("n_common")).as("n_union"))
       .filter(col("n_common") * 2 >= col("n_union"))
@@ -97,7 +107,10 @@ object TextPipeline {
     * DuckDB-reproducible bit-for-bit. Jaccard ≥ 1/2 implies cos ≥ 2/3
     * (AM–GM), so the default τ = 3/5 strictly contains the planted set. */
   def exactCosinePairs(docs: DataFrame, tauNum: Int = 3, tauDen: Int = 5): DataFrame =
-    pairStats(docs)
+    exactCosinePairsFromShingled(withShingles(docs, "__sh"), tauNum, tauDen)
+
+  def exactCosinePairsFromShingled(shingled: DataFrame, tauNum: Int = 3, tauDen: Int = 5): DataFrame =
+    pairStatsFromShingled(shingled)
       .filter(col("n_common") * col("n_common") * (tauDen * tauDen) >=
         col("na") * col("nb") * (tauNum * tauNum))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"), col("nb"))
@@ -148,8 +161,15 @@ object TextPipeline {
   /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures.
     * Shuffle carries only (doc_id, band, 8-byte key) rows — at corpus
     * scale this is the entire cross-node traffic of near-dup detection. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = withShingles(docs, "__sh")
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFromShingled(withShingles(docs, "__sh"))
+
+  /** Same join over a precomputed (doc_id, __sh) relation — lets q13/q29
+    * cache ONE shingle materialization and share it between the exact
+    * pair criterion and the LSH candidate path (the split+shingle UDF
+    * work is the dominant map-side cost on both). */
+  def minhashCandidatesFromShingled(shingled: DataFrame): DataFrame = {
+    val bands = shingled
       .select(col("doc_id"), posexplode_outer(bandKeysUdf(col("__sh"))).as(Seq("band", "bkey")))
       .filter(col("bkey").isNotNull)
       // shuffle-hash, not broadcast: identical children make the second
