@@ -43,32 +43,22 @@ object PipelineEntries {
       out
     }),
 
-    // SimHash near-dup: byte-banding recall is provably total for hd≤7, so
-    // banded pairs must EQUAL the exhaustive hd≤6 pair set.
+    // SimHash near-dup. Gate: TWO structurally independent 8-band
+    // decompositions (contiguous bytes vs bit-interleaved), EACH provably
+    // exhaustive for hd≤7 by pigeonhole, must produce the same hd≤6 pair
+    // set. Equality of two independent complete paths replaces the old
+    // driver-side O(n²) popcount loop — fully distributed, scales with
+    // the corpus (set equality = three distributed counts).
     "q14_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir).cache()
-      val nDocs = d.count()
-      val banded = TextPipeline.simhashPairs(d, maxHd = 6)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // exhaustive verification gate: signatures are 8 bytes/doc, so the
-      // all-pairs check is a driver-side popcount loop, not a 25M-row NLJ
-      // (at production scale the banded path alone is the output)
-      val sigs = TextPipeline.simhashes(d).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      d.unpersist()
-      val exhaustive = scala.collection.mutable.Set.empty[(Long, Long)]
-      var i = 0
-      while (i < sigs.length) {
-        var j = i + 1
-        while (j < sigs.length) {
-          if (java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 6)
-            exhaustive += ((sigs(i)._1, sigs(j)._1))
-          j += 1
-        }
-        i += 1
-      }
-      Seq((nDocs, banded == exhaustive))
+      val sigs = TextPipeline.simhashes(docs(s, dir)).cache()
+      val nDocs = sigs.count()
+      val a = TextPipeline.simhashPairsFromSigs(sigs, maxHd = 6).cache()
+      val b = TextPipeline.simhashPairsFromSigs(sigs, maxHd = 6, interleaved = true).cache()
+      val (na, nb) = (a.count(), b.count())
+      val nBoth = a.join(b, Seq("doc_a", "doc_b")).count()
+      a.unpersist(); b.unpersist(); sigs.unpersist()
+      Seq((nDocs, na == nb && nb == nBoth))
         .toDF("n_docs", "banding_equals_exhaustive")
     }),
 
@@ -238,8 +228,9 @@ object PipelineEntries {
         countDistinct(col("text")).as("cd_text"),
         countDistinct(xxhash64(col("text"))).as("cd_fp")).head
       val n = d.count()
-      val sketch = d.agg(bloomAggNative(math.max(n, 1000L), 0.001)(col("text")))
-        .head.getAs[Array[Byte]](0)
+      val sketch = shardedSketchBlobs(d.select(col("doc_id"), col("text")), 8, col("doc_id"))(
+        "sk" -> bloomAggNative(math.max(n, 1000L), 0.001)(col("text")))
+        .head.getAs[Array[Byte]]("sk")
       val zeroFn = d.filter(bloomMightContainNative(lit(sketch), col("text"))).count() == n
       d.unpersist()
       Seq((row.getLong(0), row.getLong(0) == row.getLong(1), zeroFn))
@@ -342,10 +333,21 @@ object PipelineEntries {
       import s.implicits._
       val t = Transcripts.load(s, dir).cache()
       val n = t.count()
-      val row = t.agg(
-        bloomAggNative(math.max(n, 1000L), 0.001)(col("conv_id"), col("turn_idx")).as("b"),
-        hllAggNative(col("conv_id")).as("h"),
-        countDistinct(col("conv_id")).as("exact")).head
+      // sharded two-stage build (see catalyst.shardedSketchBlobs): full-
+      // size Bloom buffers exist once per shard, shard blobs fold
+      // executor-side. Sharding on conv_id keeps the per-shard
+      // countDistinct(conv_id) partition-disjoint, so stage 2 SUMs it.
+      val shard = saltBucket(16, col("conv_id"))
+      val row = t.select(col("conv_id"), col("turn_idx"))
+        .repartition(16, shard)
+        .groupBy(shard.as("__shard"))
+        .agg(
+          bloomAggNative(math.max(n, 1000L), 0.001)(col("conv_id"), col("turn_idx")).as("b"),
+          hllAggNative(col("conv_id")).as("h"),
+          countDistinct(col("conv_id")).as("cd"))
+        .agg(sketchMergeAgg(col("b")).as("b"), sketchMergeAgg(col("h")).as("h"),
+          sum(col("cd")).as("exact"))
+        .head
       val zeroFn = t.filter(bloomMightContainNative(
         lit(row.getAs[Array[Byte]]("b")), col("conv_id"), col("turn_idx"))).count() == n
       val est = SketchCodec.decodeHll(row.getAs[Array[Byte]]("h")).estimate

@@ -2,7 +2,7 @@ package graft
 
 import graft.core._
 import graft.spark.{functions => gf, Transcripts}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,6 +23,22 @@ object SparkEntry {
   private def key2(a: String, b: String) = gf.sketchKey(col(a), col(b))
   private def key1(a: String) = gf.sketchKey(col(a))
 
+  /** Shard count for the contract-query global builds. Small here (the
+    * test corpora are tiny); production builds size it to the data
+    * (CheckpointedBuild.NumShards = 256 at the 10^12-turn sizing). */
+  private val BuildShards = 16
+
+  /** Global sketch blob(s) over transcripts via the SHARDED two-stage
+    * path (graft.spark.catalyst.shardedSketchBlobs): full-size Bloom
+    * buffers exist once per shard — never once per input partition — and
+    * shard blobs merge executor-side; only the final merged row reaches
+    * the driver. Projects to the named columns first so the shard shuffle
+    * carries key bytes, not whole rows. */
+  private def shardedBlobRow(t: DataFrame, cols: Seq[String],
+      aggs: (String, Column)*): org.apache.spark.sql.Row =
+    graft.spark.catalyst.shardedSketchBlobs(
+      t.select(cols.map(col): _*), BuildShards, col(cols.head))(aggs: _*).head
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_bloom_membership")(spark, "/root/testdata/sf0.001")
@@ -39,8 +55,9 @@ object SparkEntry {
     "q01_bloom_membership" -> ((s, dir) => {
       val t = Transcripts.load(s, dir)
       val n = t.count()
-      val sketch = t.agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
-        .head.getAs[Array[Byte]](0)
+      val sketch = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
+        "sk" -> gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
+        .getAs[Array[Byte]]("sk")
       t.filter(gf.bloomProbe(sketch)(key2("conv_id", "turn_idx")))
         .groupBy(col("role")).agg(count(lit(1)).as("n_contained"))
         .orderBy(col("role"))
@@ -53,8 +70,9 @@ object SparkEntry {
       import s.implicits._
       val t = Transcripts.load(s, dir)
       val n = t.count()
-      val sketch = t.agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
-        .head.getAs[Array[Byte]](0)
+      val sketch = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
+        "sk" -> gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
+        .getAs[Array[Byte]]("sk")
       val probeKey = gf.sketchKey(col("conv_id"), (col("turn_idx") + 1000000).cast("int"))
       val fp = t.filter(gf.bloomProbe(sketch)(probeKey)).count()
       val fprOk = fp <= n * P * 1.05 + 3 * math.sqrt(n * P) + 1
@@ -70,17 +88,29 @@ object SparkEntry {
       import s.implicits._
       val t = Transcripts.load(s, dir)
       val n = t.count()
+      // shard function mirrored exactly by the oracle's n_shards count
       val shard = pmod(expr("CAST(SUBSTR(conv_id, 2) AS BIGINT)"), lit(8L))
-      val perShard = t.groupBy(shard.as("shard"))
+      // per-shard filters fold EXECUTOR-SIDE (sketchMergeAgg) — only the
+      // one merged blob ever reaches the driver, never the shard blobs
+      // (at the 10^12-turn sizing a driver collect of 65k shard blobs is
+      // a ~1.8 TB pull; this row is one blob)
+      val mRow = t.select(col("conv_id"), col("turn_idx"))
+        .repartition(8, shard)
+        .groupBy(shard.as("shard"))
         .agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")).as("sketch"))
-        .collect()
-      val merged = perShard.map(r => SketchCodec.decodeBloom(r.getAs[Array[Byte]]("sketch")))
-        .reduceLeft((a, b) => a.unionInPlace(b))
+        .agg(count(lit(1)).as("n_shards"),
+          graft.spark.catalyst.sketchMergeAgg(col("sketch")).as("merged"))
+        .head
+      val nShards = mRow.getAs[Long]("n_shards")
+      val mergedBlob = mRow.getAs[Array[Byte]]("merged")
+      // the comparandum IS bulk insertion into one filter (the reference
+      // union law, integration.rs:310–366) — the global agg here is the
+      // semantic object under test, not a production build path
       val bulk = SketchCodec.decodeBloom(
         t.agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx"))).head.getAs[Array[Byte]](0))
-      val zeroFn = t.filter(gf.bloomProbe(SketchCodec.encodeBloom(merged))(
+      val zeroFn = t.filter(gf.bloomProbe(mergedBlob)(
         key2("conv_id", "turn_idx"))).count() == n
-      Seq((perShard.length.toLong, merged == bulk, zeroFn))
+      Seq((nShards, SketchCodec.decodeBloom(mergedBlob) == bulk, zeroFn))
         .toDF("n_shards", "union_equals_bulk", "zero_false_negatives")
     }),
 
@@ -95,13 +125,13 @@ object SparkEntry {
         .agg(countDistinct(pmod(col("turn_idx"), lit(2))).as("par")).cache()
       val nConv = parity.count()
       val c = cap(nConv)
-      // one pass builds BOTH sketches: the aggregators skip null keys, so
-      // each side's when() masks the other parity's rows (same inserted
-      // sets as two filtered jobs, half the scan + hash work)
+      // one SHARDED pass builds BOTH sketches: the aggregators skip null
+      // keys, so each side's when() masks the other parity's rows (same
+      // inserted sets as two filtered jobs, half the scan + hash work)
       val p = pmod(col("turn_idx"), lit(2))
-      val row = t.agg(
-        gf.bloomAgg(c, P)(when(p === 0, key1("conv_id"))).as("even"),
-        gf.bloomAgg(c, P)(when(p === 1, key1("conv_id"))).as("odd")).head
+      val row = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
+        "even" -> gf.bloomAgg(c, P)(when(p === 0, key1("conv_id"))),
+        "odd" -> gf.bloomAgg(c, P)(when(p === 1, key1("conv_id"))))
       val inter = SketchCodec.encodeBloom(
         SketchCodec.decodeBloom(row.getAs[Array[Byte]]("even"))
           .intersectInPlace(SketchCodec.decodeBloom(row.getAs[Array[Byte]]("odd"))))
@@ -124,8 +154,9 @@ object SparkEntry {
       import s.implicits._
       val t = Transcripts.load(s, dir).cache()
       val n = t.count()
-      val sketch = t.agg(gf.bloomSeededAgg(cap(n), P)(key2("conv_id", "turn_idx")))
-        .head.getAs[Array[Byte]](0)
+      val sketch = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
+        "sk" -> gf.bloomSeededAgg(cap(n), P)(key2("conv_id", "turn_idx")))
+        .getAs[Array[Byte]]("sk")
       val probeKey = gf.sketchKey(col("conv_id"), (col("turn_idx") + 1000000).cast("int"))
       // one pass over the cache for both the zero-FN sweep and the
       // disjoint-key FP count
@@ -231,7 +262,9 @@ object SparkEntry {
       val t = Transcripts.load(s, dir)
       val n = t.count()
       val sk = SketchCodec.decodeBloom(
-        t.agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx"))).head.getAs[Array[Byte]](0))
+        shardedBlobRow(t, Seq("conv_id", "turn_idx"),
+          "sk" -> gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
+          .getAs[Array[Byte]]("sk"))
       val countOk = math.abs(sk.approximateElementCount - n) / math.max(n, 1L) <= 0.02
       val fppOk = sk.approximateCurrentFpp <= P * 1.05
       Seq((n, countOk, fppOk)).toDF("exact_n", "count_est_ok", "fpp_le_bound")

@@ -224,13 +224,35 @@ object TextPipeline {
   /** Near-dup pairs with Hamming distance ≤ maxHd via byte-banding
     * (8 bands; pigeonhole: hd ≤ 7 ⇒ some byte equal, so recall is total
     * for maxHd ≤ 7). */
-  def simhashPairs(docs: DataFrame, maxHd: Int = 6): DataFrame = {
-    require(maxHd <= 7, "byte-banding only guarantees recall for hd <= 7")
-    val sigs = simhashes(docs)
+  def simhashPairs(docs: DataFrame, maxHd: Int = 6): DataFrame =
+    simhashPairsFromSigs(simhashes(docs), maxHd)
+
+  /** Same, over a precomputed (doc_id, simhash) relation — lets q14 cache
+    * ONE signature table and run both banding schemes on it.
+    *
+    * Two 8-band decompositions of the 64 bits, each a PARTITION of the
+    * bit positions (so each is independently exhaustive for hd ≤ 7 by
+    * pigeonhole — at most 7 differing positions cannot touch all 8
+    * disjoint bands):
+    *   - contiguous (default): band j = byte j (bits 8j..8j+7);
+    *   - interleaved: band j = bits {j, j+8, …, j+56} (position mod 8).
+    * Agreement of the two schemes' hd≤maxHd pair sets is q14's fully
+    * DISTRIBUTED correctness gate: each path is provably equal to the
+    * exhaustive all-pairs set, and they share no band structure, so a
+    * banding/join bug in either breaks the agreement — no O(n²)
+    * driver-side loop needed. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHd: Int = 6,
+      interleaved: Boolean = false): DataFrame = {
+    require(maxHd <= 7, "8-band decompositions only guarantee recall for hd <= 7")
+    val bkey =
+      if (interleaved)
+        expr((0 until 8).map(i => s"(((simhash >> (band + ${8 * i})) & 1) << $i)")
+          .mkString("(", " | ", ")"))
+      else expr("(simhash >> (band * 8)) & 255")
     val bands = sigs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bkey", expr("(simhash >> (band * 8)) & 255"))
-      // see minhashCandidates: ReusedExchange evaluates simhashUdf once
+      .withColumn("bkey", bkey)
+      // see minhashCandidates: ReusedExchange evaluates the input once
       .hint("shuffle_hash")
     val cands = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -246,23 +268,44 @@ object TextPipeline {
     * corpus's text does not correlate with its `lang` column, so accuracy
     * is asserted on real multilingual samples in LangIdSpec; here the
     * oracle checks determinism + exact per-lang counts. */
+  // marker tables hoisted out of the UDF: one shared immutable array per
+  // executor, zero per-row allocation beyond the lowercase copy. Languages
+  // sorted ASCENDING so a later equal score overwrites an earlier one —
+  // identical tie-break to maxBy((score, lang)) on the old per-row Map.
+  private val LangMarkers: Array[(String, Array[String])] = Array(
+    "de" -> Array(" der ", " die ", " und ", " ist ", " das "),
+    "en" -> Array(" the ", " and ", " of ", " to ", " is "),
+    "es" -> Array(" el ", " la ", " y ", " los ", " es "),
+    "fr" -> Array(" le ", " la ", " et ", " les ", " est "),
+    "zh" -> Array("的", "是", "了", "在", "我"))
+
+  /** Count non-overlapping-start occurrences of `m` in `t` (every start
+    * offset counts, same as the old sliding-window equality count). */
+  @inline private def occurrences(t: String, m: String): Int = {
+    var n = 0
+    var i = t.indexOf(m)
+    while (i >= 0) { n += 1; i = t.indexOf(m, i + 1) }
+    n
+  }
+
   val langIdUdf = udf { (text: String) =>
     if (text == null || text.isEmpty) "und"
     else {
       val t = " " + text.toLowerCase + " "
-      val scores = Map(
-        "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
-        "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
-        "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
-        "es" -> Seq(" el ", " la ", " y ", " los ", " es "),
-        "zh" -> Seq("的", "是", "了", "在", "我"))
-        .map { case (lang, markers) =>
-          lang -> markers.map(m => t.sliding(m.length).count(_ == m)).sum
-        }
-      val cjk = text.count(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)
-      val adjusted = scores + ("zh" -> (scores("zh") + cjk))
-      val (best, score) = adjusted.maxBy { case (l, s) => (s, l) }
-      if (score == 0) "und" else best
+      var best = "und"
+      var bestScore = 0
+      var li = 0
+      while (li < LangMarkers.length) {
+        val (lang, markers) = LangMarkers(li)
+        var score = 0
+        var mi = 0
+        while (mi < markers.length) { score += occurrences(t, markers(mi)); mi += 1 }
+        if (lang == "zh")
+          score += text.count(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)
+        if (score > 0 && score >= bestScore) { best = lang; bestScore = score }
+        li += 1
+      }
+      best
     }
   }
 

@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core.{HLLSketch, KLLSketch, TDigestSketch}
-import org.apache.spark.sql.{Column, GraftSqlBridge => B}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge => B}
 
 /** Column API over the native Catalyst sketch expressions. */
 package object catalyst {
@@ -53,6 +53,35 @@ package object catalyst {
     * sketch type in the codec. */
   def sketchMergeAgg(blob: Column): Column =
     B.aggColumn(SketchMergeAgg(B.expression(blob)))
+
+  /** Two-stage sharded build of GLOBAL (full-config) sketch blobs — the
+    * shape every one-blob build must take at 10^12 turns:
+    *   stage 1: rows co-locate by a hash shard (repartition first, so the
+    *            grouped partial aggregation sees ONE group per task and the
+    *            number of live full-size buffers tracks the CHOSEN shard
+    *            count, never the input partition count — a bare
+    *            `df.agg(bloomAgg(...))` allocates a full-size buffer per
+    *            input partition and funnels every merge through one
+    *            reducer: measured 0.11 scaling efficiency, BENCH.md);
+    *   stage 2: the per-shard blobs fold EXECUTOR-SIDE via sketchMergeAgg —
+    *            one merged row ever exists, nothing per-shard reaches the
+    *            driver.
+    * All agg columns must produce codec blobs (udaf or native path; key
+    * conventions are preserved per column). Returns the one-row frame of
+    * merged blobs under the given names. Because sketch union is
+    * commutative/associative, ANY shard column yields the identical blob
+    * (reference union law, km_bloom_filter.rs:184–194). */
+  def shardedSketchBlobs(df: DataFrame, shards: Int, shardOn: Column)(
+      aggs: (String, Column)*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val shard = saltBucket(shards, shardOn)
+    val stage1 = aggs.map { case (nm, c) => c.as(nm) }
+    val stage2 = aggs.map { case (nm, _) => sketchMergeAgg(col(nm)).as(nm) }
+    df.repartition(shards, shard)
+      .groupBy(shard.as("__graft_shard"))
+      .agg(stage1.head, stage1.tail: _*)
+      .agg(stage2.head, stage2.tail: _*)
+  }
 
   /** Skew salt: a deterministic bucket in [0, buckets) derived from the
     * salt columns. Standard two-stage pattern:
