@@ -310,14 +310,22 @@ object SparkEntry {
       val estI = a.intersect(b).estimate
       val estAB = a.difference(b).estimate
       val estBA = b.difference(a).estimate
-      // error scales with union size at theta: 5·√(n/k)·√n (exact mode ⇒ 0)
+      // Published KMV/theta error model (Theta-Sketch Framework, Dasgupta
+      // et al. 2016 — see PAPERS.md): the union estimate has
+      // sd ≈ |U|/√k; a set-expression result X (intersection/difference)
+      // is sampled at θ ≈ k/|U|, so its count is ~Binomial(|X|, θ) and
+      // sd(X̂) ≈ √(|X|(1−θ)/θ) ≤ √(|X|·|U|/k). Gates sit at 5σ of each
+      // quantity's own bound (exact mode θ=1 ⇒ estimates exact, gates
+      // trivially satisfied).
       val k = ThetaSketch.DefaultK
       val nU = nBoth + nOnlyA + nOnlyB
-      val slack = 5 * math.sqrt(math.max(nU, 1L).toDouble / k) * math.sqrt(nU.toDouble) + 1e-9
+      def slack(x: Long): Double =
+        5 * math.sqrt(math.max(x, 1L).toDouble * math.max(nU, 1L).toDouble / k) + 1e-9
+      val slackU = 5 * math.max(nU, 1L).toDouble / math.sqrt(k.toDouble) + 1e-9
       Seq((nTurns, nBoth, nOnlyA, nOnlyB,
-        math.abs(estU - nU) <= slack,
-        math.abs(estI - nBoth) <= slack,
-        math.abs(estAB - nOnlyA) <= slack && math.abs(estBA - nOnlyB) <= slack))
+        math.abs(estU - nU) <= slackU,
+        math.abs(estI - nBoth) <= slack(nBoth),
+        math.abs(estAB - nOnlyA) <= slack(nOnlyA) && math.abs(estBA - nOnlyB) <= slack(nOnlyB)))
         .toDF("n_turns", "n_both", "n_only_even", "n_only_early",
           "union_ok", "intersect_ok", "difference_ok")
     }),

@@ -100,6 +100,9 @@ object BottomKSketch {
   def apply(k: Int = DefaultK): BottomKSketch = new BottomKSketch(k)
 
   private[core] def fromEntries(k: Int, es: Seq[(Long, Array[Byte])]): BottomKSketch = {
+    // enforce the codec invariant (≤ k retained entries) — a corrupt blob
+    // fails fast instead of silently oversampling
+    require(es.size <= k, s"corrupt bottom-k state: ${es.size} entries exceed k=$k")
     val m = emptyMap()
     es.foreach { case (h, kb) => m.put(h, kb) }
     new BottomKSketch(k, m)

@@ -146,11 +146,21 @@ object ThetaSketch {
 
   def apply(k: Int = DefaultK): ThetaSketch = new ThetaSketch(k)
 
-  /** Rehydrate from codec state (entries must be < thetaU, ≤ k of them). */
+  /** Rehydrate from codec state. The documented invariants (≤ k entries,
+    * every entry unsigned-< thetaU) are ENFORCED, not assumed: a corrupt
+    * or forged blob must fail fast here, like the codec's magic/type/
+    * version checks, instead of silently skewing downstream estimates. */
   def fromState(k: Int, thetaU: Long, sorted: Array[Long]): ThetaSketch = {
+    require(sorted.length <= k,
+      s"corrupt theta state: ${sorted.length} entries exceed k=$k")
     val s = emptySet()
     var i = 0
-    while (i < sorted.length) { s.add(sorted(i)); i += 1 }
+    while (i < sorted.length) {
+      require(thetaU == ExactTheta || ltU(sorted(i), thetaU),
+        s"corrupt theta state: entry ${sorted(i)} not below theta $thetaU")
+      s.add(sorted(i))
+      i += 1
+    }
     new ThetaSketch(k, thetaU, s)
   }
 

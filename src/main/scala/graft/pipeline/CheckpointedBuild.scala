@@ -30,6 +30,15 @@ object CheckpointedBuild {
 
   private def shardCol = pmod(xxhash64(col("conv_id")), lit(NumShards)).as("shard")
 
+  /** Checkpoint existence via the Hadoop FileSystem API, not java.io.File:
+    * SketchBuildJob is a spark-submit entry, so checkpointDir may be an
+    * HDFS/S3 path where File.exists() is silently false (which would skip
+    * the schema guard and re-build every shard on resume). */
+  private def checkpointExists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
   /** One run: builds every shard not already in the checkpoint; returns
     * (newly built shards, total shards done after this run). */
   def run(spark: SparkSession, transcripts: DataFrame, checkpointDir: String,
@@ -39,7 +48,7 @@ object CheckpointedBuild {
     // fail fast on a pre-family-schema checkpoint: parquet Append never
     // validates schemas, and mixed footers make later reads either throw
     // or silently drop the old shards' family columns
-    if (new java.io.File(checkpointDir).exists()) {
+    if (checkpointExists(spark, checkpointDir)) {
       val existing = spark.read.parquet(checkpointDir).schema.fieldNames.toSet
       require(Seq("hll", "cms", "theta").forall(existing.contains),
         s"checkpoint at $checkpointDir predates the per-shard sketch family " +
@@ -82,7 +91,7 @@ object CheckpointedBuild {
   }
 
   def doneShards(spark: SparkSession, checkpointDir: String): Set[Long] = {
-    if (!new java.io.File(checkpointDir).exists()) return Set.empty
+    if (!checkpointExists(spark, checkpointDir)) return Set.empty
     spark.read.parquet(checkpointDir).select(col("shard")).distinct()
       .collect().map(_.getLong(0)).toSet
   }

@@ -128,12 +128,17 @@ object functions {
         SketchCodec.decodeHll(x).copySketch().mergeInPlace(SketchCodec.decodeHll(y))))
       .apply(a, b)
 
+  // theta UDFs guard null blobs (outer joins against sketch tables yield
+  // null rows) the same way sketchDescribe/bottomKSampleStrings do —
+  // null in ⇒ null out, never an NPE
   def thetaEstimate(sketch: Column): Column =
-    udf((s: Array[Byte]) => SketchCodec.decodeTheta(s).estimate).apply(sketch)
+    udf((s: Array[Byte]) =>
+      if (s == null) null else Double.box(SketchCodec.decodeTheta(s).estimate)).apply(sketch)
 
   def thetaUnion(a: Column, b: Column): Column =
     udf((x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeTheta(
+      if (x == null || y == null) null
+      else SketchCodec.encodeTheta(
         SketchCodec.decodeTheta(x).mergeInPlace(SketchCodec.decodeTheta(y))))
       .apply(a, b)
 
@@ -141,7 +146,8 @@ object functions {
     * bloomIntersect (reference km_bloom_filter.rs:253–263). */
   def thetaIntersect(a: Column, b: Column): Column =
     udf((x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeTheta(
+      if (x == null || y == null) null
+      else SketchCodec.encodeTheta(
         SketchCodec.decodeTheta(x).intersect(SketchCodec.decodeTheta(y))))
       .apply(a, b)
 
@@ -149,7 +155,8 @@ object functions {
     * pair (impossible on Bloom bit-state, natural on theta entries). */
   def thetaDifference(a: Column, b: Column): Column =
     udf((x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeTheta(
+      if (x == null || y == null) null
+      else SketchCodec.encodeTheta(
         SketchCodec.decodeTheta(x).difference(SketchCodec.decodeTheta(y))))
       .apply(a, b)
 
@@ -211,13 +218,17 @@ object functions {
     spark.udf.register("tdigest_quantile",
       (s: Array[Byte], q: Double) => tdigestOf(s).quantile(q))
     spark.udf.register("kll_quantile", (s: Array[Byte], q: Double) => kllOf(s).quantile(q))
-    spark.udf.register("theta_estimate", (s: Array[Byte]) => SketchCodec.decodeTheta(s).estimate)
+    spark.udf.register("theta_estimate", (s: Array[Byte]) =>
+      if (s == null) null else Double.box(SketchCodec.decodeTheta(s).estimate))
     spark.udf.register("theta_intersect", (x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeTheta(SketchCodec.decodeTheta(x).intersect(SketchCodec.decodeTheta(y))))
+      if (x == null || y == null) null
+      else SketchCodec.encodeTheta(SketchCodec.decodeTheta(x).intersect(SketchCodec.decodeTheta(y))))
     spark.udf.register("theta_difference", (x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeTheta(SketchCodec.decodeTheta(x).difference(SketchCodec.decodeTheta(y))))
+      if (x == null || y == null) null
+      else SketchCodec.encodeTheta(SketchCodec.decodeTheta(x).difference(SketchCodec.decodeTheta(y))))
     spark.udf.register("theta_union", (x: Array[Byte], y: Array[Byte]) =>
-      SketchCodec.encodeTheta(
+      if (x == null || y == null) null
+      else SketchCodec.encodeTheta(
         SketchCodec.decodeTheta(x).mergeInPlace(SketchCodec.decodeTheta(y))))
     spark.udf.register("sketch_describe", (s: Array[Byte]) =>
       if (s == null) null else SketchCodec.describe(s))

@@ -5,9 +5,10 @@ import graft.core._
 /** Port of the reference's measurement harness SHAPE
   * (/root/reference/tests/benchmark.rs:6–104): per-element insert and
   * probe latency over DefaultBloomFilter (KM) and SeededBloomFilter at
-  * doubling element counts 2·2^i, p = 0.001. Prints, never asserts —
-  * exactly like the reference (whose benchmarks are all #[ignore]d and
-  * publish no numbers). */
+  * doubling element counts 2·2^i, p = 0.001. Prints timings like the
+  * reference (whose benchmarks are all #[ignore]d and publish no
+  * numbers), but additionally HARD-FAILS on any false negative — a
+  * timing sweep over a broken filter would be worse than no sweep. */
 object KernelLatency {
   def main(args: Array[String]): Unit = {
     val maxExp = args.headOption.map(_.toInt).getOrElse(21) // 2·2^21 ≈ 4.2M
