@@ -361,6 +361,45 @@ object SparkEntry {
         .toDF("n_conv", "sample_size", "parallelism_invariant",
           "all_sampled_exist", "uniform_ok")
     }),
+
+    // §2.1 #3 genericity: the KM filter takes ANY registered hash pair
+    // (reference KMBloomFilter<H1,H2>, km_bloom_filter.rs:46–48; its
+    // integration suite sweeps pairs with per-pair FPR margins,
+    // integration.rs:39–146). ONE sharded pass builds all three
+    // non-default-pair filters; each must show zero false negatives and
+    // disjoint-key FPR within its margin. Per-pair kernel margins live in
+    // BloomSketchSpec's matrix; here each pair gets the statistical
+    // 3σ-over-binomial gate at 1.10·p (FNV is a weaker mixer than the
+    // avalanche hashes, measured ~6% over nominal at this n).
+    "q34_bloom_hasher_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val t = Transcripts.load(s, dir).cache()
+      val n = t.count()
+      val key = key2("conv_id", "turn_idx")
+      val row = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
+        "xf" -> gf.bloomAggPair(cap(n), P, KMHashPair.XxFnv)(key),
+        "fm" -> gf.bloomAggPair(cap(n), P, KMHashPair.FnvMurmur)(key),
+        "xx" -> gf.bloomAggPair(cap(n), P, KMHashPair.XxXx)(key))
+      val disjoint = gf.sketchKey(col("conv_id"), (col("turn_idx") + 1000000).cast("int"))
+      // one cached pass for all six probe counts (3 pairs × hit/fp)
+      val aggCols = Seq("xf", "fm", "xx").flatMap { c =>
+        val blob = row.getAs[Array[Byte]](c)
+        Seq(
+          coalesce(sum(when(gf.bloomProbe(blob)(key), 1L).otherwise(0L)), lit(0L))
+            .as(s"${c}_hit"),
+          coalesce(sum(when(gf.bloomProbe(blob)(disjoint), 1L).otherwise(0L)), lit(0L))
+            .as(s"${c}_fp"))
+      }
+      val counts = t.agg(aggCols.head, aggCols.tail: _*).head
+      t.unpersist()
+      def ok(c: String): Boolean = {
+        val hit = counts.getAs[Long](s"${c}_hit")
+        val fp = counts.getAs[Long](s"${c}_fp")
+        hit == n && fp <= n * P * 1.10 + 3 * math.sqrt(n * P) + 1
+      }
+      Seq((n, ok("xf"), ok("fm"), ok("xx")))
+        .toDF("n_probes", "xx_fnv_ok", "fnv_murmur_ok", "xx_xx_ok")
+    }),
   )
 
   /** Exact ranks of three quantile estimates in ONE pass over the gaps
@@ -439,5 +478,8 @@ object SparkEntry {
         "WHERE gap IS NOT NULL"),
     "q11_bloom_estimators" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS exact_n, true AS count_est_ok, true AS fpp_le_bound FROM transcripts",
+    "q34_bloom_hasher_pairs" ->
+      (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, true AS xx_fnv_ok, " +
+        "true AS fnv_murmur_ok, true AS xx_xx_ok FROM transcripts"),
   )
 }

@@ -15,6 +15,12 @@ sealed trait BloomSketch extends Serializable {
     * filter are never mergeable, mirroring the reference's distinct types). */
   def variant: Byte
 
+  /** Hash-pair id for codec + merge-compatibility (KM filters built with
+    * different injected pairs are different filter types in the
+    * reference's type system — km_bloom_filter.rs:46–48 — so merging
+    * them must be rejected here too). Seeded variant: always 0. */
+  def hasherId: Byte = 0
+
   def insert(bytes: Array[Byte]): Unit
   def mightContain(bytes: Array[Byte]): Boolean
 
@@ -33,6 +39,9 @@ sealed trait BloomSketch extends Serializable {
   protected final def requireCompatible(other: BloomSketch): Unit = {
     require(variant == other.variant,
       s"cannot merge different Bloom variants ($variant vs ${other.variant})")
+    require(hasherId == other.hasherId,
+      s"cannot merge KM filters built with different hash pairs " +
+        s"($hasherId vs ${other.hasherId})")
     // Same panic condition as reference union/intersect
     // (km_bloom_filter.rs:185–187, 254–256; seeded_bloom_filter.rs:129–131).
     require(config.eqConfiguration(other.config),
@@ -79,24 +88,28 @@ sealed trait BloomSketch extends Serializable {
 
   override def equals(o: Any): Boolean = o match {
     case b: BloomSketch =>
-      b.variant == variant && b.config.eqConfiguration(config) && b.bits == bits
+      b.variant == variant && b.hasherId == hasherId &&
+        b.config.eqConfiguration(config) && b.bits == bits
     case _ => false
   }
-  override def hashCode: Int = bits.hashCode * 31 + variant
+  override def hashCode: Int = (bits.hashCode * 31 + variant) * 31 + hasherId
 }
 
 /** Kirsch–Mitzenmacher double-hashing Bloom filter — the reference's
-  * `KMBloomFilter` (`/root/reference/src/km_bloom_filter.rs`) with the
-  * default hash pair (xxHash64, Murmur3-128 low64) standing in for the
-  * crate's (ahash, SipHash) `DefaultBloomFilter` alias (lib.rs:176).
+  * `KMBloomFilter<H1, H2>` (`/root/reference/src/km_bloom_filter.rs`)
+  * with the hash pair INJECTED (see [[KMHashPair]]); the default
+  * (xxHash64, Murmur3-128 low64) stands in for the crate's
+  * (ahash, SipHash) `DefaultBloomFilter` alias (lib.rs:176).
   *
   * Index derivation (km_bloom_filter.rs:287–290): for hasher i,
   *   g_i = h1 + i·h2   with wrapping u64 arithmetic,
   *   index = i·bph + (g_i mod_unsigned bph)
   * — hasher i's bits live in its own disjoint segment.
   */
-final class KMBloomSketch(val config: BloomConfig, val bits: BitArray) extends BloomSketch {
+final class KMBloomSketch(val config: BloomConfig, val bits: BitArray,
+    val hashers: KMHashPair = KMHashPair.XxMurmur) extends BloomSketch {
   override def variant: Byte = BloomVariant.KM
+  override def hasherId: Byte = hashers.id
 
   private[this] val k = config.numberOfHashers
   private[this] val bph = config.bitsPerHasher
@@ -105,7 +118,7 @@ final class KMBloomSketch(val config: BloomConfig, val bits: BitArray) extends B
     * (km_bloom_filter.rs:272–285): full value hashed by each algorithm
     * with a fresh, identically-seeded state per call. */
   @inline def baseHashes(bytes: Array[Byte]): (Long, Long) =
-    (Hashing.xxHash64(bytes, 0L), Hashing.murmur3_64(bytes, 0L))
+    (hashers.h1(bytes), hashers.h2(bytes))
 
   /** Insert by precomputed base hashes (hot path for the Spark layer,
     * which hashes once per row upstream). */
@@ -140,7 +153,7 @@ final class KMBloomSketch(val config: BloomConfig, val bits: BitArray) extends B
     mightContainHashes(h1, h2)
   }
 
-  override def copySketch(): KMBloomSketch = new KMBloomSketch(config, bits.copy())
+  override def copySketch(): KMBloomSketch = new KMBloomSketch(config, bits.copy(), hashers)
 }
 
 object KMBloomSketch {
@@ -148,6 +161,11 @@ object KMBloomSketch {
   def apply(capacity: Long, fpp: Double): KMBloomSketch = apply(BloomConfig(capacity, fpp))
   def apply(config: BloomConfig): KMBloomSketch =
     new KMBloomSketch(config, BitArray(config.totalBits))
+  /** Construct with an injected hash pair — `KMBloomFilter::<H1,H2>::new`. */
+  def apply(capacity: Long, fpp: Double, hashers: KMHashPair): KMBloomSketch =
+    apply(BloomConfig(capacity, fpp), hashers)
+  def apply(config: BloomConfig, hashers: KMHashPair): KMBloomSketch =
+    new KMBloomSketch(config, BitArray(config.totalBits), hashers)
 }
 
 /** Per-index seeded Bloom filter — the reference's `SeededBloomFilter`

@@ -183,6 +183,23 @@ object Hashing {
     h1
   }
 
+  // ---------------------------------------------------------------- FNV-1a
+  /** FNV-1a 64-bit (Fowler–Noll–Vo, public-domain spec at
+    * www.isthe.com/chongo/tech/comp/fnv) — the compat/simplicity hash of
+    * the hasher matrix, mirroring the reference sweep's fnv::FnvHasher
+    * (/root/reference/tests/integration.rs:57). The seed folds into the
+    * offset basis; seed 0 is canonical FNV-1a. */
+  def fnv1a64(bytes: Array[Byte], seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** Canonical UTF-8 byte encoding of a string key. */
   @inline def utf8(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 }

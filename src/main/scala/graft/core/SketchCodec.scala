@@ -35,7 +35,8 @@ object SketchCodec {
     val Theta: Byte = 6
     val BottomK: Byte = 7
   }
-  private val Version: Byte = 1
+  // v2: Bloom payload carries the KM hash-pair id (see KMHashPair)
+  private val Version: Byte = 2
 
   private def writer(typeId: Byte, payloadSize: Int): ByteBuffer = {
     val bb = ByteBuffer.allocate(6 + payloadSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -83,12 +84,17 @@ object SketchCodec {
     }
 
   // -------------------------------------------------------------- Bloom
-  // payload: variant(1) keyMode(1) capacity(8) fpp(8) nWords(4) numBits(8) words(8*n)
+  // payload: variant(1) keyMode(1) hasherId(1) capacity(8) fpp(8)
+  //          nWords(4) numBits(8) words(8*n)
   def encodeBloom(s: BloomSketch, keyMode: Byte = KeyMode.Bytes): Array[Byte] = {
+    require(s.hasherId >= 0,
+      "custom (unregistered) hash pairs cannot cross the codec — register " +
+        "the pair with a stable id in KMHashPair to use it in Spark aggregation")
     val w = s.bits.words
-    val bb = writer(TypeId.Bloom, 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length)
+    val bb = writer(TypeId.Bloom, 1 + 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length)
     bb.put(s.variant)
     bb.put(keyMode)
+    bb.put(s.hasherId)
     bb.putLong(s.config.capacity)
     bb.putDouble(s.config.fpp)
     bb.putInt(w.length)
@@ -102,6 +108,7 @@ object SketchCodec {
     val bb = reader(bytes, TypeId.Bloom)
     val variant = bb.get()
     bb.get() // keyMode — surfaced via bloomKeyMode
+    val hasherId = bb.get()
     val capacity = bb.getLong()
     val fpp = bb.getDouble()
     val nWords = bb.getInt()
@@ -114,7 +121,7 @@ object SketchCodec {
       s"corrupt Bloom blob: config says ${cfg.totalBits} bits, payload has $numBits")
     val bits = BitArray.fromWords(words, numBits)
     variant match {
-      case BloomVariant.KM => new KMBloomSketch(cfg, bits)
+      case BloomVariant.KM => new KMBloomSketch(cfg, bits, KMHashPair.byId(hasherId))
       case BloomVariant.Seeded => new SeededBloomSketch(cfg, bits)
       case v => throw new IllegalArgumentException(s"unknown Bloom variant $v")
     }

@@ -16,10 +16,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * Input convention: a canonical key encoding as Array[Byte]
   * (see functions.sketchKey) so one aggregator serves any column tuple.
   */
-class BloomAggregator(capacity: Long, fpp: Double, seeded: Boolean = false)
+class BloomAggregator(capacity: Long, fpp: Double, seeded: Boolean = false,
+    hashers: KMHashPair = KMHashPair.XxMurmur)
     extends Aggregator[Array[Byte], BloomSketch, Array[Byte]] {
   override def zero: BloomSketch =
-    if (seeded) SeededBloomSketch(capacity, fpp) else KMBloomSketch(capacity, fpp)
+    if (seeded) SeededBloomSketch(capacity, fpp)
+    else KMBloomSketch(capacity, fpp, hashers)
   override def reduce(b: BloomSketch, key: Array[Byte]): BloomSketch = {
     if (key != null) b.insert(key)
     b

@@ -33,6 +33,13 @@ object functions {
   def bloomSeededAgg(capacity: Long, fpp: Double)(key: Column): Column =
     udaf(new BloomAggregator(capacity, fpp, seeded = true)).apply(key)
 
+  /** KM Bloom aggregation with an INJECTED hash pair — the reference's
+    * `KMBloomFilter<H1, H2>` genericity (km_bloom_filter.rs:46–48) as a
+    * constructor argument. The pair id travels in the blob, so probes
+    * decode the right pair and cross-pair merges are rejected. */
+  def bloomAggPair(capacity: Long, fpp: Double, hashers: KMHashPair)(key: Column): Column =
+    udaf(new BloomAggregator(capacity, fpp, seeded = false, hashers)).apply(key)
+
   def hllAgg(key: Column, p: Int = HLLSketch.DefaultP): Column =
     udaf(new HllAggregator(p)).apply(key)
 

@@ -86,7 +86,8 @@ class BloomSketchSpec extends AnyFunSuite {
   // -------------------------------------------- statistical FPR gates
   /** integration.rs:148–189 shape: insert 0..n, assert estimated FPP within
     * margin of configured p, probe n disjoint keys, gate observed FP count. */
-  private def fprGate(f: BloomSketch, n: Int, p: Double, margin: Double): Unit = {
+  private def fprGate(f: BloomSketch, n: Int, p: Double, margin: Double,
+      countTol: Double = 0.01): Unit = {
     var i = 0
     while (i < n) { f.insertLong(i.toLong); i += 1 }
     assert(f.approximateCurrentFpp <= p * (1.0 + margin),
@@ -97,7 +98,7 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(fp <= n * p * (1.0 + margin) + 3 * math.sqrt(n * p),
       s"observed $fp false positives over $n probes (p=$p)")
     // element-count estimator near truth (lib.rs:254–261)
-    assert(math.abs(f.approximateElementCount - n) / n <= 0.01,
+    assert(math.abs(f.approximateElementCount - n) / n <= countTol,
       s"element count estimate ${f.approximateElementCount} vs $n")
   }
 
@@ -207,5 +208,75 @@ class BloomSketchSpec extends AnyFunSuite {
     // intersect estimate may over-estimate the true 2500 but is ≤ min input
     assert(x.approximateElementCount <= math.min(a.approximateElementCount,
       b.approximateElementCount) + 1.0)
+  }
+
+  // ------------------------------------------- injected hash-pair matrix
+  // The reference's KMBloomFilter<H1,H2> genericity: its integration
+  // suite sweeps hasher combinations with per-pair FPR margins
+  // (integration.rs:39–146, margins 0.005–0.04 at n=1e6). Same sweep
+  // here over the registered pairs, (FPR margin, element-count tolerance)
+  // re-tuned per pair: FNV-1a as the BASE hash under-disperses the i=0
+  // segment on sequential 8-byte keys (the i=0 probe index depends only
+  // on h1, and FNV outputs of low-entropy inputs form a lattice mod bph),
+  // which skews the popcount-based element estimate ~2% low while the
+  // probe-sequence FPR — protected by the avalanche h2 for i ≥ 1 —
+  // stays within the same margins as the default pair.
+  private val PairMargins: Seq[(KMHashPair, Double, Double)] = Seq(
+    (KMHashPair.XxMurmur, 0.05, 0.01),
+    (KMHashPair.XxFnv, 0.06, 0.01),
+    (KMHashPair.FnvMurmur, 0.06, 0.03),
+    (KMHashPair.XxXx, 0.05, 0.01))
+
+  test("FPR matrix: every registered hash pair within its margin (integration.rs:39–146 sweep)") {
+    val n = 200000
+    for ((pair, margin, countTol) <- PairMargins)
+      withClue(s"pair ${pair.name}: ") {
+        fprGate(KMBloomSketch(n.toLong, 0.001, pair), n, 0.001, margin, countTol)
+      }
+  }
+
+  test("union ≡ bulk holds for every registered pair") {
+    val n = 20000
+    for ((pair, _, _) <- PairMargins) {
+      val cfg = BloomConfig(n.toLong, 0.001)
+      val whole = KMBloomSketch(cfg, pair)
+      val left = KMBloomSketch(cfg, pair)
+      val right = KMBloomSketch(cfg, pair)
+      (0 until n).foreach { i =>
+        whole.insertLong(i.toLong)
+        if (i % 2 == 0) left.insertLong(i.toLong) else right.insertLong(i.toLong)
+      }
+      assert(left.copySketch().unionInPlace(right) === whole, pair.name)
+    }
+  }
+
+  test("cross-pair merge rejected (reference: different type params = different types)") {
+    val a = KMBloomSketch(1000L, 0.01, KMHashPair.XxMurmur)
+    val b = KMBloomSketch(1000L, 0.01, KMHashPair.XxFnv)
+    intercept[IllegalArgumentException](a.copySketch().unionInPlace(b))
+    intercept[IllegalArgumentException](a.copySketch().intersectInPlace(b))
+  }
+
+  test("codec round-trips the hash pair (probe after decode uses the built pair)") {
+    for ((pair, _, _) <- PairMargins) {
+      val f = KMBloomSketch(1000L, 0.01, pair)
+      (0 until 500).foreach(i => f.insert(s"k$i"))
+      val back = SketchCodec.decodeBloom(SketchCodec.encodeBloom(f))
+      assert(back.asInstanceOf[KMBloomSketch].hashers === pair)
+      assert(back === f)
+      (0 until 500).foreach(i => assert(back.mightContain(s"k$i"), pair.name))
+    }
+  }
+
+  test("custom injected pair works at kernel level; codec refuses it") {
+    val pair = KMHashPair.custom(
+      b => Hashing.murmur3_128(b, 7L)._2, b => Hashing.fnv1a64(b, 13L), "mur128hi+fnv")
+    val f = KMBloomSketch(10000L, 0.001, pair)
+    (0 until 10000).foreach(i => f.insertLong(i.toLong))
+    (0 until 10000).foreach(i => assert(f.mightContainLong(i.toLong)))
+    var fp = 0
+    (10000 until 20000).foreach(i => if (f.mightContainLong(i.toLong)) fp += 1)
+    assert(fp <= 10000 * 0.001 * 1.10 + 3 * math.sqrt(10000 * 0.001) + 1, s"custom-pair FPs: $fp")
+    intercept[IllegalArgumentException](SketchCodec.encodeBloom(f))
   }
 }
