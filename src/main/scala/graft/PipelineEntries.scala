@@ -163,24 +163,37 @@ object PipelineEntries {
       Seq((nq, nRes, ok && ranked)).toDF("n_queries", "n_results", "topk_well_formed")
     }),
 
-    // IVF approximate ANN: deterministic codebook, probe 8/16 centroids;
-    // recall@10 vs the exact baseline gated at 0.55 (embeddings are
-    // near-random, so recall tracks the probed fraction — see BENCH.md).
+    // IVF approximate ANN with a TRAINED codebook (deterministic sampled
+    // spherical k-means, VectorPipeline.trainedCodebook — no RNG). Recall
+    // gates at two probe depths vs the exact baseline; ceilings are set
+    // by the DATA, not the index: these 64-dim embeddings are weakly
+    // clustered (mean within-label cosine ≈ 0.14 vs ≈ 0 cross-label), so
+    // recall@10 at a 50% scan fraction tops out ≈ 0.8 and ≥ 0.9 needs
+    // nprobe 12/16 — the measured recall-vs-nprobe sweep is in BENCH.md.
+    // Both gates sit well above the probed fraction (random pruning would
+    // give recall ≈ nprobe/16), proving the codebook actually routes
+    // neighbors together.
     "q17_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = VectorPipeline.embeddings(s, dir).cache()
       val queries = emb.filter(col("vec_id") < 20)
-      val book = VectorPipeline.codebook(emb, 16).cache()
+      val book = VectorPipeline.trainedCodebook(emb, 16).cache()
       val assigned = VectorPipeline.ivfAssign(emb, book).cache()
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
-        .select(col("q_id"), col("n_id"))
-      val ivf = VectorPipeline.ivfTopK(assigned, book, queries, 10, 8)
-        .select(col("q_id"), col("n_id"))
+        .select(col("q_id"), col("n_id")).cache()
       val nq = queries.count()
-      val overlap = bf.join(ivf, Seq("q_id", "n_id")).count()
-      val recall = overlap.toDouble / (nq * 10)
-      assigned.unpersist(); book.unpersist(); emb.unpersist()
-      Seq((nq, recall >= 0.55)).toDF("n_queries", "recall_ok")
+      def recallAt(nprobe: Int): Double = {
+        val ivf = VectorPipeline.ivfTopK(assigned, book, queries, 10, nprobe)
+          .select(col("q_id"), col("n_id"))
+        bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      }
+      val r8 = recallAt(8)
+      val r12 = recallAt(12)
+      bf.unpersist(); assigned.unpersist(); book.unpersist(); emb.unpersist()
+      // measured (deterministic codebook ⇒ exact): r8 = .77/.80/.77,
+      // r12 = .94/.96/.94 across sf0.001/.01/.1 — see BENCH.md sweep
+      Seq((nq, r8 >= 0.70, r12 >= 0.90))
+        .toDF("n_queries", "recall8_ok", "recall12_ok")
     }),
 
     // Language ID heuristic: deterministic classifier; oracle anchors on
@@ -411,7 +424,8 @@ object PipelineEntries {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(COUNT(*) * 10 AS BIGINT) AS n_results, " +
         "true AS topk_well_formed FROM embeddings WHERE vec_id < 20"),
     "q17_ann_ivf" ->
-      "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok FROM embeddings WHERE vec_id < 20",
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall8_ok, " +
+        "true AS recall12_ok FROM embeddings WHERE vec_id < 20"),
     "q18_lang_id" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS deterministic " +
         "FROM documents GROUP BY lang ORDER BY lang"),

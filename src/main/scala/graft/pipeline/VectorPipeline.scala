@@ -41,12 +41,77 @@ object VectorPipeline {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic IVF codebook: the embeddings of the `ncentroids`
-    * smallest vec_ids (no random training — reproducible across runs and
-    * engines). Returns (centroid_id, c_emb). */
+  /** Naive deterministic IVF codebook: the embeddings of the `ncentroids`
+    * smallest vec_ids — kept as the untrained BASELINE for the trained
+    * codebook's recall comparison (and note it is subtly leaky as a
+    * benchmark codebook when the query set is also "smallest vec_ids":
+    * every query is then itself a centroid). Returns (centroid_id, c_emb). */
   def codebook(corpus: DataFrame, ncentroids: Int): DataFrame =
     corpus.orderBy(col("vec_id")).limit(ncentroids)
       .select(monotonically_increasing_id().as("centroid_id"), col("embedding").as("c_emb"))
+
+  /** TRAINED deterministic codebook: sampled spherical k-means with zero
+    * RNG anywhere —
+    *   - sample: the `sampleN` vectors with smallest (xxHash64(vec_id),
+    *     vec_id) — a seeded shuffle that is identical at any parallelism
+    *     and cluster size; computed as a distributed top-k, only the
+    *     sample (sampleN·dim floats) reaches the driver, so at 100 TB
+    *     this is a constant-size pull;
+    *   - init: the first `ncentroids` sample vectors in that hash order;
+    *   - `iters` Lloyd rounds over the normalized sample, centroids
+    *     renormalized each round (spherical k-means = cosine assignment,
+    *     matching ivfAssign/ivfTopK's cosine routing).
+    * Driver-side Lloyd over ≤ sampleN vectors is deliberate: k-means on a
+    * bounded sample is O(sampleN·k·iters·dim) regardless of corpus size,
+    * and keeps the result bit-deterministic (a distributed reduce would
+    * reorder float additions). Returns (centroid_id, c_emb). */
+  def trainedCodebook(corpus: DataFrame, ncentroids: Int, sampleN: Int = 2048,
+      iters: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .collect()
+    val sample: Array[Array[Double]] = rows.flatMap { r =>
+      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) Some(v.map(_ / n)) else None // zero vectors have no direction
+    }
+    require(sample.nonEmpty, "cannot train a codebook on an empty/all-zero corpus")
+    val k = math.min(ncentroids, sample.length)
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(i => sample(i).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += cents(c)(d) * v(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else {
+          val n = math.sqrt(sums(c).map(x => x * x).sum)
+          if (n > 0) sums(c).map(_ / n) else cents(c)
+        }
+      }
+    }
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "c_emb")
+  }
 
   /** Assign every vector to its nearest centroid (write-time step). */
   def ivfAssign(corpus: DataFrame, book: DataFrame): DataFrame = {
