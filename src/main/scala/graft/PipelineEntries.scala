@@ -14,6 +14,10 @@ object PipelineEntries {
 
   private def docs(s: SparkSession, dir: String) = TextPipeline.documents(s, dir)
 
+  /** All physical reads route through the TableSource seam (SURVEY §7.4):
+    * replace with a CatalogSource for an Iceberg deployment. */
+  private def src(dir: String) = graft.spark.TableSource.parquetDir(dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact deduplication: hash-groupBy on the text (at 100 TB: group on
@@ -250,22 +254,34 @@ object PipelineEntries {
         .toDF("n_distinct_texts", "fp_injective", "bloom_zero_fn")
     }),
 
-    // Multimodal stub: binary payload → mapPartitions feature extraction
-    // (decode is a deterministic STUB — no codecs in the container; the
-    // Spark plumbing is real and tested).
-    "q22_multimodal_stub" -> ((s, dir) => {
+    // Multimodal REAL decode: deterministic PPM/BMP/WAV containers are
+    // synthesized per doc_id, then the mapPartitions decode stage parses
+    // the actual container headers; the gate is the encode→parse
+    // round-trip (parsed dims/rates == generator formulas, all size
+    // fields cross-checked against the payload).
+    "q22_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
-      val feats = MultimodalPipeline.extractFeatures(MultimodalPipeline.assets(s, dir))
-      feats.agg(
-        count(lit(1)).as("n_assets"),
-        sum(col("n_bytes")).cast("bigint").as("total_bytes"),
-        (min(col("channels")) === 3 && max(col("width")) <= 320).as("features_well_formed"))
+      val mm = MultimodalPipeline
+      val feats = mm.extractFeatures(mm.assets(s, dir)).cache()
+      val bad = feats.filter { f =>
+        !f.ok || (f.kind match {
+          case "wav" => f.width != mm.sampleCountOf(f.asset_id) ||
+            f.channels != mm.channelsOf(f.asset_id) ||
+            f.sample_rate != mm.sampleRateOf(f.asset_id)
+          case _ => f.width != mm.widthOf(f.asset_id) ||
+            f.height != mm.heightOf(f.asset_id) || f.channels != 3
+        })
+      }.count()
+      val agg = feats.agg(count(lit(1)).as("n")).head
+      feats.unpersist()
+      Seq((agg.getLong(0), agg.getLong(0) - bad, bad == 0L))
+        .toDF("n_assets", "n_decoded_ok", "dims_match")
     }),
 
     // Relational: TPC-H Q1-shaped pricing summary (cents as BIGINT so the
     // oracle is exact — float sums are order-dependent).
     "q23_pricing_summary" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      src(dir).table(s, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_quantity") * 100).cast("bigint")).as("sum_qty_c"),
@@ -276,10 +292,10 @@ object PipelineEntries {
     // Relational: multi-way broadcast join (dims broadcast explicitly —
     // the plan must contain no shuffle join for region/nation/customer).
     "q24_region_revenue" -> ((s, dir) => {
-      val region = s.read.parquet(s"$dir/region.parquet")
-      val nation = s.read.parquet(s"$dir/nation.parquet")
-      val customer = s.read.parquet(s"$dir/customer.parquet")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val region = src(dir).table(s, "region")
+      val nation = src(dir).table(s, "nation")
+      val customer = src(dir).table(s, "customer")
+      val orders = src(dir).table(s, "orders")
       orders
         .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
@@ -294,7 +310,7 @@ object PipelineEntries {
     "q25_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      s.read.parquet(s"$dir/events.parquet")
+      Transcripts.events(s, dir)
         .withColumn("us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
         .withColumn("new_session",
@@ -439,9 +455,9 @@ object PipelineEntries {
     "q21_fingerprint" ->
       ("SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts, true AS fp_injective, " +
         "true AS bloom_zero_fn FROM documents"),
-    "q22_multimodal_stub" ->
-      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_assets, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes, " +
-        "true AS features_well_formed FROM documents"),
+    "q22_multimodal_decode" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_assets, CAST(COUNT(*) AS BIGINT) AS n_decoded_ok, " +
+        "true AS dims_match FROM documents"),
     "q23_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, " +

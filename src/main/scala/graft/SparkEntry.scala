@@ -362,6 +362,22 @@ object SparkEntry {
           "all_sampled_exist", "uniform_ok")
     }),
 
+    // Streaming shapes, oracle-gated (north rule: batch/stream
+    // equivalence is exact for Bloom/HLL/CMS because the micro-batch
+    // fold IS the reference's union, km_bloom_filter.rs:184–194): replay
+    // the transcripts as an AvailableNow file stream in 8 micro-batches;
+    // the incremental foreachBatch union and the windowed aggregation
+    // must match their batch twins bit-for-bit.
+    "q33_stream_batch_equiv" -> ((s, dir) => {
+      val t = Transcripts.load(s, dir)
+      val n = t.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q33_").toString
+      try graft.streaming.StreamingSketch.batchStreamEquivalence(s, t, tmp, cap(n))
+      finally { // best-effort temp cleanup; blobs already materialized
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
+      }
+    }),
+
     // §2.1 #3 genericity: the KM filter takes ANY registered hash pair
     // (reference KMBloomFilter<H1,H2>, km_bloom_filter.rs:46–48; its
     // integration suite sweeps pairs with per-pair FPR margins,
@@ -481,5 +497,8 @@ object SparkEntry {
     "q34_bloom_hasher_pairs" ->
       (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, true AS xx_fnv_ok, " +
         "true AS fnv_murmur_ok, true AS xx_xx_ok FROM transcripts"),
+    "q33_stream_batch_equiv" ->
+      (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS inc_bloom_eq, " +
+        "true AS inc_hll_eq, true AS inc_cms_eq, true AS windowed_eq FROM transcripts"),
   )
 }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
 object TextPipeline {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    documents(spark, graft.spark.TableSource.parquetDir(sfDir))
+
+  def documents(spark: SparkSession, source: graft.spark.TableSource): DataFrame =
+    source.table(spark, "documents")
 
   /** Word 3-shingles, distinct, as an array column — built from codegen'd
     * collection functions only (split/transform/sequence), no UDF.

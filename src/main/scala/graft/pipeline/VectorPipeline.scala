@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
 object VectorPipeline {
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embeddings(spark, graft.spark.TableSource.parquetDir(sfDir))
+
+  def embeddings(spark: SparkSession, source: graft.spark.TableSource): DataFrame =
+    source.table(spark, "embeddings")
 
   /** Cosine similarity of two float-array columns via zip_with +
     * aggregate — pure Catalyst collection functions, codegen'd, no UDF. */

@@ -29,14 +29,21 @@ object Transcripts {
       "FROM events)"
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+    events(spark, TableSource.parquetDir(sfDir))
+
+  def events(spark: SparkSession, source: TableSource): DataFrame =
+    source.table(spark, "events")
 
   /** Spark-side construction of the same table, DataFrame-API-native.
     * The window is per-conversation (small partitions by construction);
     * the row_number never shuffles more than one conversation to a task. */
-  def load(spark: SparkSession, sfDir: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, TableSource.parquetDir(sfDir))
+
+  /** Same, over any [[TableSource]] (the Iceberg-deployment entry). */
+  def load(spark: SparkSession, source: TableSource): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    events(spark, sfDir)
+    events(spark, source)
       .select(
         concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
         row_number().over(w).cast("int").as("turn_idx"),

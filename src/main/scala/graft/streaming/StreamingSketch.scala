@@ -65,6 +65,92 @@ object StreamingSketch {
       }
   }
 
+  /** Batch/stream EQUIVALENCE harness (the oracle behind q33): replays a
+    * transcript table as an AvailableNow file stream in `files`
+    * micro-batches and checks that
+    *   (a) foreachBatch incremental union of per-batch Bloom/HLL/CMS
+    *       blobs is BIT-IDENTICAL to the one-shot batch build — exact,
+    *       not bound-level, because all three merges are associative and
+    *       commutative (reference union law, km_bloom_filter.rs:184–194;
+    *       HLL register max; CMS counter addition), and
+    *   (b) the windowed aggregation (windowedSketches — the SAME code
+    *       runs as a batch groupBy(window)) produces identical
+    *       (window, tool) rows with identical counts and blobs.
+    * Returns one row of booleans + the row count. The transcript table is
+    * materialized once to `tmpDir` because the events→transcript
+    * derivation needs a row_number window, which a file stream cannot
+    * express — production would stream the already-derived append log.
+    * Per-micro-batch aggregation state is bounded by the batch, so the
+    * global-agg-buffer caveat of one-shot builds does not bite here. */
+  def batchStreamEquivalence(spark: SparkSession, transcripts: DataFrame,
+      tmpDir: String, capacity: Long, files: Int = 8): DataFrame = {
+    import spark.implicits._
+    val streamDir = s"$tmpDir/transcripts"
+    transcripts.repartition(files).write.parquet(streamDir)
+    val n = transcripts.count()
+
+    val stream = spark.readStream.schema(transcripts.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+
+    // shape 2: foreachBatch incremental build, one state per sketch type
+    val bloomState = new IncrementalState
+    val hllState = new IncrementalState
+    val cmsState = new IncrementalState
+    val q1 = stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmpDir/ckpt_inc")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val r = batch.agg(
+            bloomAggNative(capacity, 0.001)(col("conv_id"), col("turn_idx")).as("b"),
+            hllAggNative(col("conv_id")).as("h"),
+            cmsAggNative(0.001, 0.01)(col("tool")).as("c")).head
+          bloomState.merge(r.getAs[Array[Byte]]("b"))
+          hllState.merge(r.getAs[Array[Byte]]("h"))
+          cmsState.merge(r.getAs[Array[Byte]]("c"))
+        }
+        ()
+      }
+      .start()
+    q1.awaitTermination()
+
+    val batchRow = transcripts.agg(
+      bloomAggNative(capacity, 0.001)(col("conv_id"), col("turn_idx")).as("b"),
+      hllAggNative(col("conv_id")).as("h"),
+      cmsAggNative(0.001, 0.01)(col("tool")).as("c")).head
+    def eq(state: IncrementalState, c: String): Boolean =
+      state.get.exists(java.util.Arrays.equals(_, batchRow.getAs[Array[Byte]](c)))
+
+    // shape 1: windowed aggregation, stream (complete mode, AvailableNow)
+    // vs the SAME transform run as a plain batch query
+    val sinkName = s"graft_q33_win_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q2 = windowedSketches(stream, capacity = capacity).writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmpDir/ckpt_win")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q2.awaitTermination()
+    val streamWin = spark.table(sinkName)
+    val batchWin = windowedSketches(transcripts, capacity = capacity)
+    val blobEq = udf((a: Array[Byte], b: Array[Byte]) =>
+      a != null && b != null && java.util.Arrays.equals(a, b))
+    val joined = batchWin.as("b").join(streamWin.as("s"), Seq("window", "tool"), "full_outer")
+    val winRow = joined.agg(
+      count(lit(1)).as("n_windows"),
+      coalesce(sum(when(col("b.n_turns") === col("s.n_turns") &&
+        blobEq(col("b.hll_convs"), col("s.hll_convs")) &&
+        blobEq(col("b.bloom_turns"), col("s.bloom_turns")) &&
+        blobEq(col("b.theta_convs"), col("s.theta_convs")), 1L).otherwise(0L)),
+        lit(0L)).as("n_equal")).head
+    val windowedEq = winRow.getLong(0) > 0 && winRow.getLong(0) == winRow.getLong(1)
+
+    Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"), windowedEq))
+      .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq", "windowed_eq")
+  }
+
   /** Input row for the per-conversation stateful operator. */
   case class ConvTurn(conv_id: String, turn_idx: Int)
 
@@ -114,19 +200,13 @@ object StreamingSketch {
       }
   }
 
-  /** Running union of sketch blobs (thread-safe; micro-batches arrive
-    * sequentially but defensive anyway). */
+  /** Running union of sketch blobs of ANY codec type (sniffs the type
+    * byte via SketchMergeAgg.Holder — Bloom, HLL, CMS, theta, …;
+    * thread-safe; micro-batches arrive sequentially but defensive
+    * anyway). */
   final class IncrementalState {
-    private var current: Option[Array[Byte]] = None
-    def merge(blob: Array[Byte]): Unit = synchronized {
-      current = current match {
-        case None => Some(blob)
-        case Some(prev) =>
-          val merged = SketchCodec.decodeBloom(prev)
-            .unionInPlace(SketchCodec.decodeBloom(blob))
-          Some(SketchCodec.encodeBloom(merged, SketchCodec.bloomKeyMode(prev)))
-      }
-    }
-    def get: Option[Array[Byte]] = synchronized(current)
+    private val holder = new SketchMergeAgg.Holder
+    def merge(blob: Array[Byte]): Unit = synchronized { holder.merge(blob) }
+    def get: Option[Array[Byte]] = synchronized(holder.encoded)
   }
 }

@@ -14,26 +14,51 @@ class MultimodalSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val sf = "/root/testdata/sf0.001"
+  private val mm = MultimodalPipeline
 
-  test("feature extraction: deterministic, byte-exact totals, batch shape") {
-    val a = MultimodalPipeline.assets(spark, sf)
-    val f1 = MultimodalPipeline.extractFeatures(a).collect().sortBy(_.asset_id)
-    val f2 = MultimodalPipeline.extractFeatures(a).collect().sortBy(_.asset_id)
-    assert(f1.toSeq === f2.toSeq, "decode stub is not deterministic")
-    val expectedBytes = spark.read.parquet(s"$sf/documents.parquet")
-      .agg(sum(length(col("text")))).head.getLong(0) // ASCII: chars == bytes
-    assert(f1.map(_.n_bytes).sum === expectedBytes)
+  test("real container decode: header-parsed dims equal the generator formulas") {
+    val a = mm.assets(spark, sf)
+    val f1 = mm.extractFeatures(a).collect().sortBy(_.asset_id)
+    val f2 = mm.extractFeatures(a).collect().sortBy(_.asset_id)
+    assert(f1.toSeq === f2.toSeq, "decode is not deterministic")
+    assert(f1.nonEmpty)
+    assert(Set("ppm", "bmp", "wav").subsetOf(f1.map(_.kind).toSet),
+      "all three container formats must appear")
     f1.foreach { f =>
-      assert(f.channels === 3 && f.width >= 64 && f.width < 320 && f.height >= 64)
+      assert(f.ok, s"asset ${f.asset_id} (${f.kind}) failed decode: ${f.err}")
+      f.kind match {
+        case "ppm" | "bmp" =>
+          assert(f.width === mm.widthOf(f.asset_id), s"asset ${f.asset_id} width")
+          assert(f.height === mm.heightOf(f.asset_id), s"asset ${f.asset_id} height")
+          assert(f.channels === 3)
+        case "wav" =>
+          assert(f.width === mm.sampleCountOf(f.asset_id), s"asset ${f.asset_id} samples")
+          assert(f.channels === mm.channelsOf(f.asset_id))
+          assert(f.sample_rate === mm.sampleRateOf(f.asset_id))
+      }
+    }
+  }
+
+  test("corrupt container surfaces ok=false with the parse error, no crash") {
+    val good = mm.assets(spark, sf).head(3)
+    good.foreach { a =>
+      val truncated = a.copy(payload = a.payload.take(10))
+      val f = mm.decode(truncated)
+      assert(!f.ok)
+      assert(f.err != null && f.err.nonEmpty)
+      // a flipped magic byte must not parse as the right format
+      val mangled = a.payload.clone()
+      mangled(0) = 'X'.toByte
+      assert(!mm.decode(a.copy(payload = mangled)).ok)
     }
   }
 
   test("frame sampling: 1:N explode with stride, offsets in range") {
-    val a = MultimodalPipeline.assets(spark, sf)
-    val frames = MultimodalPipeline.sampleFrames(a, stride = 16)
+    val a = mm.assets(spark, sf)
+    val frames = mm.sampleFrames(a, stride = 16)
     val byAsset = frames.groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n"), max(col("frame_offset")).as("maxo")).collect()
-    val sizes = MultimodalPipeline.extractFeatures(a).collect()
+    val sizes = mm.extractFeatures(a).collect()
       .map(f => f.asset_id -> f.n_bytes).toMap
     byAsset.foreach { r =>
       val id = r.getLong(0)
