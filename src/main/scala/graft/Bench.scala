@@ -151,7 +151,9 @@ object Bench {
     // Rounds are INTERLEAVED across levels (A B C, A B C, ...) so ambient
     // noise on this shared VM hits every level equally; min-of-rounds is
     // robust to GC and neighbor spikes. Fresh session + warm-up per round.
-    val rounds = 3
+    // 5 rounds (up from 3): the 8→32 pair rides the VM's effective-core
+    // ceiling, so its estimate needs the extra samples.
+    val rounds = 5
     val samples = scala.collection.mutable.Map.empty[Int, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to rounds; cpus <- levels) {
@@ -201,8 +203,15 @@ object Bench {
 
     val effPairs = Seq((4, 16), (8, 32)).filter { case (lo, hi) =>
       levels.contains(lo) && levels.contains(hi) }
+    // eff_over_hw is FIRST-CLASS (not prose): job efficiency divided by
+    // what raw arithmetic scales to on this box at the same pair — the
+    // north-rule ≥0.8 claim should be read against this where the VM
+    // itself stops scaling (the 8→32 pair on this shared VM).
     val pairs = effPairs.map { case (lo, hi) =>
-      f""""eff_${lo}_to_$hi":${eff(lo, hi, jobSecs)}%.3f,"hw_ceiling_${lo}_to_$hi":${hwEff(lo, hi)}%.3f"""
+      val e = eff(lo, hi, jobSecs)
+      val hw = hwEff(lo, hi)
+      f""""eff_${lo}_to_$hi":$e%.3f,"hw_ceiling_${lo}_to_$hi":$hw%.3f""" +
+        f""","eff_over_hw_${lo}_to_$hi":${e / hw}%.3f"""
     }.mkString(",")
     val levelJson = levels.map { c =>
       f""""local_$c":{"secs":${jobSecs(c)}%.3f,"turns_per_sec":${turns / jobSecs(c)}%.0f}"""

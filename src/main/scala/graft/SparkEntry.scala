@@ -371,8 +371,12 @@ object SparkEntry {
     "q33_stream_batch_equiv" -> ((s, dir) => {
       val t = Transcripts.load(s, dir)
       val n = t.count()
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q33_").toString
-      try graft.streaming.StreamingSketch.batchStreamEquivalence(s, t, tmp, cap(n))
+      // tmpfs when available: the stream replay + two checkpoints are
+      // pure fixed cost, keep them off rotating disk
+      val base = java.nio.file.Paths.get(
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp")
+      val tmp = java.nio.file.Files.createTempDirectory(base, "graft_q33_").toString
+      try graft.streaming.StreamingSketch.batchStreamEquivalence(s, t, tmp, cap(n), files = 4)
       finally { // best-effort temp cleanup; blobs already materialized
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
       }

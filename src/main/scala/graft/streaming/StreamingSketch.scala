@@ -88,6 +88,20 @@ object StreamingSketch {
     val streamDir = s"$tmpDir/transcripts"
     transcripts.repartition(files).write.parquet(streamDir)
     val n = transcripts.count()
+    // streaming state-store instances track shuffle partitions; the
+    // windowed state here is a handful of (window, tool) groups, so run
+    // the streams at 8 partitions and restore the session setting after
+    // (merge results are partitioning-independent — that's the theorem
+    // under test)
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try batchStreamEquivalenceInner(spark, transcripts, tmpDir, streamDir, capacity, n)
+    finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+  }
+
+  private def batchStreamEquivalenceInner(spark: SparkSession, transcripts: DataFrame,
+      tmpDir: String, streamDir: String, capacity: Long, n: Long): DataFrame = {
+    import spark.implicits._
 
     val stream = spark.readStream.schema(transcripts.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)

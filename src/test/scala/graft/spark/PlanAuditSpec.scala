@@ -67,6 +67,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial aggregate below the exchange:\n$plan")
   }
 
+  test("sharded global build: repartition-by-shard feeds the grouped agg, " +
+      "merge stage sees blobs only (no full-size buffer per input partition)") {
+    val t = Transcripts.load(spark, sf)
+    val df = shardedSketchBlobs(t.select(col("conv_id"), col("turn_idx")), 8, col("conv_id"))(
+      "sk" -> bloomAggNative(1000L, 0.01)(col("conv_id"), col("turn_idx")))
+    val plan = planOf(df)
+    // the row shuffle is the EXPLICIT repartition (shard count chosen by
+    // the caller), not an aggregation ENSURE_REQUIREMENTS exchange — that
+    // is what bounds live full-size buffers to the shard count
+    val rep = plan.indexOf("REPARTITION_BY_NUM")
+    assert(rep >= 0, s"no explicit shard repartition:\n$plan")
+    // below the repartition: only the scan/projection — the per-shard
+    // grouped aggregate (where full-size buffers live) sits ABOVE it
+    val aggBelowRep = plan.indexOf("ObjectHashAggregate", rep)
+    assert(aggBelowRep < 0, s"aggregate below the shard repartition:\n$plan")
+    // the second stage (sketch_merge_agg) must also plan partial+final,
+    // so only merged blobs cross the last exchange
+    assert(plan.contains("graft_sketch_merge_agg"), s"no merge stage:\n$plan")
+  }
+
   test("multi-way dim join plans as broadcast, not shuffle join") {
     val q = graft.SparkEntry.queries("q24_region_revenue")
     val plan = planOf(q(spark, sf))
