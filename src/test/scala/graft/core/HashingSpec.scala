@@ -86,4 +86,16 @@ class HashingSpec extends AnyFunSuite {
     val b = "conv-1|3".getBytes(UTF_8)
     assert(Hashing.xxHash64(b, 0L) !== Hashing.murmur3_64(b, 0L))
   }
+
+  test("fnv1a64 matches the published FNV-1a test vectors (seed 0 = canonical)") {
+    // vectors from the public FNV reference (isthe.com/chongo/tech/comp/fnv)
+    def f(s: String): Long = Hashing.fnv1a64(s.getBytes(UTF_8), 0L)
+    assert(f("") === 0xcbf29ce484222325L) // the offset basis itself
+    assert(f("a") === 0xaf63dc4c8601ec8cL)
+    assert(f("foobar") === 0x85944171f73967e8L)
+    // seed folds into the offset basis: seed 0 must be canonical, other
+    // seeds must change the output
+    assert(Hashing.fnv1a64("key".getBytes(UTF_8), 1L)
+      !== Hashing.fnv1a64("key".getBytes(UTF_8), 0L))
+  }
 }
