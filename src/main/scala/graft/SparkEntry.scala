@@ -382,6 +382,37 @@ object SparkEntry {
       }
     }),
 
+    // THE 10^12-turn query path end-to-end, oracle-gated: build the
+    // resumable sharded checkpoint (CheckpointedBuild, 256 per-shard
+    // filters + lineage), then answer membership by ROUTING each probe
+    // to its shard's filter (catalyst.probeShardTable) — the global
+    // filter never exists as one object and no shard blob reaches the
+    // driver. Gates: zero FN over every inserted key; disjoint-key FPR
+    // at the per-shard configured bound. Capacity is 16n because shards
+    // are conv-granular (hash of conv_id): a shard's load is whole
+    // conversations, so per-shard sizing must absorb conv-count skew.
+    "q35_sharded_probe" -> ((s, dir) => {
+      import s.implicits._
+      val t = Transcripts.load(s, dir).cache()
+      val n = t.count()
+      val base = java.nio.file.Paths.get(
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp")
+      val tmp = java.nio.file.Files.createTempDirectory(base, "graft_q35_").toString
+      try {
+        graft.pipeline.CheckpointedBuild.run(s, t, s"$tmp/ckpt", 16 * cap(n), P, "q35")
+        val hits = graft.pipeline.CheckpointedBuild
+          .probeShards(s, s"$tmp/ckpt", t, col("conv_id"), col("turn_idx")).count()
+        val disjoint = t.withColumn("turn_idx", (col("turn_idx") + 1000000).cast("int"))
+        val fp = graft.pipeline.CheckpointedBuild
+          .probeShards(s, s"$tmp/ckpt", disjoint, col("conv_id"), col("turn_idx")).count()
+        t.unpersist()
+        val fprOk = fp <= n * P * 1.05 + 3 * math.sqrt(n * P) + 1
+        Seq((n, hits == n, fprOk)).toDF("n_turns", "zero_fn", "fpr_ok")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
+      }
+    }),
+
     // §2.1 #3 genericity: the KM filter takes ANY registered hash pair
     // (reference KMBloomFilter<H1,H2>, km_bloom_filter.rs:46–48; its
     // integration suite sweeps pairs with per-pair FPR margins,
@@ -504,5 +535,7 @@ object SparkEntry {
     "q33_stream_batch_equiv" ->
       (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS inc_bloom_eq, " +
         "true AS inc_hll_eq, true AS inc_cms_eq, true AS windowed_eq FROM transcripts"),
+    "q35_sharded_probe" ->
+      s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS zero_fn, true AS fpr_ok FROM transcripts",
   )
 }

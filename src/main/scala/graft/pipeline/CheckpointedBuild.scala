@@ -132,6 +132,16 @@ object CheckpointedBuild {
     (t._2, t._3, t._4)
   }
 
+  /** Membership probe against the CHECKPOINT's shard table without
+    * merging it (catalyst.probeShardTable with this build's shard
+    * function): the 10^12-turn query path — the global filter never
+    * exists as one object, probes route to their shard's blob. Returns
+    * the (conv_id, turn_idx, …) probe rows that might be contained. */
+  def probeShards(spark: SparkSession, checkpointDir: String, probes: DataFrame,
+      convId: org.apache.spark.sql.Column, turnIdx: org.apache.spark.sql.Column): DataFrame =
+    probeShardTable(lineage(spark, checkpointDir).select(col("shard"), col("sketch")),
+      "shard", "sketch", NumShards, probes, convId, convId, turnIdx)
+
   /** Verify the checkpoint against current input: recompute per-shard
     * (rows, fingerprint) and flag shards whose input changed since build. */
   def staleShards(spark: SparkSession, transcripts: DataFrame, checkpointDir: String): DataFrame = {

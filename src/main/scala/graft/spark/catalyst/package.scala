@@ -83,6 +83,31 @@ package object catalyst {
       .agg(stage2.head, stage2.tail: _*)
   }
 
+  /** Probe a SHARD TABLE of row-hash Bloom filters WITHOUT ever merging
+    * it — the query shape that actually exists at 10^12 turns, where the
+    * global filter is never one object (65k shards × 27 MB; merging it
+    * is exactly the driver-pull this library avoids). Each probe row is
+    * routed to its shard by the SAME shard function the build used, the
+    * shard table joins in (broadcast while it fits — Spark picks it for
+    * a small sketch table; co-partitioned shuffle join beyond that), and
+    * only that shard's filter is tested. Returns the probe rows that
+    * might be contained (zero false negatives per shard, reference
+    * lib.rs:207–208; FP rate = the per-shard configured fpp).
+    *
+    * `shardTable` must carry (`shardCol`: long, `sketchCol`: row-hash
+    * Bloom blob); `shardOn` must reproduce the build's shard key and
+    * `keys` its sketch key columns. */
+  def probeShardTable(shardTable: DataFrame, shardCol: String, sketchCol: String,
+      numShards: Int, probes: DataFrame, shardOn: Column, keys: Column*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val routed = probes.withColumn("__graft_probe_shard", saltBucket(numShards, shardOn))
+    routed
+      .join(shardTable.select(col(shardCol).as("__graft_probe_shard"), col(sketchCol)),
+        Seq("__graft_probe_shard"), "left")
+      .filter(bloomMightContainNative(col(sketchCol), keys: _*))
+      .drop("__graft_probe_shard", sketchCol)
+  }
+
   /** Skew salt: a deterministic bucket in [0, buckets) derived from the
     * salt columns. Standard two-stage pattern:
     *   df.groupBy($"hotKey", saltBucket(buckets, $"row_discriminator"))
