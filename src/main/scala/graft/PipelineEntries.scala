@@ -186,14 +186,19 @@ object PipelineEntries {
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
         .select(col("q_id"), col("n_id")).cache()
       val nq = queries.count()
+      // ONE assignment-join + cosine pass serves both probe depths: the
+      // nprobe=8 candidate set is the probe_rank<=8 slice of the
+      // nprobe=12 scored relation
+      val scored = VectorPipeline.ivfScoredCandidates(assigned, book, queries, 12).cache()
       def recallAt(nprobe: Int): Double = {
-        val ivf = VectorPipeline.ivfTopK(assigned, book, queries, 10, nprobe)
+        val ivf = VectorPipeline
+          .topKFromScored(scored.filter(col("probe_rank") <= nprobe), 10)
           .select(col("q_id"), col("n_id"))
         bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
       }
       val r8 = recallAt(8)
       val r12 = recallAt(12)
-      bf.unpersist(); assigned.unpersist(); book.unpersist(); emb.unpersist()
+      scored.unpersist(); bf.unpersist(); assigned.unpersist(); book.unpersist(); emb.unpersist()
       // measured (deterministic codebook ⇒ exact): r8 = .77/.80/.77,
       // r12 = .94/.96/.94 across sf0.001/.01/.1 — see BENCH.md sweep
       Seq((nq, r8 >= 0.70, r12 >= 0.90))
@@ -356,6 +361,53 @@ object PipelineEntries {
         .orderBy(col("role"))
     }),
 
+    // Grouped quantile-sketch TABLE (the per-group analogue of q10):
+    // one grouped pass builds a KLL per source over whitespace token
+    // counts; each group's p50/p95 estimates are rank-checked against
+    // the group's exact distribution in a second single pass. Exact
+    // anchors (per-source doc counts) are DuckDB-recomputed.
+    "q36_kll_by_source" -> ((s, dir) => {
+      import graft.spark.catalyst._
+      val d = docs(s, dir)
+        .select(col("source"), TextPipeline.wsTokenCount(col("text")).cast("double").as("tok"))
+        .cache()
+      val grouped = d.groupBy(col("source"))
+        .agg(kllAggNative(col("tok")).as("sk"), count(lit(1)).as("n_docs"))
+        .collect() // one small row per source — the sketch TABLE shape
+      // per-group quantile estimates, decoded once on the driver
+      val qs = grouped.map { r =>
+        val kll = SketchCodec.decodeKll(r.getAs[Array[Byte]]("sk"))
+        (r.getString(0), r.getAs[Long]("n_docs"), kll.quantile(0.5), kll.quantile(0.95),
+          3 * kll.normalizedRankError)
+      }.sortBy(_._1)
+      // ONE pass computes every group's exact STRICT and NON-STRICT
+      // ranks of both estimates. Token counts are integers with heavy
+      // ties, so the correct KLL criterion is the tie-aware interval:
+      // rank(< v)/n ≤ q + ε  AND  rank(≤ v)/n ≥ q − ε (the returned
+      // value's rank INTERVAL must intersect [q−ε, q+ε]).
+      val rankAggs = qs.flatMap { case (src, _, q50, q95, _) =>
+        def rk(q: Double, strict: Boolean, nm: String) = {
+          val cmp = if (strict) col("tok") < q else col("tok") <= q
+          coalesce(sum(when(col("source") === src && cmp, 1L).otherwise(0L)), lit(0L))
+            .as(s"${nm}_$src")
+        }
+        Seq(rk(q50, strict = true, "lt50"), rk(q50, strict = false, "le50"),
+          rk(q95, strict = true, "lt95"), rk(q95, strict = false, "le95"))
+      }
+      val ranks = d.agg(rankAggs.head, rankAggs.tail: _*).head
+      d.unpersist()
+      import s.implicits._
+      qs.map { case (src, n, _, _, bound) =>
+        def ok(q: Double, nm: String): Boolean = {
+          val lt = ranks.getAs[Long](s"lt$nm" + s"_$src").toDouble / n
+          val le = ranks.getAs[Long](s"le$nm" + s"_$src").toDouble / n
+          lt <= q + bound && le >= q - bound
+        }
+        (src, n, ok(0.5, "50"), ok(0.95, "95"))
+      }.toSeq.toDF("source", "n_docs", "p50_ok", "p95_ok")
+        .orderBy(col("source"))
+    }),
+
     // Native-expression path end-to-end over transcripts (the production
     // aggregate path is oracle-gated too, not just the udaf path).
     "q26_native_sketch" -> ((s, dir) => {
@@ -483,5 +535,8 @@ object PipelineEntries {
     "q27_salted_rollup" ->
       (s"$C SELECT role, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct, " +
         "true AS two_stage_ok FROM transcripts GROUP BY role ORDER BY role"),
+    "q36_kll_by_source" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS p50_ok, true AS p95_ok " +
+        "FROM documents GROUP BY source ORDER BY source"),
   )
 }

@@ -201,22 +201,38 @@ object VectorPipeline {
       .distinct()
   }
 
-  /** IVF top-k: probe the nprobe nearest centroids per query, scan only
-    * those inverted lists. */
-  def ivfTopK(assigned: DataFrame, book: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+  /** Scored IVF candidates with the PROBE RANK retained: one centroid
+    * ranking + one inverted-list join + one cosine pass serves every
+    * probe depth ≤ maxProbe (filter `probe_rank <= nprobe`, then rank
+    * top-k) — multi-depth recall gates and sweeps reuse a single scan
+    * instead of re-scanning per depth. Returns
+    * (q_id, n_id, cos, probe_rank). */
+  def ivfScoredCandidates(assigned: DataFrame, book: DataFrame, queries: DataFrame,
+      maxProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qc = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(book))
       .select(col("q_id"), col("q_emb"), col("centroid_id"),
         cosine(col("q_emb"), col("c_emb")).as("ccos"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = qc.withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("centroid_id"))
-    val scored = probes.join(assigned, "centroid_id")
+    val probes = qc.withColumn("probe_rank", row_number().over(wq))
+      .filter(col("probe_rank") <= maxProbe)
+      .select(col("q_id"), col("q_emb"), col("centroid_id"), col("probe_rank"))
+    probes.join(assigned, "centroid_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        cosine(col("q_emb"), col("embedding")).as("cos"), col("probe_rank"))
+  }
+
+  /** IVF top-k: probe the nprobe nearest centroids per query, scan only
+    * those inverted lists. */
+  def ivfTopK(assigned: DataFrame, book: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    topKFromScored(ivfScoredCandidates(assigned, book, queries, nprobe), k)
+
+  /** Rank a scored candidate relation to per-query top-k. */
+  def topKFromScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -30,13 +30,16 @@ object IvfSweep {
           "naive" -> VectorPipeline.codebook(emb, 16))) {
         val b = book.cache()
         val assigned = VectorPipeline.ivfAssign(emb, b).cache()
+        // one scored pass at the deepest probe serves the whole sweep
+        val scored = VectorPipeline.ivfScoredCandidates(assigned, b, queries, 16).cache()
         for (nprobe <- Seq(4, 6, 8, 10, 12, 14, 16)) {
-          val ivf = VectorPipeline.ivfTopK(assigned, b, queries, 10, nprobe)
+          val ivf = VectorPipeline
+            .topKFromScored(scored.filter(col("probe_rank") <= nprobe), 10)
             .select(col("q_id"), col("n_id"))
           val recall = bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
           println(f"$sf,$name,$nprobe,$recall%.3f")
         }
-        assigned.unpersist(); b.unpersist()
+        scored.unpersist(); assigned.unpersist(); b.unpersist()
       }
       bf.unpersist(); emb.unpersist()
     }
