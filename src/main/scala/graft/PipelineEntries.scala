@@ -109,6 +109,27 @@ object PipelineEntries {
       out
     }),
 
+    // Near-dup CLUSTERING: pair detection → connected components →
+    // canonical doc per cluster (what an actual dedup pass ships: keep
+    // one survivor per cluster). Iterative min-label propagation over
+    // the EXACT Jaccard≥1/2 pair graph (oracle-clean; q13 proves the
+    // LSH candidate set equals this pair set on this corpus, so the
+    // scale path clusters identically). Cluster stats are fully
+    // value-level — DuckDB recomputes them with a recursive CTE.
+    "q37_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = TextPipeline.exactJaccardPairs(docs(s, dir))
+        .select(col("doc_a"), col("doc_b")).cache()
+      val labels = TextPipeline.dedupClusters(pairs).cache()
+      val nDocs = labels.count()
+      val row = labels.groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(max(col("sz")), lit(0L)).as("mx")).head
+      labels.unpersist(); pairs.unpersist()
+      Seq((nDocs, row.getLong(0), row.getLong(1)))
+        .toDF("n_clustered_docs", "n_clusters", "max_cluster_size")
+    }),
+
     // Winnowing rolling-hash fingerprints (SIGMOD 2003 / MOSS): k-gram
     // Rabin–Karp rolling hash → window-min selection → inverted-index
     // candidate pairs. Anchors: doc counts + the guaranteed-pair relation
@@ -538,5 +559,22 @@ object PipelineEntries {
     "q36_kll_by_source" ->
       ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS p50_ok, true AS p95_ok " +
         "FROM documents GROUP BY source ORDER BY source"),
+    // connected components in the oracle: transitive closure by
+    // recursive CTE, then min reachable id per node = the cluster label
+    "q37_dedup_clusters" ->
+      (s"""WITH RECURSIVE ${PairCte.stripPrefix("WITH ")},
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |  JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE 2 * n_common >= ca.n + cb.n - n_common),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(s, d) AS (SELECT s, d FROM e
+         |  UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+         |lab AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS label FROM reach GROUP BY s),
+         |cl AS (SELECT label, COUNT(*) AS sz FROM lab GROUP BY label)
+         |SELECT CAST((SELECT COUNT(*) FROM lab) AS BIGINT) AS n_clustered_docs,
+         |CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clusters,
+         |CAST(COALESCE((SELECT MAX(sz) FROM cl), 0) AS BIGINT) AS max_cluster_size"""
+        .stripMargin.replace("\n", " ")),
   )
 }

@@ -266,6 +266,57 @@ object TextPipeline {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  // -------------------------------------------------- near-dup clustering
+  /** Connected components over a near-dup PAIR relation — the step that
+    * turns pair detection into actual deduplication (pick one canonical
+    * doc per cluster, drop the rest). Iterative minimum-label
+    * propagation: every node repeatedly adopts the smallest label among
+    * itself and its neighbors until a fixpoint; each round is one
+    * distributed join+groupBy, and the round count is bounded by the
+    * cluster diameter — near-dup clusters are dense and shallow (a dup
+    * group's diameter is small by construction), so this converges in a
+    * handful of rounds where a general graph might need many. Each round
+    * materializes (cache + count) so the lineage stays flat — the
+    * standard iterative-algorithm discipline on Spark. Throws if
+    * `maxIters` rounds don't reach the fixpoint rather than returning a
+    * half-propagated labeling.
+    *
+    * Returns (doc_id, canonical_id) for every doc that appears in a
+    * pair; canonical_id = the cluster's minimum doc_id. Docs with no
+    * near-dup pair are their own canonical and are NOT emitted (join
+    * with the corpus and coalesce for the full mapping). */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .cache()
+    labels.count()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("neighbor_label"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"),
+          (coalesce(col("neighbor_label"), col("label")) < col("label")).as("__chg"))
+        .cache()
+      changed = updated.filter(col("__chg")).count()
+      labels.unpersist()
+      labels = updated.drop("__chg")
+      iters += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   // ------------------------------------------------------------ language ID
   /** Deterministic n-gram/stopword language heuristic. The synthetic
     * corpus's text does not correlate with its `lang` column, so accuracy

@@ -123,4 +123,23 @@ class TextPipelineSpec extends AnyFunSuite {
     val scores = df.select(qualityScore($"text").as("q")).collect().map(_.getDouble(0))
     scores.foreach(s => assert(s >= 0.0 && s <= 1.0, s"score $s out of range"))
   }
+
+  test("dedupClusters: min-label propagation over chains, stars, singletons") {
+    import spark.implicits._
+    // chain 20-21-22-23 needs multiple propagation rounds; star 1-(2,3);
+    // isolated pair 10-11; docs with no pairs must not appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val got = TextPipeline.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // empty pair relation: empty labeling, no crash
+    assert(TextPipeline.dedupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .count() === 0L)
+    // non-convergence surfaces as an error, not a wrong labeling
+    intercept[IllegalArgumentException](
+      TextPipeline.dedupClusters(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b"), maxIters = 1))
+  }
 }
