@@ -382,6 +382,43 @@ object PipelineEntries {
         .orderBy(col("role"))
     }),
 
+    // Stratified holdout sampling: ONE grouped pass yields a
+    // deterministic bottom-k sample PER STRATUM (lang) — the per-group
+    // eval-split primitive. Gates: per-stratum sample sizes are exact
+    // (DuckDB recomputes LEAST(k, n)), every sampled doc exists in its
+    // stratum, and the per-stratum blobs are bit-identical at a
+    // different parallelism (partitioning-invariance, the property that
+    // makes the split reproducible on any cluster).
+    "q38_bottomk_by_lang" -> ((s, dir) => {
+      import graft.spark.catalyst._
+      val k = 64
+      val d = docs(s, dir)
+        .select(col("lang"), col("doc_id").cast("string").as("did")).cache()
+      val g1 = d.groupBy(col("lang"))
+        .agg(bottomKSampleAgg(k)(col("did")).as("sk"), count(lit(1)).as("n_docs"))
+      val g2 = d.repartition(13, col("did")).groupBy(col("lang"))
+        .agg(bottomKSampleAgg(k)(col("did")).as("sk2"))
+      val eqUdf = udf((a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b))
+      val samples = g1.join(g2, "lang")
+        .select(col("lang"), col("n_docs"),
+          eqUdf(col("sk"), col("sk2")).as("parallelism_invariant"),
+          graft.spark.functions.bottomKSampleStrings(col("sk")).as("sample"))
+        .cache()
+      val missPerLang = samples
+        .select(col("lang"), explode(col("sample")).as("did"))
+        .join(d, Seq("lang", "did"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_missing"))
+      // caches stay live for the caller's execution of the returned plan
+      // (samples feeds the output twice); both relations are tiny — one
+      // row per stratum and one narrow row per doc
+      samples.join(missPerLang, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          size(col("sample")).cast("bigint").as("sample_size"),
+          col("parallelism_invariant"),
+          coalesce(col("n_missing"), lit(0L)).===(0L).as("all_sampled_exist"))
+        .orderBy(col("lang"))
+    }),
+
     // Grouped quantile-sketch TABLE (the per-group analogue of q10):
     // one grouped pass builds a KLL per source over whitespace token
     // counts; each group's p50/p95 estimates are rank-checked against
@@ -559,6 +596,11 @@ object PipelineEntries {
     "q36_kll_by_source" ->
       ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS p50_ok, true AS p95_ok " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q38_bottomk_by_lang" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(LEAST(64, COUNT(*)) AS BIGINT) AS sample_size, " +
+        "true AS parallelism_invariant, true AS all_sampled_exist " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // connected components in the oracle: transitive closure by
     // recursive CTE, then min reachable id per node = the cluster label
     "q37_dedup_clusters" ->
