@@ -35,6 +35,16 @@ object KernelSmoke {
     val kl = KLLSketch()
     (1 to 100000).foreach { i => t.update(i.toDouble); kl.update(i.toDouble) }
     println(f"tdigest p99=${t.quantile(0.99)}%.0f kll p99=${kl.quantile(0.99)}%.0f (true 99000)")
+    // injected hash pairs: build+probe each registered pair through the
+    // codec (the KMBloomFilter<H1,H2> surface)
+    for (pair <- KMHashPair.registered) {
+      val f = KMBloomSketch(10000L, 0.001, pair)
+      (0 until 10000).foreach(i => f.insert(s"k$i"))
+      val back = SketchCodec.decodeBloom(SketchCodec.encodeBloom(f))
+      val fn = (0 until 10000).count(i => !back.mightContain(s"k$i"))
+      val fp = (10000 until 20000).count(i => back.mightContain(s"k$i"))
+      println(s"pair ${pair.name}: fn=$fn (expect 0) fp=$fp/10000 (expect ~10)")
+    }
     val ta = ThetaSketch()
     val tb = ThetaSketch()
     (0 until 60000).foreach(i => ta.updateHash(Hashing.xxHash64Long(i.toLong, 0L)))
