@@ -141,18 +141,39 @@ case class BloomSketchAgg(
 }
 
 /** Per-instance decode memo used by both the interpreted and codegen'd
-  * probe paths (the blob is usually one repeated literal/broadcast value,
-  * so the identity check hits on every row after the first). */
+  * probe paths. Two tiers:
+  *   - last-blob identity check: free, hits on every row when the blob
+  *     is one repeated literal/broadcast value (the common probe);
+  *   - bounded identity MAP behind it: a probe against a SHARD TABLE
+  *     (probeShardTable) streams rows whose sketch column alternates
+  *     between up-to-numShards distinct blob instances — without the
+  *     map, every alternation would re-decode a multi-MB blob per row.
+  * Keys are object identities (the join/broadcast machinery hands back
+  * the same array instance per shard), so lookups never hash the blob
+  * bytes. Cleared wholesale past 256 entries — shard tables at that
+  * size should be co-partitioned anyway. */
 final class BloomProbeHelper extends Serializable {
   @transient private[this] var cachedBlob: Array[Byte] = _
   @transient private[this] var cachedSketch: KMBloomSketch = _
+  @transient private[this] var decoded: java.util.IdentityHashMap[Array[Byte], KMBloomSketch] = _
+
+  private def decode(blob: Array[Byte]): KMBloomSketch = {
+    if (decoded == null) decoded = new java.util.IdentityHashMap
+    var s = decoded.get(blob)
+    if (s == null) {
+      require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
+        "sketch was built with byte keys; probe it with graft.spark.functions")
+      s = SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
+      if (decoded.size >= 256) decoded.clear()
+      decoded.put(blob, s)
+    }
+    s
+  }
 
   def probe(blob: Array[Byte], h1: Long, h2: Long): Boolean = {
     if (blob == null) return false
     if (!(blob eq cachedBlob)) {
-      require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
-        "sketch was built with byte keys; probe it with graft.spark.functions")
-      cachedSketch = SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
+      cachedSketch = decode(blob)
       cachedBlob = blob
     }
     cachedSketch.mightContainHashes(h1, h2)

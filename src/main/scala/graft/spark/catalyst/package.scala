@@ -100,6 +100,14 @@ package object catalyst {
   def probeShardTable(shardTable: DataFrame, shardCol: String, sketchCol: String,
       numShards: Int, probes: DataFrame, shardOn: Column, keys: Column*): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // Decode locality, by join strategy: a big shard table exceeds the
+    // broadcast threshold, so the join co-partitions both sides by shard
+    // (each task streams one-ish shard's rows — the probe expression's
+    // last-blob memo hits); a broadcastable shard table is small, and
+    // BloomProbeHelper's bounded identity map absorbs the interleaved
+    // shards without per-row re-decode. No explicit repartition needed —
+    // the planner already picks the co-partitioning exactly when it
+    // matters.
     val routed = probes.withColumn("__graft_probe_shard", saltBucket(numShards, shardOn))
     routed
       .join(shardTable.select(col(shardCol).as("__graft_probe_shard"), col(sketchCol)),

@@ -160,6 +160,7 @@ object StreamingSketch {
         blobEq(col("b.theta_convs"), col("s.theta_convs")), 1L).otherwise(0L)),
         lit(0L)).as("n_equal")).head
     val windowedEq = winRow.getLong(0) > 0 && winRow.getLong(0) == winRow.getLong(1)
+    spark.catalog.dropTempView(sinkName) // memory sink hygiene (winRow is materialized)
 
     Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"), windowedEq))
       .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq", "windowed_eq")
