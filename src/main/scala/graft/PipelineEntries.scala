@@ -47,18 +47,26 @@ object PipelineEntries {
       out
     }),
 
-    // SimHash near-dup. Gate: TWO structurally independent 8-band
-    // decompositions (contiguous bytes vs bit-interleaved), EACH provably
-    // exhaustive for hd≤7 by pigeonhole, must produce the same hd≤6 pair
-    // set. Equality of two independent complete paths replaces the old
-    // driver-side O(n²) popcount loop — fully distributed, scales with
-    // the corpus (set equality = three distributed counts).
+    // SimHash near-dup. Gate: TWO independently-constructed complete
+    // paths must produce the same hd≤6 pair set —
+    //   path A: contiguous byte-banding + Catalyst bit_count filter
+    //           (the production path);
+    //   path B: bit-INTERLEAVED banding + a lookup-table popcount UDF
+    //           (shares neither band structure nor the Hamming
+    //           primitive with A).
+    // Each 8-band decomposition partitions the 64 bit positions, so each
+    // path is exhaustive for hd≤7 by pigeonhole; their agreement is a
+    // fully distributed replacement for the old driver-side O(n²) loop
+    // that also catches a common-mode filter bug (threshold or popcount
+    // regression), which two same-filter paths could not.
     "q14_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
       val sigs = TextPipeline.simhashes(docs(s, dir)).cache()
       val nDocs = sigs.count()
       val a = TextPipeline.simhashPairsFromSigs(sigs, maxHd = 6).cache()
-      val b = TextPipeline.simhashPairsFromSigs(sigs, maxHd = 6, interleaved = true).cache()
+      val b = TextPipeline.simhashCandidatesFromSigs(sigs, interleaved = true)
+        .filter(TextPipeline.hammingTableUdf(col("sim_a"), col("sim_b")) <= 6)
+        .select(col("doc_a"), col("doc_b")).cache()
       val (na, nb) = (a.count(), b.count())
       val nBoth = a.join(b, Seq("doc_a", "doc_b")).count()
       a.unpersist(); b.unpersist(); sigs.unpersist()
@@ -120,7 +128,7 @@ object PipelineEntries {
       import s.implicits._
       val pairs = TextPipeline.exactJaccardPairs(docs(s, dir))
         .select(col("doc_a"), col("doc_b")).cache()
-      val labels = TextPipeline.dedupClusters(pairs).cache()
+      val labels = TextPipeline.dedupClusters(pairs) // returned cached
       val nDocs = labels.count()
       val row = labels.groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -274,6 +282,7 @@ object PipelineEntries {
       val sketch = shardedSketchBlobs(d.select(col("doc_id"), col("text")), 8, col("doc_id"))(
         "sk" -> bloomAggNative(math.max(n, 1000L), 0.001)(col("text")))
         .head.getAs[Array[Byte]]("sk")
+      require(sketch != null, "sharded build over an empty corpus produced no sketch")
       val zeroFn = d.filter(bloomMightContainNative(lit(sketch), col("text"))).count() == n
       d.unpersist()
       Seq((row.getLong(0), row.getLong(0) == row.getLong(1), zeroFn))
@@ -408,15 +417,17 @@ object PipelineEntries {
         .select(col("lang"), explode(col("sample")).as("did"))
         .join(d, Seq("lang", "did"), "left_anti")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_missing"))
-      // caches stay live for the caller's execution of the returned plan
-      // (samples feeds the output twice); both relations are tiny — one
-      // row per stratum and one narrow row per doc
-      samples.join(missPerLang, Seq("lang"), "left")
+      // materialize eagerly (one row per stratum) so both caches can be
+      // released here instead of leaking into the session
+      val out = samples.join(missPerLang, Seq("lang"), "left")
         .select(col("lang"), col("n_docs"),
           size(col("sample")).cast("bigint").as("sample_size"),
           col("parallelism_invariant"),
           coalesce(col("n_missing"), lit(0L)).===(0L).as("all_sampled_exist"))
         .orderBy(col("lang"))
+      val rows = out.collect()
+      samples.unpersist(); d.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
     }),
 
     // Grouped quantile-sketch TABLE (the per-group analogue of q10):
@@ -487,6 +498,8 @@ object PipelineEntries {
         .agg(sketchMergeAgg(col("b")).as("b"), sketchMergeAgg(col("h")).as("h"),
           sum(col("cd")).as("exact"))
         .head
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "sharded build over an empty input produced no sketch")
       val zeroFn = t.filter(bloomMightContainNative(
         lit(row.getAs[Array[Byte]]("b")), col("conv_id"), col("turn_idx"))).count() == n
       val est = SketchCodec.decodeHll(row.getAs[Array[Byte]]("h")).estimate

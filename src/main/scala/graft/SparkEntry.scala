@@ -35,9 +35,16 @@ object SparkEntry {
     * the driver. Projects to the named columns first so the shard shuffle
     * carries key bytes, not whole rows. */
   private def shardedBlobRow(t: DataFrame, cols: Seq[String],
-      aggs: (String, Column)*): org.apache.spark.sql.Row =
-    graft.spark.catalyst.shardedSketchBlobs(
+      aggs: (String, Column)*): org.apache.spark.sql.Row = {
+    val row = graft.spark.catalyst.shardedSketchBlobs(
       t.select(cols.map(col): _*), BuildShards, col(cols.head))(aggs: _*).head
+    // zero stage-1 groups (empty input) merge to null — surface that as
+    // a meaningful error instead of an NPE downstream in decode/probe
+    aggs.foreach { case (nm, _) =>
+      require(!row.isNullAt(row.fieldIndex(nm)),
+        s"sharded build '$nm' over an empty input produced no sketch") }
+    row
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -103,6 +110,7 @@ object SparkEntry {
         .head
       val nShards = mRow.getAs[Long]("n_shards")
       val mergedBlob = mRow.getAs[Array[Byte]]("merged")
+      require(mergedBlob != null, "sharded union over an empty input produced no sketch")
       // the comparandum IS bulk insertion into one filter (the reference
       // union law, integration.rs:310–366) — the global agg here is the
       // semantic object under test, not a production build path
@@ -365,14 +373,15 @@ object SparkEntry {
     // Streaming shapes, oracle-gated (north rule: batch/stream
     // equivalence is exact for Bloom/HLL/CMS because the micro-batch
     // fold IS the reference's union, km_bloom_filter.rs:184–194): replay
-    // the transcripts as an AvailableNow file stream in 8 micro-batches;
+    // the transcripts as an AvailableNow file stream in micro-batches;
     // the incremental foreachBatch union and the windowed aggregation
-    // must match their batch twins bit-for-bit.
+    // must match their batch twins bit-for-bit. Replay batch count and
+    // temp layout are set below where they are passed.
     "q33_stream_batch_equiv" -> ((s, dir) => {
       val t = Transcripts.load(s, dir)
       val n = t.count()
-      // tmpfs when available: the stream replay + two checkpoints are
-      // pure fixed cost, keep them off rotating disk
+      // (4 micro-batches; tmpfs when available — the stream replay + two
+      // checkpoints are pure fixed cost, keep them off rotating disk)
       val base = java.nio.file.Paths.get(
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp")
       val tmp = java.nio.file.Files.createTempDirectory(base, "graft_q33_").toString

@@ -35,8 +35,13 @@ object SketchCodec {
     val Theta: Byte = 6
     val BottomK: Byte = 7
   }
-  // v2: Bloom payload carries the KM hash-pair id (see KMHashPair)
+  // v2: Bloom payload carries the KM hash-pair id (see KMHashPair).
+  // Decoders ACCEPT v1 too — every non-Bloom payload is unchanged and a
+  // v1 Bloom blob is the default pair (hasherId 0) — so checkpoints
+  // written by an older build stay resumable (the whole point of
+  // CheckpointedBuild is cross-run durability).
   private val Version: Byte = 2
+  private val MinVersion: Byte = 1
 
   private def writer(typeId: Byte, payloadSize: Int): ByteBuffer = {
     val bb = ByteBuffer.allocate(6 + payloadSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -44,6 +49,7 @@ object SketchCodec {
     bb
   }
 
+  /** Returns the buffer positioned at the payload; version via [[versionOf]]. */
   private def reader(bytes: Array[Byte], expectType: Byte): ByteBuffer = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val m = new Array[Byte](4)
@@ -52,9 +58,11 @@ object SketchCodec {
     val t = bb.get()
     require(t == expectType, s"sketch type mismatch: expected $expectType, got $t")
     val v = bb.get()
-    require(v == Version, s"unsupported sketch codec version $v")
+    require(v >= MinVersion && v <= Version, s"unsupported sketch codec version $v")
     bb
   }
+
+  private def versionOf(bytes: Array[Byte]): Byte = bytes(5)
 
   /** Sniff the sketch type of an encoded blob without decoding it. */
   def typeOf(bytes: Array[Byte]): Byte = {
@@ -108,7 +116,8 @@ object SketchCodec {
     val bb = reader(bytes, TypeId.Bloom)
     val variant = bb.get()
     bb.get() // keyMode — surfaced via bloomKeyMode
-    val hasherId = bb.get()
+    // v1 Bloom blobs predate hash-pair injection: default pair (id 0)
+    val hasherId = if (versionOf(bytes) >= 2) bb.get() else 0: Byte
     val capacity = bb.getLong()
     val fpp = bb.getDouble()
     val nWords = bb.getInt()

@@ -247,6 +247,17 @@ object TextPipeline {
   def simhashPairsFromSigs(sigs: DataFrame, maxHd: Int = 6,
       interleaved: Boolean = false): DataFrame = {
     require(maxHd <= 7, "8-band decompositions only guarantee recall for hd <= 7")
+    simhashCandidatesFromSigs(sigs, interleaved)
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHd)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** UNFILTERED banded candidates (doc_a < doc_b, both signatures kept):
+    * every pair sharing ≥ 1 band under the chosen decomposition — the
+    * pigeonhole superset of the hd ≤ 7 pair set. Exposed so callers can
+    * apply an INDEPENDENT Hamming filter (q14 gates the Catalyst
+    * bit_count path against a lookup-table popcount UDF). */
+  def simhashCandidatesFromSigs(sigs: DataFrame, interleaved: Boolean = false): DataFrame = {
     val bkey =
       if (interleaved)
         expr((0 until 8).map(i => s"(((simhash >> (band + ${8 * i})) & 1) << $i)")
@@ -257,13 +268,25 @@ object TextPipeline {
       .withColumn("bkey", bkey)
       // see minhashCandidates: ReusedExchange evaluates the input once
       .hint("shuffle_hash")
-    val cands = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
         col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
       .distinct()
-    cands.filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHd)
-      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Independent Hamming-distance implementation for verification: a
+    * 256-entry lookup table over xor bytes — shares NO primitive with
+    * Catalyst's bit_count, so a regression in the production filter
+    * cannot hide in its own verifier. */
+  private lazy val PopTable: Array[Int] =
+    Array.tabulate(256)(b => (0 until 8).count(i => ((b >> i) & 1) == 1))
+  val hammingTableUdf = udf { (a: Long, b: Long) =>
+    val x = a ^ b
+    var hd = 0
+    var i = 0
+    while (i < 8) { hd += PopTable(((x >>> (8 * i)) & 0xffL).toInt); i += 1 }
+    hd
   }
 
   // -------------------------------------------------- near-dup clustering
@@ -284,7 +307,10 @@ object TextPipeline {
     * Returns (doc_id, canonical_id) for every doc that appears in a
     * pair; canonical_id = the cluster's minimum doc_id. Docs with no
     * near-dup pair are their own canonical and are NOT emitted (join
-    * with the corpus and coalesce for the full mapping). */
+    * with the corpus and coalesce for the full mapping). The RETURNED
+    * DataFrame is cached (it is the converged fixpoint) — the caller
+    * unpersists it when done; all intermediate round caches are
+    * released internally. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -313,8 +339,18 @@ object TextPipeline {
       iters += 1
     }
     edges.unpersist()
-    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+    if (changed != 0) {
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"label propagation did not converge in $maxIters rounds")
+    }
+    // hand the caller a DataFrame whose OWN plan is the cached one (an
+    // unpersist on a derived projection would not release the round
+    // cache underneath it)
+    val out = labels.select(col("doc_id"), col("label").as("canonical_id")).cache()
+    out.count()
+    labels.unpersist()
+    out
   }
 
   // ------------------------------------------------------------ language ID

@@ -141,33 +141,30 @@ case class BloomSketchAgg(
 }
 
 /** Per-instance decode memo used by both the interpreted and codegen'd
-  * probe paths. Two tiers:
-  *   - last-blob identity check: free, hits on every row when the blob
-  *     is one repeated literal/broadcast value (the common probe);
-  *   - bounded identity MAP behind it: a probe against a SHARD TABLE
-  *     (probeShardTable) streams rows whose sketch column alternates
-  *     between up-to-numShards distinct blob instances — without the
-  *     map, every alternation would re-decode a multi-MB blob per row.
-  * Keys are object identities (the join/broadcast machinery hands back
-  * the same array instance per shard), so lookups never hash the blob
-  * bytes. Cleared wholesale past 256 entries — shard tables at that
-  * size should be co-partitioned anyway. */
+  * probe paths.
+  *
+  *   - [[probe]]: last-blob IDENTITY memo — hits on every row when the
+  *     blob is one repeated literal/broadcast closure value (the same
+  *     array instance each row). It can NOT work for a blob read out of
+  *     a row column: Spark materializes a fresh byte[] per row from the
+  *     UnsafeRow, so identity always misses — and content-hashing a
+  *     multi-MB blob per row costs as much as decoding it.
+  *   - [[probeKeyed]]: for per-row blob columns (shard tables), the
+  *     caller supplies a cheap long CACHE KEY that functionally
+  *     determines the blob (the shard id — one filter per shard by
+  *     construction). Decode happens once per distinct key per task;
+  *     bounded, cleared wholesale (a shuffle join co-partitions big
+  *     shard tables, so a task sees few distinct keys).
+  */
 final class BloomProbeHelper extends Serializable {
   @transient private[this] var cachedBlob: Array[Byte] = _
   @transient private[this] var cachedSketch: KMBloomSketch = _
-  @transient private[this] var decoded: java.util.IdentityHashMap[Array[Byte], KMBloomSketch] = _
+  @transient private[this] var keyed: java.util.HashMap[java.lang.Long, KMBloomSketch] = _
 
   private def decode(blob: Array[Byte]): KMBloomSketch = {
-    if (decoded == null) decoded = new java.util.IdentityHashMap
-    var s = decoded.get(blob)
-    if (s == null) {
-      require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
-        "sketch was built with byte keys; probe it with graft.spark.functions")
-      s = SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
-      if (decoded.size >= 256) decoded.clear()
-      decoded.put(blob, s)
-    }
-    s
+    require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
+      "sketch was built with byte keys; probe it with graft.spark.functions")
+    SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
   }
 
   def probe(blob: Array[Byte], h1: Long, h2: Long): Boolean = {
@@ -178,45 +175,29 @@ final class BloomProbeHelper extends Serializable {
     }
     cachedSketch.mightContainHashes(h1, h2)
   }
+
+  def probeKeyed(key: Long, blob: Array[Byte], h1: Long, h2: Long): Boolean = {
+    if (blob == null) return false
+    if (keyed == null) keyed = new java.util.HashMap
+    var s = keyed.get(key)
+    if (s == null) {
+      s = decode(blob)
+      if (keyed.size >= 64) keyed.clear()
+      keyed.put(key, s)
+    }
+    s.mightContainHashes(h1, h2)
+  }
 }
 
-/** Probe expression for row-hash Bloom sketches: first child is the
-  * sketch blob (typically a literal or scalar subquery), the rest are the
-  * key columns. Participates in whole-stage codegen: the generated code
-  * hashes child values inline (static Hashing calls on the primitive /
-  * UTF8String representations) and probes through the cached helper. */
-case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
-  extends Expression {
-
-  override def children: Seq[Expression] = sketchExpr +: keys
-  override def dataType: DataType = BooleanType
-  override def nullable: Boolean = false
-  override def prettyName: String = "graft_bloom_might_contain"
-
-  @transient private lazy val helper = new BloomProbeHelper
-
-  override def eval(input: InternalRow): Any = {
-    val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
-    if (blob == null) return false
-    val (h1, h2) = RowHasher.hashPair(keys, input)
-    helper.probe(blob, h1, h2)
-  }
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
-    val helperRef = ctx.addReferenceObj("graftProbeHelper", helper,
-      classOf[BloomProbeHelper].getName)
-    val sketchEval = sketchExpr.genCode(ctx)
-    val h1 = ctx.freshName("graftH1")
-    val h2 = ctx.freshName("graftH2")
+/** Shared codegen for the probe expressions: emit per-key hashing of the
+  * children into the (h1, h2) locals — the generated-code twin of
+  * RowHasher.hashPair. */
+private[catalyst] object ProbeCodegen {
+  def hashKeys(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      keys: Seq[Expression], h1: String, h2: String): String = {
     val hashing = "graft.core.Hashing"
     val nullTag = s"${RowHasher.NullTagValue}L"
-
-    val perKey = keys.map { k =>
+    keys.map { k =>
       val kev = k.genCode(ctx)
       val update = k.dataType match {
         case StringType =>
@@ -255,6 +236,43 @@ case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
          |  $update
          |}""".stripMargin
     }.mkString("\n")
+  }
+}
+
+/** Probe expression for row-hash Bloom sketches: first child is the
+  * sketch blob (typically a literal or scalar subquery), the rest are the
+  * key columns. Participates in whole-stage codegen: the generated code
+  * hashes child values inline (static Hashing calls on the primitive /
+  * UTF8String representations) and probes through the cached helper. */
+case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
+  extends Expression {
+
+  override def children: Seq[Expression] = sketchExpr +: keys
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val helper = new BloomProbeHelper
+
+  override def eval(input: InternalRow): Any = {
+    val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
+    if (blob == null) return false
+    val (h1, h2) = RowHasher.hashPair(keys, input)
+    helper.probe(blob, h1, h2)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val helperRef = ctx.addReferenceObj("graftProbeHelper", helper,
+      classOf[BloomProbeHelper].getName)
+    val sketchEval = sketchExpr.genCode(ctx)
+    val h1 = ctx.freshName("graftH1")
+    val h2 = ctx.freshName("graftH2")
+    val perKey = ProbeCodegen.hashKeys(ctx, keys, h1, h2)
 
     ev.copy(
       code = code"""
@@ -272,6 +290,80 @@ case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMightContain =
     copy(sketchExpr = c.head, keys = c.tail)
+}
+
+/** Probe for PER-ROW sketch columns (shard tables): like
+  * [[BloomMightContain]], but with a long `cacheKey` child that must
+  * FUNCTIONALLY DETERMINE the blob (the shard id — one filter per shard).
+  * The helper decodes once per distinct key per task instead of once per
+  * row: a blob column read out of an UnsafeRow is a fresh byte[] every
+  * row, so no identity/content memo can make the unkeyed expression
+  * cheap there. A null cache key falls back to the identity-memo probe. */
+case class BloomMightContainKeyed(cacheKey: Expression, sketchExpr: Expression,
+    keys: Seq[Expression]) extends Expression {
+
+  override def children: Seq[Expression] = cacheKey +: sketchExpr +: keys
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_might_contain_keyed"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    cacheKey.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName cache key must be integral, got ${other.catalogString}")
+    }
+
+  @transient private lazy val helper = new BloomProbeHelper
+
+  override def eval(input: InternalRow): Any = {
+    val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
+    if (blob == null) return false
+    val (h1, h2) = RowHasher.hashPair(keys, input)
+    val k = cacheKey.eval(input)
+    if (k == null) helper.probe(blob, h1, h2)
+    else helper.probeKeyed(k match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }, blob, h1, h2)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val helperRef = ctx.addReferenceObj("graftProbeHelper", helper,
+      classOf[BloomProbeHelper].getName)
+    val sketchEval = sketchExpr.genCode(ctx)
+    val keyEval = cacheKey.genCode(ctx)
+    val h1 = ctx.freshName("graftH1")
+    val h2 = ctx.freshName("graftH2")
+    val perKey = ProbeCodegen.hashKeys(ctx, keys, h1, h2)
+    ev.copy(
+      code = code"""
+        ${sketchEval.code}
+        boolean ${ev.value} = false;
+        if (!${sketchEval.isNull}) {
+          long $h1 = 0L;
+          long $h2 = 0L;
+          $perKey
+          ${keyEval.code}
+          if (${keyEval.isNull}) {
+            ${ev.value} = $helperRef.probe(${sketchEval.value}, $h1, $h2);
+          } else {
+            ${ev.value} = $helperRef.probeKeyed((long) ${keyEval.value}, ${sketchEval.value}, $h1, $h2);
+          }
+        }
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMightContainKeyed =
+    copy(cacheKey = c.head, sketchExpr = c(1), keys = c.drop(2))
 }
 
 /** §2.2 HLL as a native aggregate. */

@@ -15,6 +15,14 @@ package object catalyst {
   def bloomMightContainNative(sketch: Column, keys: Column*): Column =
     B.column(BloomMightContain(B.expression(sketch), keys.map(B.expression(_))))
 
+  /** Probe a PER-ROW sketch column (shard tables): `cacheKey` must
+    * functionally determine the blob (the shard id) — decode then runs
+    * once per distinct key per task, not once per row (see
+    * BloomMightContainKeyed). */
+  def bloomMightContainKeyed(cacheKey: Column, sketch: Column, keys: Column*): Column =
+    B.column(BloomMightContainKeyed(B.expression(cacheKey), B.expression(sketch),
+      keys.map(B.expression(_))))
+
   def hllAggNative(keys: Column*): Column =
     B.aggColumn(HllSketchAgg(keys.map(B.expression(_))))
 
@@ -100,19 +108,16 @@ package object catalyst {
   def probeShardTable(shardTable: DataFrame, shardCol: String, sketchCol: String,
       numShards: Int, probes: DataFrame, shardOn: Column, keys: Column*): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // Decode locality, by join strategy: a big shard table exceeds the
-    // broadcast threshold, so the join co-partitions both sides by shard
-    // (each task streams one-ish shard's rows — the probe expression's
-    // last-blob memo hits); a broadcastable shard table is small, and
-    // BloomProbeHelper's bounded identity map absorbs the interleaved
-    // shards without per-row re-decode. No explicit repartition needed —
-    // the planner already picks the co-partitioning exactly when it
-    // matters.
+    // The keyed probe makes decode once-per-shard-per-task regardless of
+    // join strategy: the blob column is a fresh byte[] per row out of
+    // the UnsafeRow (no identity memo can hit), so the shard id is the
+    // per-row-cheap cache key. No explicit repartition — past the
+    // broadcast threshold the join co-partitions by shard on its own.
     val routed = probes.withColumn("__graft_probe_shard", saltBucket(numShards, shardOn))
     routed
       .join(shardTable.select(col(shardCol).as("__graft_probe_shard"), col(sketchCol)),
         Seq("__graft_probe_shard"), "left")
-      .filter(bloomMightContainNative(col(sketchCol), keys: _*))
+      .filter(bloomMightContainKeyed(col("__graft_probe_shard"), col(sketchCol), keys: _*))
       .drop("__graft_probe_shard", sketchCol)
   }
 

@@ -268,6 +268,22 @@ class BloomSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("codec still decodes v1 blobs (pre-hash-pair checkpoints stay resumable)") {
+    val f = KMBloomSketch(1000L, 0.01) // default pair — the only pair v1 could hold
+    (0 until 500).foreach(i => f.insert(s"k$i"))
+    val v2 = SketchCodec.encodeBloom(f)
+    // synthesize the v1 layout: version byte back to 1, hasherId byte
+    // (payload offset 2 = absolute offset 8) spliced out
+    val v1 = new Array[Byte](v2.length - 1)
+    System.arraycopy(v2, 0, v1, 0, 8)
+    System.arraycopy(v2, 9, v1, 8, v2.length - 9)
+    v1(5) = 1
+    val back = SketchCodec.decodeBloom(v1)
+    assert(back === f)
+    assert(back.asInstanceOf[KMBloomSketch].hashers === KMHashPair.XxMurmur)
+    (0 until 500).foreach(i => assert(back.mightContain(s"k$i")))
+  }
+
   test("custom injected pair works at kernel level; codec refuses it") {
     val pair = KMHashPair.custom(
       b => Hashing.murmur3_128(b, 7L)._2, b => Hashing.fnv1a64(b, 13L), "mur128hi+fnv")
