@@ -282,7 +282,6 @@ object PipelineEntries {
       val sketch = shardedSketchBlobs(d.select(col("doc_id"), col("text")), 8, col("doc_id"))(
         "sk" -> bloomAggNative(math.max(n, 1000L), 0.001)(col("text")))
         .head.getAs[Array[Byte]]("sk")
-      require(sketch != null, "sharded build over an empty corpus produced no sketch")
       val zeroFn = d.filter(bloomMightContainNative(lit(sketch), col("text"))).count() == n
       d.unpersist()
       Seq((row.getLong(0), row.getLong(0) == row.getLong(1), zeroFn))

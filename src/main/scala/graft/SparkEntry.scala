@@ -35,16 +35,9 @@ object SparkEntry {
     * the driver. Projects to the named columns first so the shard shuffle
     * carries key bytes, not whole rows. */
   private def shardedBlobRow(t: DataFrame, cols: Seq[String],
-      aggs: (String, Column)*): org.apache.spark.sql.Row = {
-    val row = graft.spark.catalyst.shardedSketchBlobs(
+      aggs: (String, Column)*): org.apache.spark.sql.Row =
+    graft.spark.catalyst.shardedSketchBlobs(
       t.select(cols.map(col): _*), BuildShards, col(cols.head))(aggs: _*).head
-    // zero stage-1 groups (empty input) merge to null — surface that as
-    // a meaningful error instead of an NPE downstream in decode/probe
-    aggs.foreach { case (nm, _) =>
-      require(!row.isNullAt(row.fieldIndex(nm)),
-        s"sharded build '$nm' over an empty input produced no sketch") }
-    row
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

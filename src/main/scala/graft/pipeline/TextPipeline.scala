@@ -315,10 +315,15 @@ object TextPipeline {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("doc_id"))
+    // `cachedRound` always references the EXACT cached plan of the
+    // current round (unpersist on a derived projection is a silent
+    // no-op, so the cached reference must be tracked separately from
+    // the projected view used in the joins)
+    var cachedRound: DataFrame = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
       .cache()
+    var labels: DataFrame = cachedRound
     labels.count()
     var iters = 0
     var changed = 1L
@@ -334,22 +339,22 @@ object TextPipeline {
           (coalesce(col("neighbor_label"), col("label")) < col("label")).as("__chg"))
         .cache()
       changed = updated.filter(col("__chg")).count()
-      labels.unpersist()
+      cachedRound.unpersist()
+      cachedRound = updated
       labels = updated.drop("__chg")
       iters += 1
     }
     edges.unpersist()
     if (changed != 0) {
-      labels.unpersist()
+      cachedRound.unpersist()
       throw new IllegalArgumentException(
         s"label propagation did not converge in $maxIters rounds")
     }
-    // hand the caller a DataFrame whose OWN plan is the cached one (an
-    // unpersist on a derived projection would not release the round
-    // cache underneath it)
+    // hand the caller a DataFrame whose OWN plan is the cached one, for
+    // the same reason cachedRound is tracked above
     val out = labels.select(col("doc_id"), col("label").as("canonical_id")).cache()
     out.count()
-    labels.unpersist()
+    cachedRound.unpersist()
     out
   }
 

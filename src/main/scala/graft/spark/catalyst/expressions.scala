@@ -176,14 +176,23 @@ final class BloomProbeHelper extends Serializable {
     cachedSketch.mightContainHashes(h1, h2)
   }
 
+  // budgeted by DECODED BYTES, not entry count: the regimes differ by
+  // orders of magnitude (a broadcastable shard table is hundreds of
+  // ~KB filters — cache them ALL, an entry cap would thrash; a manually
+  // broadcast big table could be hundreds of ~27 MB filters — bytes
+  // must bound it)
+  @transient private[this] var keyedBytes: Long = 0L
+  private final val KeyedBudget = 256L << 20
+
   def probeKeyed(key: Long, blob: Array[Byte], h1: Long, h2: Long): Boolean = {
     if (blob == null) return false
     if (keyed == null) keyed = new java.util.HashMap
     var s = keyed.get(key)
     if (s == null) {
       s = decode(blob)
-      if (keyed.size >= 64) keyed.clear()
+      if (keyedBytes + blob.length > KeyedBudget) { keyed.clear(); keyedBytes = 0L }
       keyed.put(key, s)
+      keyedBytes += blob.length
     }
     s.mightContainHashes(h1, h2)
   }

@@ -81,10 +81,17 @@ package object catalyst {
     * (reference union law, km_bloom_filter.rs:184–194). */
   def shardedSketchBlobs(df: DataFrame, shards: Int, shardOn: Column)(
       aggs: (String, Column)*): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error}
     val shard = saltBucket(shards, shardOn)
     val stage1 = aggs.map { case (nm, c) => c.as(nm) }
-    val stage2 = aggs.map { case (nm, _) => sketchMergeAgg(col(nm)).as(nm) }
+    // zero stage-1 groups (empty input) would merge to null — surface
+    // that as a meaningful error HERE, once, instead of an NPE in every
+    // caller's decode/probe
+    val stage2 = aggs.map { case (nm, _) =>
+      coalesce(sketchMergeAgg(col(nm)),
+        raise_error(lit(s"sharded build '$nm' over an empty input produced no sketch")))
+        .as(nm)
+    }
     df.repartition(shards, shard)
       .groupBy(shard.as("__graft_shard"))
       .agg(stage1.head, stage1.tail: _*)
