@@ -138,6 +138,40 @@ object PipelineEntries {
         .toDF("n_clustered_docs", "n_clusters", "max_cluster_size")
     }),
 
+    // Benchmark-CONTAMINATION detection: which corpus docs share any
+    // 3-shingle with the eval set (doc_id < 20)? THE curation query a
+    // training pipeline must answer before shipping data, and the
+    // flagship Bloom shape in its most real form: build one filter over
+    // the eval set's shingles, probe every corpus shingle AT SCAN SPEED
+    // (semi-join reduction — at 100 TB the corpus never joins the eval
+    // set directly), then exact-verify only the surviving candidates.
+    // Gate: the Bloom-reduced result must EQUAL the exact inverted-index
+    // join (zero FN makes the reduction lossless; FPs die in the verify
+    // join); the contaminated-doc count is DuckDB-recomputed exactly.
+    "q39_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val sh = TextPipeline.docShingles(docs(s, dir)).cache()
+      val evalSh = sh.filter(col("doc_id") < 20).cache()
+      val corpusSh = sh.filter(col("doc_id") >= 20)
+      val nEvalSh = evalSh.count()
+      // exact path: inverted-index semi-join on shingles
+      val exact = corpusSh.join(evalSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct().cache()
+      val nExact = exact.count()
+      // Bloom path: one filter over eval shingles, probed in a scan
+      val blob = evalSh
+        .agg(bloomAggNative(math.max(nEvalSh, 1000L), 0.0001)(col("sh")))
+        .head.getAs[Array[Byte]](0)
+      val candidates = corpusSh
+        .filter(bloomMightContainNative(lit(blob), col("sh")))
+      val bloomed = candidates
+        .join(evalSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val same = bloomed.join(exact, "doc_id").count() == nExact && bloomed.count() == nExact
+      exact.unpersist(); evalSh.unpersist(); sh.unpersist()
+      Seq((nExact, same)).toDF("n_contaminated", "bloom_equals_exact")
+    }),
+
     // Winnowing rolling-hash fingerprints (SIGMOD 2003 / MOSS): k-gram
     // Rabin–Karp rolling hash → window-min selection → inverted-index
     // candidate pairs. Anchors: doc counts + the guaranteed-pair relation
@@ -608,6 +642,11 @@ object PipelineEntries {
     "q36_kll_by_source" ->
       ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS p50_ok, true AS p95_ok " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q39_contamination" ->
+      (s"""$PairCte SELECT CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated,
+         |true AS bloom_equals_exact
+         |FROM sh c JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 20) e USING (sh)
+         |WHERE c.doc_id >= 20""".stripMargin.replace("\n", " ")),
     "q38_bottomk_by_lang" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(LEAST(64, COUNT(*)) AS BIGINT) AS sample_size, " +
