@@ -114,6 +114,20 @@ class SkewAndLayoutSpec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("sharded build over an empty input fails with a meaningful error, not an NPE") {
+    import graft.spark.catalyst._
+    val empty = spark.range(0)
+      .selectExpr("CAST(id AS STRING) AS conv_id", "CAST(id AS INT) AS turn_idx")
+    val ex = intercept[Exception] {
+      shardedSketchBlobs(empty, 4, col("conv_id"))(
+        "sk" -> bloomAggNative(1000L, 0.01)(col("conv_id"), col("turn_idx"))).head
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("empty input produced no sketch")),
+      s"unexpected failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("bucket-directory layout: probe routing prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/transcripts"
     val t = Transcripts.load(spark, "/root/testdata/sf0.001")
