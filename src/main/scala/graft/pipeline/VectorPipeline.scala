@@ -116,15 +116,44 @@ object VectorPipeline {
       .toSeq.toDF("centroid_id", "c_emb")
   }
 
-  /** Assign every vector to its nearest centroid (write-time step). */
+  /** Assign every vector to its nearest centroid (write-time step).
+    *
+    * SHUFFLE-FREE: the codebook is by construction tiny (trainedCodebook
+    * materializes it on the driver already), so the per-row argmax is ONE
+    * map-side projection against literal centroids — `array_max` over a
+    * (cos, −centroid_id) struct array, ties to the smallest centroid_id,
+    * exactly the old Window's (cos desc, centroid_id asc) order. The
+    * previous shape (crossJoin + Window.partitionBy(vec_id) + row_number)
+    * hash-exchanged and sorted corpus×ncentroids rows — at 10^9 vectors ×
+    * 16 centroids a 1.6·10^10-row shuffle for a per-row reduction, on the
+    * write-time critical path of the index.
+    *
+    * Centroid norms are precomputed driver-side with the same float-
+    * multiply-then-widen arithmetic Spark's `aggregate` fold performs, so
+    * the cosine values (and therefore every assignment) are bit-identical
+    * to the old plan's. */
   def ivfAssign(corpus: DataFrame, book: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = corpus.crossJoin(broadcast(book))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("c_emb")).as("cos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val cents: Array[(Long, Seq[Float], Double)] = book
+      .select(col("centroid_id"), col("c_emb")).collect()
+      .map { r =>
+        val ce = r.getSeq[Float](1)
+        // float v*v then widen — mirrors Spark's `acc + v * v` fold typing
+        (r.getLong(0), ce, math.sqrt(ce.foldLeft(0.0d)((a, x) => a + (x * x))))
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "cannot assign against an empty codebook")
+    // embedding norm computed once per row, shared by every centroid score
+    val eNorm = sqrt(aggregate(col("embedding"), lit(0.0d), (acc, v) => acc + v * v))
+    val scored = cents.map { case (cid, ce, cNorm) =>
+      val dot = aggregate(zip_with(col("embedding"), typedLit(ce), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
+      struct((dot / greatest(col("__graft_enorm") * lit(cNorm), lit(1e-12d))).as("cos"),
+        lit(-cid).as("negid"))
+    }
+    corpus
+      .withColumn("__graft_enorm", eNorm)
+      .select(col("vec_id"), col("embedding"),
+        (-array_max(array(scored: _*)).getField("negid")).as("centroid_id"))
   }
 
   // -------------------------------------------- embedding-cosine near-dup

@@ -43,6 +43,29 @@ object IvfSweep {
       }
       bf.unpersist(); emb.unpersist()
     }
+
+    // write-time assignment throughput (the shuffle-free argmax): the
+    // sf0.1 corpus replicated 50x, min of 3 timed passes. Evidence for
+    // BENCH.md's ivfAssign before/after entry.
+    {
+      val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.1")
+      val big = emb.crossJoin(spark.range(0, 50).toDF("rep"))
+        .select((col("vec_id") * 50 + col("rep")).as("vec_id"), col("embedding"))
+        .cache()
+      val n = big.count()
+      val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+      book.count()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        VectorPipeline.ivfAssign(big, book)
+          .agg(sum(col("centroid_id"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      val secs = (1 to 3).map(_ => once()).min
+      println(f"assign_bench,n_vectors=$n,secs=$secs%.3f,vecs_per_sec=${n / secs}%.0f")
+      big.unpersist(); book.unpersist()
+    }
     spark.stop()
   }
 }
