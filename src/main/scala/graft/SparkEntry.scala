@@ -418,29 +418,41 @@ object SparkEntry {
     // §2.1 #3 genericity: the KM filter takes ANY registered hash pair
     // (reference KMBloomFilter<H1,H2>, km_bloom_filter.rs:46–48; its
     // integration suite sweeps pairs with per-pair FPR margins,
-    // integration.rs:39–146). ONE sharded pass builds all three
-    // non-default-pair filters; each must show zero false negatives and
-    // disjoint-key FPR within its margin. Per-pair kernel margins live in
-    // BloomSketchSpec's matrix; here each pair gets the statistical
-    // 3σ-over-binomial gate at 1.10·p (FNV is a weaker mixer than the
-    // avalanche hashes, measured ~6% over nominal at this n).
+    // integration.rs:39–146). Since round 3 this runs the PRODUCTION
+    // path: one sharded pass of native `BloomSketchAgg` builds all three
+    // non-default-pair filters (values hashed straight from the
+    // InternalRow by the injected pair's chained fold) and the probes are
+    // codegen'd `BloomMightContain` with the matching pair, which the
+    // decode boundary verifies against the blob's pair id. Each filter
+    // must show zero false negatives and disjoint-key FPR within its
+    // margin. Per-pair kernel margins live in BloomSketchSpec's matrix;
+    // here each pair gets the statistical 3σ-over-binomial gate at
+    // 1.10·p (FNV is a weaker mixer than the avalanche hashes). The udaf
+    // pair path (functions.bloomAggPair) keeps its own coverage in
+    // SparkAggSpec.
     "q34_bloom_hasher_pairs" -> ((s, dir) => {
       import s.implicits._
+      import graft.spark.catalyst.{bloomAggNativePair, bloomMightContainNativePair}
       val t = Transcripts.load(s, dir).cache()
       val n = t.count()
-      val key = key2("conv_id", "turn_idx")
+      val pairs = Seq(
+        "xf" -> KMHashPair.XxFnv,
+        "fm" -> KMHashPair.FnvMurmur,
+        "xx" -> KMHashPair.XxXx)
       val row = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
-        "xf" -> gf.bloomAggPair(cap(n), P, KMHashPair.XxFnv)(key),
-        "fm" -> gf.bloomAggPair(cap(n), P, KMHashPair.FnvMurmur)(key),
-        "xx" -> gf.bloomAggPair(cap(n), P, KMHashPair.XxXx)(key))
-      val disjoint = gf.sketchKey(col("conv_id"), (col("turn_idx") + 1000000).cast("int"))
+        pairs.map { case (nm, p) =>
+          nm -> bloomAggNativePair(cap(n), P, p)(col("conv_id"), col("turn_idx"))
+        }: _*)
+      val disjointIdx = (col("turn_idx") + 1000000).cast("int")
       // one cached pass for all six probe counts (3 pairs × hit/fp)
-      val aggCols = Seq("xf", "fm", "xx").flatMap { c =>
+      val aggCols = pairs.flatMap { case (c, p) =>
         val blob = row.getAs[Array[Byte]](c)
         Seq(
-          coalesce(sum(when(gf.bloomProbe(blob)(key), 1L).otherwise(0L)), lit(0L))
+          coalesce(sum(when(bloomMightContainNativePair(p)(
+            lit(blob), col("conv_id"), col("turn_idx")), 1L).otherwise(0L)), lit(0L))
             .as(s"${c}_hit"),
-          coalesce(sum(when(gf.bloomProbe(blob)(disjoint), 1L).otherwise(0L)), lit(0L))
+          coalesce(sum(when(bloomMightContainNativePair(p)(
+            lit(blob), col("conv_id"), disjointIdx), 1L).otherwise(0L)), lit(0L))
             .as(s"${c}_fp"))
       }
       val counts = t.agg(aggCols.head, aggCols.tail: _*).head

@@ -36,12 +36,24 @@ sealed trait BloomSketch extends Serializable {
     b
   }
 
+  /** Whether the hash-pair OBJECTS match — only consulted for custom
+    * (unregistered) pairs, which all share id -1: two different custom
+    * pairs would pass the id check and union into a silently corrupt
+    * filter (the reference forbids this statically via type parameters).
+    * Registered pairs are fully identified by their id. */
+  protected def sameHashers(other: BloomSketch): Boolean = true
+
   protected final def requireCompatible(other: BloomSketch): Unit = {
     require(variant == other.variant,
       s"cannot merge different Bloom variants ($variant vs ${other.variant})")
     require(hasherId == other.hasherId,
       s"cannot merge KM filters built with different hash pairs " +
         s"($hasherId vs ${other.hasherId})")
+    require(hasherId >= 0 || sameHashers(other),
+      "cannot merge KM filters built with different CUSTOM hash pairs — " +
+        "custom pairs share id -1, so only the identical pair instance is " +
+        "provably the same pair; register the pair in KMHashPair for a " +
+        "stable identity")
     // Same panic condition as reference union/intersect
     // (km_bloom_filter.rs:185–187, 254–256; seeded_bloom_filter.rs:129–131).
     require(config.eqConfiguration(other.config),
@@ -110,6 +122,10 @@ final class KMBloomSketch(val config: BloomConfig, val bits: BitArray,
     val hashers: KMHashPair = KMHashPair.XxMurmur) extends BloomSketch {
   override def variant: Byte = BloomVariant.KM
   override def hasherId: Byte = hashers.id
+  override protected def sameHashers(other: BloomSketch): Boolean = other match {
+    case k: KMBloomSketch => hashers eq k.hashers
+    case _ => false
+  }
 
   private[this] val k = config.numberOfHashers
   private[this] val bph = config.bitsPerHasher

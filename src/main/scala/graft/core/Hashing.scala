@@ -200,6 +200,20 @@ object Hashing {
     h
   }
 
+  /** FNV-1a of a single long value (8 LE bytes) without materializing an
+    * array — equals fnv1a64(longBytes(v), seed); the chained-fold twin
+    * used by the native row-hash path for FNV-based pairs. */
+  def fnv1a64Long(value: Long, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < 8) {
+      h ^= (value >>> (8 * i)) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** Canonical UTF-8 byte encoding of a string key. */
   @inline def utf8(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 }

@@ -35,17 +35,23 @@ object SketchCodec {
     val Theta: Byte = 6
     val BottomK: Byte = 7
   }
-  // v2: Bloom payload carries the KM hash-pair id (see KMHashPair).
-  // Decoders ACCEPT v1 too — every non-Bloom payload is unchanged and a
-  // v1 Bloom blob is the default pair (hasherId 0) — so checkpoints
+  // Versions are PER TYPE: only the Bloom payload changed in v2 (it
+  // carries the KM hash-pair id, see KMHashPair), so only Bloom blobs
+  // are stamped v2 — HLL/CMS/theta/KLL/t-digest/bottom-k payloads are
+  // byte-identical to v1 and stay stamped v1, so an older (v1-only)
+  // reader keeps accepting them during a rolling upgrade. Decoders
+  // ACCEPT v1 Bloom blobs too (default pair, hasherId 0), so checkpoints
   // written by an older build stay resumable (the whole point of
   // CheckpointedBuild is cross-run durability).
   private val Version: Byte = 2
   private val MinVersion: Byte = 1
 
+  private def versionFor(typeId: Byte): Byte =
+    if (typeId == TypeId.Bloom) Version else MinVersion
+
   private def writer(typeId: Byte, payloadSize: Int): ByteBuffer = {
     val bb = ByteBuffer.allocate(6 + payloadSize).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(Magic).put(typeId).put(Version)
+    bb.put(Magic).put(typeId).put(versionFor(typeId))
     bb
   }
 

@@ -30,29 +30,35 @@ object RowHasher {
   final val NullTagValue = 0x9E3779B97F4A7C15L
   private final val NullTag = NullTagValue
 
-  /** Chained per-child hashing: (h1, h2) start at (seed, seed) and fold
-    * each child's value through (xxHash64, murmur3_64). Returns packed
-    * (h1, h2). */
-  def hashPair(children: Seq[Expression], row: InternalRow): (Long, Long) = {
-    var h1 = 0L
-    var h2 = 0L
+  /** Chained per-child hashing with an INJECTED registered pair: (h1, h2)
+    * start at the pair's (seed1, seed2) and fold each child's value
+    * through (algo1, algo2) — the native-path twin of the reference's
+    * `KMBloomFilter<H1, H2>` genericity (km_bloom_filter.rs:46–48). The
+    * default pair reproduces the original hardwired (xxHash64,
+    * murmur3_64) chain bit-for-bit. Returns (h1, h2). */
+  def hashPair(children: Seq[Expression], row: InternalRow,
+      pair: RegisteredKMHashPair): (Long, Long) = {
+    val a1 = pair.algo1
+    val a2 = pair.algo2
+    var h1 = pair.seed1
+    var h2 = pair.seed2
     var i = 0
     while (i < children.length) {
       val e = children(i)
       val v = e.eval(row)
       if (v == null) {
-        h1 = Hashing.xxHash64Long(NullTag, h1)
-        h2 = Hashing.murmur3_64Long(NullTag, h2)
+        h1 = a1.hashLong(NullTag, h1)
+        h2 = a2.hashLong(NullTag, h2)
       } else {
         e.dataType match {
           case StringType =>
             val b = v.asInstanceOf[UTF8String].getBytes
-            h1 = Hashing.xxHash64(b, h1)
-            h2 = Hashing.murmur3_64(b, h2)
+            h1 = a1(b, h1)
+            h2 = a2(b, h2)
           case BinaryType =>
             val b = v.asInstanceOf[Array[Byte]]
-            h1 = Hashing.xxHash64(b, h1)
-            h2 = Hashing.murmur3_64(b, h2)
+            h1 = a1(b, h1)
+            h2 = a2(b, h2)
           case LongType | IntegerType | ShortType | ByteType | DateType |
               TimestampType | TimestampNTZType =>
             val l = v match {
@@ -62,24 +68,24 @@ object RowHasher {
               case x: java.lang.Byte => x.longValue()
               case x => x.toString.toLong
             }
-            h1 = Hashing.xxHash64Long(l, h1)
-            h2 = Hashing.murmur3_64Long(l, h2)
+            h1 = a1.hashLong(l, h1)
+            h2 = a2.hashLong(l, h2)
           case BooleanType =>
             val l = if (v.asInstanceOf[Boolean]) 1L else 0L
-            h1 = Hashing.xxHash64Long(l, h1)
-            h2 = Hashing.murmur3_64Long(l, h2)
+            h1 = a1.hashLong(l, h1)
+            h2 = a2.hashLong(l, h2)
           case DoubleType =>
             val l = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
-            h1 = Hashing.xxHash64Long(l, h1)
-            h2 = Hashing.murmur3_64Long(l, h2)
+            h1 = a1.hashLong(l, h1)
+            h2 = a2.hashLong(l, h2)
           case FloatType =>
             val l = java.lang.Double.doubleToLongBits(v.asInstanceOf[Float].toDouble)
-            h1 = Hashing.xxHash64Long(l, h1)
-            h2 = Hashing.murmur3_64Long(l, h2)
+            h1 = a1.hashLong(l, h1)
+            h2 = a2.hashLong(l, h2)
           case _ =>
             val b = UTF8String.fromString(v.toString).getBytes
-            h1 = Hashing.xxHash64(b, h1)
-            h2 = Hashing.murmur3_64(b, h2)
+            h1 = a1(b, h1)
+            h2 = a2(b, h2)
         }
       }
       i += 1
@@ -87,7 +93,11 @@ object RowHasher {
     (h1, h2)
   }
 
-  /** Single 64-bit hash (the HLL/CMS item hash): h1 of the pair. */
+  /** Default-pair chain (back-compat signature). */
+  def hashPair(children: Seq[Expression], row: InternalRow): (Long, Long) =
+    hashPair(children, row, KMHashPair.XxMurmur)
+
+  /** Single 64-bit hash (the HLL/CMS item hash): h1 of the default pair. */
   def hash64(children: Seq[Expression], row: InternalRow): Long =
     hashPair(children, row)._1
 }
@@ -98,11 +108,16 @@ abstract class SketchAggBase[T] extends TypedImperativeAggregate[T] {
 }
 
 /** §2.1 #1–#12 as one Catalyst aggregate: zero = construct, update =
-  * insert (KM double hashing), merge = union, eval = codec bytes. */
+  * insert (KM double hashing), merge = union, eval = codec bytes.
+  * `hasherId` selects the registered KM hash pair — the production-path
+  * analogue of the reference's `KMBloomFilter<H1, H2>::new`
+  * (km_bloom_filter.rs:46–48); the id travels in the codec header, so
+  * cross-pair merges are rejected and probes verify the pair. */
 case class BloomSketchAgg(
     keys: Seq[Expression],
     capacity: Long,
     fpp: Double,
+    hasherId: Byte = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends SketchAggBase[KMBloomSketch] {
@@ -110,10 +125,13 @@ case class BloomSketchAgg(
   override def children: Seq[Expression] = keys
   override def prettyName: String = "graft_bloom_agg"
 
-  override def createAggregationBuffer(): KMBloomSketch = KMBloomSketch(capacity, fpp)
+  @transient private lazy val pair = KMHashPair.byId(hasherId)
+
+  override def createAggregationBuffer(): KMBloomSketch =
+    KMBloomSketch(capacity, fpp, pair)
 
   override def update(b: KMBloomSketch, input: InternalRow): KMBloomSketch = {
-    val (h1, h2) = RowHasher.hashPair(keys, input)
+    val (h1, h2) = RowHasher.hashPair(keys, input, pair)
     b.insertHashes(h1, h2)
     b
   }
@@ -156,7 +174,7 @@ case class BloomSketchAgg(
   *     bounded, cleared wholesale (a shuffle join co-partitions big
   *     shard tables, so a task sees few distinct keys).
   */
-final class BloomProbeHelper extends Serializable {
+final class BloomProbeHelper(expectedHasherId: Byte = 0) extends Serializable {
   @transient private[this] var cachedBlob: Array[Byte] = _
   @transient private[this] var cachedSketch: KMBloomSketch = _
   @transient private[this] var keyed: java.util.HashMap[java.lang.Long, KMBloomSketch] = _
@@ -164,7 +182,14 @@ final class BloomProbeHelper extends Serializable {
   private def decode(blob: Array[Byte]): KMBloomSketch = {
     require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
       "sketch was built with byte keys; probe it with graft.spark.functions")
-    SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
+    val sk = SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
+    // the probe supplies EXTERNALLY computed hashes (one pair per probe
+    // expression), so a blob built with a different pair would probe with
+    // mismatched hashes and silently return garbage — fail fast instead
+    require(sk.hasherId == expectedHasherId,
+      s"sketch was built with hash pair ${sk.hasherId}, probe expects " +
+        s"$expectedHasherId — probe with the matching pair")
+    sk
   }
 
   def probe(blob: Array[Byte], h1: Long, h2: Long): Boolean = {
@@ -202,45 +227,55 @@ final class BloomProbeHelper extends Serializable {
   * children into the (h1, h2) locals — the generated-code twin of
   * RowHasher.hashPair. */
 private[catalyst] object ProbeCodegen {
+  /** Generated-code seed initializers for a pair: `long h1 = seed1; ...` */
+  def seedInit(pair: RegisteredKMHashPair, h1: String, h2: String): String =
+    s"""long $h1 = ${pair.seed1}L;
+       |long $h2 = ${pair.seed2}L;""".stripMargin
+
   def hashKeys(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      keys: Seq[Expression], h1: String, h2: String): String = {
+      keys: Seq[Expression], h1: String, h2: String,
+      pair: RegisteredKMHashPair = KMHashPair.XxMurmur): String = {
     val hashing = "graft.core.Hashing"
     val nullTag = s"${RowHasher.NullTagValue}L"
+    // static calls resolved by the pair's primitive names — the generated
+    // code stays branch-free and pair-monomorphic
+    val a1 = s"$hashing.${pair.algo1.javaName}"
+    val a2 = s"$hashing.${pair.algo2.javaName}"
     keys.map { k =>
       val kev = k.genCode(ctx)
       val update = k.dataType match {
         case StringType =>
           val b = ctx.freshName("kb")
           s"""byte[] $b = ${kev.value}.getBytes();
-             |$h1 = $hashing.xxHash64($b, $h1);
-             |$h2 = $hashing.murmur3_64($b, $h2);""".stripMargin
+             |$h1 = $a1($b, $h1);
+             |$h2 = $a2($b, $h2);""".stripMargin
         case BinaryType =>
-          s"""$h1 = $hashing.xxHash64(${kev.value}, $h1);
-             |$h2 = $hashing.murmur3_64(${kev.value}, $h2);""".stripMargin
+          s"""$h1 = $a1(${kev.value}, $h1);
+             |$h2 = $a2(${kev.value}, $h2);""".stripMargin
         case LongType | IntegerType | ShortType | ByteType | DateType |
             TimestampType | TimestampNTZType =>
-          s"""$h1 = $hashing.xxHash64Long((long) ${kev.value}, $h1);
-             |$h2 = $hashing.murmur3_64Long((long) ${kev.value}, $h2);""".stripMargin
+          s"""$h1 = ${a1}Long((long) ${kev.value}, $h1);
+             |$h2 = ${a2}Long((long) ${kev.value}, $h2);""".stripMargin
         case BooleanType =>
-          s"""$h1 = $hashing.xxHash64Long(${kev.value} ? 1L : 0L, $h1);
-             |$h2 = $hashing.murmur3_64Long(${kev.value} ? 1L : 0L, $h2);""".stripMargin
+          s"""$h1 = ${a1}Long(${kev.value} ? 1L : 0L, $h1);
+             |$h2 = ${a2}Long(${kev.value} ? 1L : 0L, $h2);""".stripMargin
         case DoubleType =>
-          s"""$h1 = $hashing.xxHash64Long(Double.doubleToLongBits(${kev.value}), $h1);
-             |$h2 = $hashing.murmur3_64Long(Double.doubleToLongBits(${kev.value}), $h2);""".stripMargin
+          s"""$h1 = ${a1}Long(Double.doubleToLongBits(${kev.value}), $h1);
+             |$h2 = ${a2}Long(Double.doubleToLongBits(${kev.value}), $h2);""".stripMargin
         case FloatType =>
-          s"""$h1 = $hashing.xxHash64Long(Double.doubleToLongBits((double) ${kev.value}), $h1);
-             |$h2 = $hashing.murmur3_64Long(Double.doubleToLongBits((double) ${kev.value}), $h2);""".stripMargin
+          s"""$h1 = ${a1}Long(Double.doubleToLongBits((double) ${kev.value}), $h1);
+             |$h2 = ${a2}Long(Double.doubleToLongBits((double) ${kev.value}), $h2);""".stripMargin
         case _ =>
           val b = ctx.freshName("kb")
           s"""byte[] $b = org.apache.spark.unsafe.types.UTF8String
              |  .fromString(String.valueOf(${kev.value})).getBytes();
-             |$h1 = $hashing.xxHash64($b, $h1);
-             |$h2 = $hashing.murmur3_64($b, $h2);""".stripMargin
+             |$h1 = $a1($b, $h1);
+             |$h2 = $a2($b, $h2);""".stripMargin
       }
       s"""${kev.code}
          |if (${kev.isNull}) {
-         |  $h1 = $hashing.xxHash64Long($nullTag, $h1);
-         |  $h2 = $hashing.murmur3_64Long($nullTag, $h2);
+         |  $h1 = ${a1}Long($nullTag, $h1);
+         |  $h2 = ${a2}Long($nullTag, $h2);
          |} else {
          |  $update
          |}""".stripMargin
@@ -253,20 +288,21 @@ private[catalyst] object ProbeCodegen {
   * key columns. Participates in whole-stage codegen: the generated code
   * hashes child values inline (static Hashing calls on the primitive /
   * UTF8String representations) and probes through the cached helper. */
-case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
-  extends Expression {
+case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression],
+    hasherId: Byte = 0) extends Expression {
 
   override def children: Seq[Expression] = sketchExpr +: keys
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bloom_might_contain"
 
-  @transient private lazy val helper = new BloomProbeHelper
+  @transient private lazy val pair = KMHashPair.byId(hasherId)
+  @transient private lazy val helper = new BloomProbeHelper(hasherId)
 
   override def eval(input: InternalRow): Any = {
     val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
     if (blob == null) return false
-    val (h1, h2) = RowHasher.hashPair(keys, input)
+    val (h1, h2) = RowHasher.hashPair(keys, input, pair)
     helper.probe(blob, h1, h2)
   }
 
@@ -281,15 +317,14 @@ case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
     val sketchEval = sketchExpr.genCode(ctx)
     val h1 = ctx.freshName("graftH1")
     val h2 = ctx.freshName("graftH2")
-    val perKey = ProbeCodegen.hashKeys(ctx, keys, h1, h2)
+    val perKey = ProbeCodegen.hashKeys(ctx, keys, h1, h2, pair)
 
     ev.copy(
       code = code"""
         ${sketchEval.code}
         boolean ${ev.value} = false;
         if (!${sketchEval.isNull}) {
-          long $h1 = 0L;
-          long $h2 = 0L;
+          ${ProbeCodegen.seedInit(pair, h1, h2)}
           $perKey
           ${ev.value} = $helperRef.probe(${sketchEval.value}, $h1, $h2);
         }
@@ -309,7 +344,7 @@ case class BloomMightContain(sketchExpr: Expression, keys: Seq[Expression])
   * row, so no identity/content memo can make the unkeyed expression
   * cheap there. A null cache key falls back to the identity-memo probe. */
 case class BloomMightContainKeyed(cacheKey: Expression, sketchExpr: Expression,
-    keys: Seq[Expression]) extends Expression {
+    keys: Seq[Expression], hasherId: Byte = 0) extends Expression {
 
   override def children: Seq[Expression] = cacheKey +: sketchExpr +: keys
   override def dataType: DataType = BooleanType
@@ -325,12 +360,13 @@ case class BloomMightContainKeyed(cacheKey: Expression, sketchExpr: Expression,
           s"$prettyName cache key must be integral, got ${other.catalogString}")
     }
 
-  @transient private lazy val helper = new BloomProbeHelper
+  @transient private lazy val pair = KMHashPair.byId(hasherId)
+  @transient private lazy val helper = new BloomProbeHelper(hasherId)
 
   override def eval(input: InternalRow): Any = {
     val blob = sketchExpr.eval(input).asInstanceOf[Array[Byte]]
     if (blob == null) return false
-    val (h1, h2) = RowHasher.hashPair(keys, input)
+    val (h1, h2) = RowHasher.hashPair(keys, input, pair)
     val k = cacheKey.eval(input)
     if (k == null) helper.probe(blob, h1, h2)
     else helper.probeKeyed(k match {
@@ -351,14 +387,13 @@ case class BloomMightContainKeyed(cacheKey: Expression, sketchExpr: Expression,
     val keyEval = cacheKey.genCode(ctx)
     val h1 = ctx.freshName("graftH1")
     val h2 = ctx.freshName("graftH2")
-    val perKey = ProbeCodegen.hashKeys(ctx, keys, h1, h2)
+    val perKey = ProbeCodegen.hashKeys(ctx, keys, h1, h2, pair)
     ev.copy(
       code = code"""
         ${sketchEval.code}
         boolean ${ev.value} = false;
         if (!${sketchEval.isNull}) {
-          long $h1 = 0L;
-          long $h2 = 0L;
+          ${ProbeCodegen.seedInit(pair, h1, h2)}
           $perKey
           ${keyEval.code}
           if (${keyEval.isNull}) {

@@ -11,9 +11,26 @@ package object catalyst {
   def bloomAggNative(capacity: Long, fpp: Double)(keys: Column*): Column =
     B.aggColumn(BloomSketchAgg(keys.map(B.expression(_)), capacity, fpp))
 
+  /** Native build with an INJECTED registered hash pair — the reference's
+    * `KMBloomFilter<H1, H2>` genericity (km_bloom_filter.rs:46–48) at
+    * production speed (the udaf twin is functions.bloomAggPair). Custom
+    * (unregistered) pairs cannot cross the shuffle codec and are
+    * rejected here. */
+  def bloomAggNativePair(capacity: Long, fpp: Double,
+      pair: graft.core.KMHashPair)(keys: Column*): Column =
+    B.aggColumn(BloomSketchAgg(keys.map(B.expression(_)), capacity, fpp,
+      registeredId(pair)))
+
   /** Probe a row-hash Bloom sketch column for the raw key columns. */
   def bloomMightContainNative(sketch: Column, keys: Column*): Column =
     B.column(BloomMightContain(B.expression(sketch), keys.map(B.expression(_))))
+
+  /** Pair-aware probe: the blob's pair id is verified at decode, so a
+    * mismatched probe fails fast instead of silently returning garbage. */
+  def bloomMightContainNativePair(pair: graft.core.KMHashPair)(
+      sketch: Column, keys: Column*): Column =
+    B.column(BloomMightContain(B.expression(sketch), keys.map(B.expression(_)),
+      registeredId(pair)))
 
   /** Probe a PER-ROW sketch column (shard tables): `cacheKey` must
     * functionally determine the blob (the shard id) — decode then runs
@@ -22,6 +39,13 @@ package object catalyst {
   def bloomMightContainKeyed(cacheKey: Column, sketch: Column, keys: Column*): Column =
     B.column(BloomMightContainKeyed(B.expression(cacheKey), B.expression(sketch),
       keys.map(B.expression(_))))
+
+  private def registeredId(pair: graft.core.KMHashPair): Byte = {
+    require(pair.id >= 0,
+      s"hash pair '$pair' is not registered — only KMHashPair.registered " +
+        "pairs can cross the shuffle codec (give the pair a stable id)")
+    pair.id
+  }
 
   def hllAggNative(keys: Column*): Column =
     B.aggColumn(HllSketchAgg(keys.map(B.expression(_))))

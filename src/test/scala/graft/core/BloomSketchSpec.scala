@@ -295,4 +295,40 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(fp <= 10000 * 0.001 * 1.10 + 3 * math.sqrt(10000 * 0.001) + 1, s"custom-pair FPs: $fp")
     intercept[IllegalArgumentException](SketchCodec.encodeBloom(f))
   }
+
+  test("two DIFFERENT custom pairs refuse to merge (shared id -1 is not an identity)") {
+    val p1 = KMHashPair.custom(b => Hashing.xxHash64(b, 1L), b => Hashing.fnv1a64(b, 1L), "c1")
+    val p2 = KMHashPair.custom(b => Hashing.xxHash64(b, 2L), b => Hashing.fnv1a64(b, 2L), "c2")
+    val a = KMBloomSketch(1000L, 0.01, p1)
+    val b = KMBloomSketch(1000L, 0.01, p2)
+    a.insert("x"); b.insert("y")
+    intercept[IllegalArgumentException](a.copySketch().unionInPlace(b))
+    intercept[IllegalArgumentException](a.copySketch().intersectInPlace(b))
+    // the SAME pair instance is provably the same pair — merge allowed
+    val c = KMBloomSketch(1000L, 0.01, p1)
+    c.insert("z")
+    val merged = a.copySketch().unionInPlace(c)
+    assert(merged.mightContain("x") && merged.mightContain("z"))
+  }
+
+  test("codec version is PER TYPE: only Bloom is v2, unchanged payloads stay v1") {
+    // an older (v1-only) reader must keep accepting HLL/CMS/theta/KLL/
+    // t-digest/bottom-k blobs during a rolling upgrade — their payloads
+    // never changed, so their version byte (offset 5) must still be 1
+    def versionByte(b: Array[Byte]): Byte = b(5)
+    val bloom = KMBloomSketch(100L, 0.01); bloom.insert("a")
+    assert(versionByte(SketchCodec.encodeBloom(bloom)) === 2)
+    val hll = HLLSketch(); hll.updateHash(42L)
+    assert(versionByte(SketchCodec.encodeHll(hll)) === 1)
+    val cms = CMSSketch(0.01, 0.01); cms.updateHash(42L)
+    assert(versionByte(SketchCodec.encodeCms(cms)) === 1)
+    val theta = ThetaSketch(); theta.updateHash(42L)
+    assert(versionByte(SketchCodec.encodeTheta(theta)) === 1)
+    val td = TDigestSketch(); td.update(1.0)
+    assert(versionByte(SketchCodec.encodeTDigest(td)) === 1)
+    val kll = KLLSketch(); kll.update(1.0)
+    assert(versionByte(SketchCodec.encodeKll(kll)) === 1)
+    val bk = BottomKSketch(16); bk.update(Hashing.utf8("a"))
+    assert(versionByte(SketchCodec.encodeBottomK(bk)) === 1)
+  }
 }

@@ -68,6 +68,66 @@ class CodegenParitySpec extends AnyFunSuite {
     }
   }
 
+  test("per-pair parity: codegen probe = interpreted probe for every registered hash pair") {
+    // The pair-injected codegen emits DIFFERENT static calls per pair
+    // (xxHash64/murmur3_64/fnv1a64 + their *Long twins, seeded inits) —
+    // each registered pair's generated code must agree with the
+    // interpreted RowHasher chain bit-for-bit, and Janino must actually
+    // compile it (CODEGEN_ONLY — no silent fallback can mask a bad emit).
+    import spark.implicits._
+    import graft.core.KMHashPair
+    val df = spark.range(0, 4000).select(
+      concat(lit("k"), $"id".cast("string")).as("k"),
+      when($"id" % 5 === 0, lit(null).cast("string"))
+        .otherwise($"id".cast("string")).as("kn"),
+      $"id".cast("int").as("i"),
+      ($"id" * 0.25).as("d"))
+    val keyCols = Seq($"k", $"kn", $"i", $"d")
+    for (pair <- KMHashPair.registered) {
+      val sketch = df.agg(bloomAggNativePair(4000L, 0.0001, pair)(keyCols: _*))
+        .head.getAs[Array[Byte]](0)
+      assert(graft.core.SketchCodec.decodeBloom(sketch).hasherId === pair.id)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val hitsCg =
+        try df.filter(bloomMightContainNativePair(pair)(lit(sketch), keyCols: _*)).count()
+        finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      assert(hitsCg === 4000L, s"pair $pair: codegen probe lost ${4000 - hitsCg} keys")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        val hitsIn = df.filter(bloomMightContainNativePair(pair)(lit(sketch), keyCols: _*)).count()
+        assert(hitsIn === 4000L, s"pair $pair: interpreted probe lost ${4000 - hitsIn} keys")
+        // negative probes agree bit-for-bit (same FP pattern per pair)
+        val neg = df.withColumn("k", concat(lit("x"), col("k")))
+        val negIn = neg.filter(bloomMightContainNativePair(pair)(lit(sketch), keyCols: _*))
+          .select($"i").collect().map(_.getInt(0)).toSet
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        val negCg = neg.filter(bloomMightContainNativePair(pair)(lit(sketch), keyCols: _*))
+          .select($"i").collect().map(_.getInt(0)).toSet
+        assert(negCg === negIn, s"pair $pair: codegen and interpreted FP patterns differ")
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+  }
+
+  test("mismatched pair probe fails fast instead of probing garbage") {
+    import spark.implicits._
+    import graft.core.KMHashPair
+    val df = spark.range(0, 100).select($"id".cast("string").as("k"))
+    val sketch = df.agg(bloomAggNativePair(1000L, 0.001, KMHashPair.XxFnv)($"k"))
+      .head.getAs[Array[Byte]](0)
+    val e = intercept[Exception] {
+      df.filter(bloomMightContainNative(lit(sketch), $"k")).count()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(rootMessages)
+    assert(rootMessages(e).exists(_.contains("hash pair")),
+      s"expected a hash-pair mismatch error, got: ${rootMessages(e)}")
+  }
+
   test("probe expression actually janino-compiles (no silent interpreter fallback)") {
     // CODEGEN_ONLY turns Spark's silent interpreted fallback into a hard
     // error. Pins the graft.spark.`native` regression: `native` is a Java
