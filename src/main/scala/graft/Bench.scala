@@ -130,20 +130,30 @@ object Bench {
       .repartition(64)
       .write.mode("overwrite").parquet(benchInput)
 
-    // ---- 2. per-query timings at cpusHi on the raw sf dir. Min of 2
-    // runs per query: a single cold shot is hostage to ambient load
-    // spikes on this shared VM (the same query has measured 6s and 30s
-    // minutes apart under a neighbor burst).
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = try {
+    // ---- 2. per-query timings at cpusHi on the raw sf dir: MIN-OF-N
+    // with the rounds INTERLEAVED across queries (q1..qN, q1..qN, ...),
+    // so an ambient load spike on this shared VM (the same query has
+    // measured 6s and 30s minutes apart under a neighbor burst) hits
+    // every query equally instead of poisoning whichever query it lands
+    // on. The emitted JSON carries the min per query and records the
+    // round count as "query_runs" — the official bench artifact is the
+    // min-of-N protocol, not a single hostage window.
+    val queryRounds = 3
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val querySamples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to queryRounds; (name, fn) <- sortedQueries) {
+      // each run guarded separately: one transient failure must not
+      // discard another run's valid timing
+      val secs = try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
-      // each run guarded separately: one transient failure must not
-      // discard the other run's valid timing
-      val runs = Seq(once(), once()).filter(_ >= 0)
-      name -> (if (runs.isEmpty) -1.0 else runs.min)
+      if (secs >= 0) querySamples(name) ::= secs
+    }
+    val queryTimes = sortedQueries.map { case (name, _) =>
+      name -> (if (querySamples(name).isEmpty) -1.0 else querySamples(name).min)
     }
     spark.stop()
 
@@ -235,6 +245,6 @@ object Bench {
         f""""single_core_kernel_rows_per_sec":$kernelRps%.0f,""" +
         f""""note":"N-to-4N parallelism on one shared VM; hw_ceiling = what raw arithmetic scales to on this box"}"""
     println(
-      f"""{"metric":"sketch-build throughput + query suite","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"sketch-build throughput + query suite","value":$total%.3f,"unit":"sec","query_runs":$queryRounds,"queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

@@ -268,17 +268,21 @@ object PipelineEntries {
         .toDF("n_queries", "recall8_ok", "recall12_ok")
     }),
 
-    // Language ID heuristic: deterministic classifier; oracle anchors on
-    // exact per-lang counts (accuracy is asserted on real multilingual
-    // samples in LangIdSpec — the synthetic text doesn't encode its lang).
+    // Language ID heuristic: ONE UDF evaluation per row (the determinism
+    // gate that used to double-evaluate the UDF here lives in
+    // TextPipelineSpec now); oracle anchors on exact per-lang counts,
+    // plus a total-classification boolean (every prediction lands in the
+    // closed label set — accuracy itself is asserted on real multilingual
+    // samples in the spec, since the synthetic text doesn't encode its
+    // lang column).
     "q18_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pred = d.select(col("lang"), TextPipeline.langIdUdf(col("text")).as("p1"),
-        TextPipeline.langIdUdf(col("text")).as("p2"))
+      val pred = d.select(col("lang"), TextPipeline.langIdUdf(col("text")).as("p"))
       pred.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          (count(lit(1)) === sum(when(col("p1") === col("p2"), 1).otherwise(0)))
-            .as("deterministic"))
+          (count(lit(1)) === sum(when(
+            col("p").isin("de", "en", "es", "fr", "zh", "und"), 1).otherwise(0)))
+            .as("all_classified"))
         .orderBy(col("lang"))
     }),
 
@@ -470,6 +474,7 @@ object PipelineEntries {
     // anchors (per-source doc counts) are DuckDB-recomputed.
     "q36_kll_by_source" -> ((s, dir) => {
       import graft.spark.catalyst._
+      import s.implicits._
       val d = docs(s, dir)
         .select(col("source"), TextPipeline.wsTokenCount(col("text")).cast("double").as("tok"))
         .cache()
@@ -482,30 +487,32 @@ object PipelineEntries {
         (r.getString(0), r.getAs[Long]("n_docs"), kll.quantile(0.5), kll.quantile(0.95),
           3 * kll.normalizedRankError)
       }.sortBy(_._1)
-      // ONE pass computes every group's exact STRICT and NON-STRICT
-      // ranks of both estimates. Token counts are integers with heavy
-      // ties, so the correct KLL criterion is the tie-aware interval:
-      // rank(< v)/n ≤ q + ε  AND  rank(≤ v)/n ≥ q − ε (the returned
-      // value's rank INTERVAL must intersect [q−ε, q+ε]).
-      val rankAggs = qs.flatMap { case (src, _, q50, q95, _) =>
-        def rk(q: Double, strict: Boolean, nm: String) = {
-          val cmp = if (strict) col("tok") < q else col("tok") <= q
-          coalesce(sum(when(col("source") === src && cmp, 1L).otherwise(0L)), lit(0L))
-            .as(s"${nm}_$src")
-        }
-        Seq(rk(q50, strict = true, "lt50"), rk(q50, strict = false, "le50"),
-          rk(q95, strict = true, "lt95"), rk(q95, strict = false, "le95"))
-      }
-      val ranks = d.agg(rankAggs.head, rankAggs.tail: _*).head
+      // Rank check as a JOIN, not per-group columns: the decoded
+      // (source, q, estimate, bound) tuples become a small broadcast
+      // relation, and ONE grouped pass over the tokens computes every
+      // group's exact STRICT and NON-STRICT ranks of both estimates —
+      // the plan's width is independent of the group count (the old
+      // shape built 4 aggregate columns PER GROUP, which blows up the
+      // generated code at 10³–10⁴ source cardinality). Token counts are
+      // integers with heavy ties, so the correct KLL criterion is the
+      // tie-aware interval: rank(< v)/n ≤ q + ε AND rank(≤ v)/n ≥ q − ε
+      // (the returned value's rank INTERVAL must intersect [q−ε, q+ε]).
+      val est = qs.flatMap { case (src, _, q50, q95, bound) =>
+        Seq((src, 0.5, q50, bound), (src, 0.95, q95, bound))
+      }.toSeq.toDF("source", "q", "qval", "bound")
+      val ranks = d.join(broadcast(est), "source")
+        .groupBy(col("source"), col("q"), col("qval"), col("bound"))
+        .agg(
+          coalesce(sum(when(col("tok") < col("qval"), 1L).otherwise(0L)), lit(0L)).as("lt"),
+          coalesce(sum(when(col("tok") <= col("qval"), 1L).otherwise(0L)), lit(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .select(col("source"), col("q"),
+          (col("lt") / col("n") <= col("q") + col("bound") &&
+            col("le") / col("n") >= col("q") - col("bound")).as("ok"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
       d.unpersist()
-      import s.implicits._
-      qs.map { case (src, n, _, _, bound) =>
-        def ok(q: Double, nm: String): Boolean = {
-          val lt = ranks.getAs[Long](s"lt$nm" + s"_$src").toDouble / n
-          val le = ranks.getAs[Long](s"le$nm" + s"_$src").toDouble / n
-          lt <= q + bound && le >= q - bound
-        }
-        (src, n, ok(0.5, "50"), ok(0.95, "95"))
+      qs.map { case (src, n, _, _, _) =>
+        (src, n, ranks((src, 0.5)), ranks((src, 0.95)))
       }.toSeq.toDF("source", "n_docs", "p50_ok", "p95_ok")
         .orderBy(col("source"))
     }),
@@ -599,7 +606,7 @@ object PipelineEntries {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall8_ok, " +
         "true AS recall12_ok FROM embeddings WHERE vec_id < 20"),
     "q18_lang_id" ->
-      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS deterministic " +
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_classified " +
         "FROM documents GROUP BY lang ORDER BY lang"),
     "q19_quality_score" ->
       ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars, " +

@@ -365,11 +365,14 @@ object SparkEntry {
 
     // Streaming shapes, oracle-gated (north rule: batch/stream
     // equivalence is exact for Bloom/HLL/CMS because the micro-batch
-    // fold IS the reference's union, km_bloom_filter.rs:184–194): replay
-    // the transcripts as an AvailableNow file stream in micro-batches;
-    // the incremental foreachBatch union and the windowed aggregation
-    // must match their batch twins bit-for-bit. Replay batch count and
-    // temp layout are set below where they are passed.
+    // fold IS the reference's union, km_bloom_filter.rs:184–194, and
+    // BOUND-level for t-digest/KLL, whose merges are order-dependent —
+    // the stream-merged sketch must satisfy the same published rank
+    // bound as the batch build): replay the transcripts as an
+    // AvailableNow file stream in micro-batches; the incremental
+    // foreachBatch union and the windowed aggregation must match their
+    // batch twins bit-for-bit, the quantile sketches within bound.
+    // Replay batch count and temp layout are set below where passed.
     "q33_stream_batch_equiv" -> ((s, dir) => {
       val t = Transcripts.load(s, dir)
       val n = t.count()
@@ -413,6 +416,54 @@ object SparkEntry {
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)); ()
       }
+    }),
+
+    // ROLLUP sketch table — the §2.3 grouping-sets aggregation shape: ONE
+    // build pass over rollup(role, tool) yields a sketch per (role, tool)
+    // cell, per role, and the grand total; the hierarchy-rollup IDENTITY
+    // that makes sketch tables valuable (any parent cell ≡ merge of its
+    // children, because HLL's register-max union is associative and
+    // commutative — the reference union law lifted to grouping sets) is
+    // gated BIT-level at both levels, and each role cell's estimate is
+    // gated at the published HLL bound against the exact distinct count.
+    // Anchors (per-role turn counts) are DuckDB-exact.
+    "q40_rollup_sketches" -> ((s, dir) => {
+      import s.implicits._
+      import graft.spark.catalyst._
+      val t = Transcripts.load(s, dir)
+      val rse = 3 * 1.04 / math.sqrt(1 << HLLSketch.DefaultP)
+      val cells = t.rollup(col("role"), col("tool"))
+        .agg(hllAggNative(col("conv_id")).as("sk"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .cache()
+      val leaves = cells.filter(col("gid") === 0)
+      val roleCells = cells.filter(col("gid") === 1)
+      // parent ≡ merge of children, per role (executor-side fold)
+      val mergedPerRole = leaves.groupBy(col("role"))
+        .agg(sketchMergeAgg(col("sk")).as("msk"), sum(col("n")).as("mn"))
+      val blobEq = udf((a: Array[Byte], b: Array[Byte]) =>
+        a != null && b != null && java.util.Arrays.equals(a, b))
+      val exact = t.groupBy(col("role"))
+        .agg(countDistinct(col("conv_id")).as("exact_distinct"))
+      val estUdf = udf((b: Array[Byte]) => math.round(SketchCodec.decodeHll(b).estimate))
+      val perRole = roleCells.join(mergedPerRole, "role").join(exact, "role")
+        .select(col("role"), col("n").as("n_turns"),
+          (blobEq(col("sk"), col("msk")) && col("n") === col("mn"))
+            .as("rollup_identity_ok"),
+          (abs(estUdf(col("sk")) - col("exact_distinct"))
+            <= lit(rse) * col("exact_distinct") + 1).as("hll_ok"))
+      // grand total cell ≡ merge of the role cells
+      val totalRow = cells.filter(col("gid") === 3).select(col("sk"), col("n")).head
+      val mergedAll = roleCells
+        .agg(sketchMergeAgg(col("sk")).as("m"), sum(col("n")).as("mn")).head
+      val grandOk = java.util.Arrays.equals(
+        totalRow.getAs[Array[Byte]]("sk"), mergedAll.getAs[Array[Byte]]("m")) &&
+        totalRow.getAs[Long]("n") == mergedAll.getAs[Long]("mn")
+      val rows = perRole.withColumn("grand_identity_ok", lit(grandOk))
+        .orderBy(col("role")).collect()
+      val schema = perRole.withColumn("grand_identity_ok", lit(grandOk)).schema
+      cells.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
     }),
 
     // §2.1 #3 genericity: the KM filter takes ANY registered hash pair
@@ -548,8 +599,12 @@ object SparkEntry {
         "true AS fnv_murmur_ok, true AS xx_xx_ok FROM transcripts"),
     "q33_stream_batch_equiv" ->
       (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS inc_bloom_eq, " +
-        "true AS inc_hll_eq, true AS inc_cms_eq, true AS windowed_eq FROM transcripts"),
+        "true AS inc_hll_eq, true AS inc_cms_eq, true AS inc_tdigest_ok, " +
+        "true AS inc_kll_ok, true AS windowed_eq FROM transcripts"),
     "q35_sharded_probe" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS zero_fn, true AS fpr_ok FROM transcripts",
+    "q40_rollup_sketches" ->
+      (s"$C SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns, true AS rollup_identity_ok, " +
+        "true AS hll_ok, true AS grand_identity_ok FROM transcripts GROUP BY role ORDER BY role"),
   )
 }

@@ -292,17 +292,29 @@ object TextPipeline {
   // -------------------------------------------------- near-dup clustering
   /** Connected components over a near-dup PAIR relation — the step that
     * turns pair detection into actual deduplication (pick one canonical
-    * doc per cluster, drop the rest). Iterative minimum-label
-    * propagation: every node repeatedly adopts the smallest label among
-    * itself and its neighbors until a fixpoint; each round is one
-    * distributed join+groupBy, and the round count is bounded by the
-    * cluster diameter — near-dup clusters are dense and shallow (a dup
-    * group's diameter is small by construction), so this converges in a
-    * handful of rounds where a general graph might need many. Each round
-    * materializes (cache + count) so the lineage stays flat — the
-    * standard iterative-algorithm discipline on Spark. Throws if
-    * `maxIters` rounds don't reach the fixpoint rather than returning a
-    * half-propagated labeling.
+    * doc per cluster, drop the rest). Minimum-label propagation WITH
+    * POINTER DOUBLING: each round every node adopts the smallest of
+    *   - its own label,
+    *   - its neighbors' labels (one distributed join+groupBy), and
+    *   - its label's label (one self-join — the "label ← min(label,
+    *     label-of-label)" doubling step),
+    * so label information travels ~2× farther per round and convergence
+    * is O(log diameter) rounds instead of O(diameter): a 100-hop chain
+    * of templated docs converges in ~9 rounds where plain neighbor-min
+    * needs 100 (pinned in TextPipelineSpec). Every adopted label is a
+    * node id inside the same component (neighbor labels by edge
+    * adjacency; label-of-label by induction), so correctness is
+    * unchanged — the fixpoint is the per-component minimum id. Each
+    * round materializes through an EAGER `localCheckpoint`, which (unlike
+    * cache + count) also TRUNCATES the logical plan: the label table is
+    * referenced three times per round (self-join + neighbor join), so an
+    * uncheckpointed plan re-analyzed per round grows as 3^rounds — cache
+    * keeps the physical lineage flat but Catalyst still re-walks (and
+    * clones, for self-join attribute dedup) the whole accumulated logical
+    * plan, which measured minutes of pure driver planning by round ~9 on
+    * a 100-hop chain. Old round blocks are released by the
+    * ContextCleaner once dereferenced. Throws if `maxIters` rounds don't
+    * reach the fixpoint rather than returning a half-propagated labeling.
     *
     * Returns (doc_id, canonical_id) for every doc that appears in a
     * pair; canonical_id = the cluster's minimum doc_id. Docs with no
@@ -315,16 +327,13 @@ object TextPipeline {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    // `cachedRound` always references the EXACT cached plan of the
-    // current round (unpersist on a derived projection is a silent
-    // no-op, so the cached reference must be tracked separately from
-    // the projected view used in the joins)
-    var cachedRound: DataFrame = edges.select(col("src").as("doc_id"))
+    // eager localCheckpoint: materialized AND plan-truncated per round
+    // (see scaladoc — a cached-only label table makes planning itself
+    // exponential in the round count under the 3-reference round body)
+    var labels: DataFrame = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .cache()
-    var labels: DataFrame = cachedRound
-    labels.count()
+      .localCheckpoint()
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
@@ -332,29 +341,37 @@ object TextPipeline {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("neighbor_label"))
-      val updated = labels
+      // pointer doubling: the label of my label (labels are node ids, so
+      // this is a self-join on the label table; left join + coalesce
+      // because a label may itself be a pair-free node only in degenerate
+      // inputs — defensive, costs nothing)
+      val labelOfLabel = labels
+        .join(labels.select(col("doc_id").as("__lbl_id"), col("label").as("label_label")),
+          col("label") === col("__lbl_id"), "left")
+        .select(col("doc_id"), col("label"),
+          coalesce(col("label_label"), col("label")).as("label_label"))
+      val updated = labelOfLabel
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"),
-          (coalesce(col("neighbor_label"), col("label")) < col("label")).as("__chg"))
-        .cache()
+        .select(col("doc_id"), col("label"),
+          least(col("label"), col("label_label"),
+            coalesce(col("neighbor_label"), col("label"))).as("new_label"))
+        .select(col("doc_id"), col("new_label").as("label"),
+          (col("new_label") < col("label")).as("__chg"))
+        .localCheckpoint()
       changed = updated.filter(col("__chg")).count()
-      cachedRound.unpersist()
-      cachedRound = updated
       labels = updated.drop("__chg")
       iters += 1
     }
     edges.unpersist()
     if (changed != 0) {
-      cachedRound.unpersist()
       throw new IllegalArgumentException(
         s"label propagation did not converge in $maxIters rounds")
     }
-    // hand the caller a DataFrame whose OWN plan is the cached one, for
-    // the same reason cachedRound is tracked above
+    // the returned frame is cached (contract: caller unpersists); the
+    // per-round checkpoint blocks are freed by the ContextCleaner once
+    // this method's references go out of scope
     val out = labels.select(col("doc_id"), col("label").as("canonical_id")).cache()
     out.count()
-    cachedRound.unpersist()
     out
   }
 

@@ -190,6 +190,26 @@ object Winnowing {
       .distinct()
   }
 
+  /** TELEMETRY for the hot-fingerprint cap: what [[candidatesFromFps]]
+    * silently dropped. One row — (n_hot_fps, n_docs_touching_hot,
+    * n_dropped_pair_slots) where n_dropped_pair_slots = Σ df·(df−1)/2
+    * over the capped fingerprints (an upper bound on candidate pairs the
+    * cap suppressed; a pair sharing both a hot and a rare fingerprint is
+    * still found via the rare one). A 100 TB run should log this next to
+    * its candidate count: a large n_dropped_pair_slots means boilerplate
+    * spans are being excluded BY POLICY, not silently missed. */
+  def dfCapStats(docFps: DataFrame, maxDf: Long = 1000L): DataFrame = {
+    val hot = docFps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+    hot.agg(
+      count(lit(1)).as("n_hot_fps"),
+      coalesce(sum(col("df")), lit(0L)).as("n_docs_touching_hot"),
+      // DIV keeps the arithmetic in longs (the `/` operator widens to
+      // double, which loses exactness past 2^53 pair slots)
+      coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)).as("n_dropped_pair_slots"))
+  }
+
   /** Doc pairs sharing at least one 3-word shingle whose normalized
     * length is ≥ w + k − 1 characters — every such pair shares a
     * contiguous normalized run of that length (a shingle is contiguous

@@ -106,10 +106,17 @@ object StreamingSketch {
     val stream = spark.readStream.schema(transcripts.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
 
-    // shape 2: foreachBatch incremental build, one state per sketch type
+    // shape 2: foreachBatch incremental build, one state per sketch type.
+    // Bloom/HLL/CMS merges are associative+commutative ⇒ gated at
+    // BIT-identity below; t-digest/KLL merges are order-DEPENDENT, so
+    // their batch/stream equivalence is BOUND-level (north rule, SURVEY
+    // §5 layer 5): the stream-merged sketch must satisfy the same
+    // published rank-error bound the one-shot batch sketch does.
     val bloomState = new IncrementalState
     val hllState = new IncrementalState
     val cmsState = new IncrementalState
+    val tdState = new IncrementalState
+    val kllState = new IncrementalState
     val q1 = stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -119,10 +126,14 @@ object StreamingSketch {
           val r = batch.agg(
             bloomAggNative(capacity, 0.001)(col("conv_id"), col("turn_idx")).as("b"),
             hllAggNative(col("conv_id")).as("h"),
-            cmsAggNative(0.001, 0.01)(col("tool")).as("c")).head
+            cmsAggNative(0.001, 0.01)(col("tool")).as("c"),
+            tdigestAggNative(col("turn_idx").cast("double")).as("t"),
+            kllAggNative(col("turn_idx").cast("double")).as("k")).head
           bloomState.merge(r.getAs[Array[Byte]]("b"))
           hllState.merge(r.getAs[Array[Byte]]("h"))
           cmsState.merge(r.getAs[Array[Byte]]("c"))
+          tdState.merge(r.getAs[Array[Byte]]("t"))
+          kllState.merge(r.getAs[Array[Byte]]("k"))
         }
         ()
       }
@@ -135,6 +146,36 @@ object StreamingSketch {
       cmsAggNative(0.001, 0.01)(col("tool")).as("c")).head
     def eq(state: IncrementalState, c: String): Boolean =
       state.get.exists(java.util.Arrays.equals(_, batchRow.getAs[Array[Byte]](c)))
+
+    // bound-level gate for the quantile sketches: tie-aware rank interval
+    // of the STREAM-merged sketch's p50/p95 vs the exact distribution —
+    // rank(< v)/n ≤ q + ε AND rank(≤ v)/n ≥ q − ε (turn_idx is integer
+    // with heavy ties, so the estimate's rank INTERVAL must intersect
+    // [q−ε, q+ε]; same criterion as the grouped KLL query).
+    def rankOk(estimates: Seq[(Double, Double, Double)]): Boolean = {
+      val aggs = estimates.zipWithIndex.flatMap { case ((_, v, _), i) =>
+        Seq(
+          coalesce(sum(when(col("turn_idx").cast("double") < v, 1L).otherwise(0L)), lit(0L))
+            .as(s"lt$i"),
+          coalesce(sum(when(col("turn_idx").cast("double") <= v, 1L).otherwise(0L)), lit(0L))
+            .as(s"le$i"))
+      }
+      val r = transcripts.agg(aggs.head, aggs.tail: _*).head
+      estimates.zipWithIndex.forall { case ((q, _, eps), i) =>
+        val lt = r.getAs[Long](s"lt$i").toDouble / math.max(n, 1L)
+        val le = r.getAs[Long](s"le$i").toDouble / math.max(n, 1L)
+        lt <= q + eps && le >= q - eps
+      }
+    }
+    val tdOk = tdState.get.exists { blob =>
+      val td = SketchCodec.decodeTDigest(blob)
+      rankOk(Seq((0.5, td.quantile(0.5), 0.02), (0.95, td.quantile(0.95), 0.02)))
+    }
+    val kllOk = kllState.get.exists { blob =>
+      val kll = SketchCodec.decodeKll(blob)
+      val eps = 3 * kll.normalizedRankError
+      rankOk(Seq((0.5, kll.quantile(0.5), eps), (0.95, kll.quantile(0.95), eps)))
+    }
 
     // shape 1: windowed aggregation, stream (complete mode, AvailableNow)
     // vs the SAME transform run as a plain batch query
@@ -162,8 +203,9 @@ object StreamingSketch {
     val windowedEq = winRow.getLong(0) > 0 && winRow.getLong(0) == winRow.getLong(1)
     spark.catalog.dropTempView(sinkName) // memory sink hygiene (winRow is materialized)
 
-    Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"), windowedEq))
-      .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq", "windowed_eq")
+    Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"), tdOk, kllOk, windowedEq))
+      .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq",
+        "inc_tdigest_ok", "inc_kll_ok", "windowed_eq")
   }
 
   /** Input row for the per-conversation stateful operator. */

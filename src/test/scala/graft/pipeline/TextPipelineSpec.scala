@@ -142,4 +142,29 @@ class TextPipelineSpec extends AnyFunSuite {
       TextPipeline.dedupClusters(
         Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b"), maxIters = 1))
   }
+
+  test("dedupClusters: 100-hop chain converges in O(log n) rounds (pointer doubling)") {
+    import spark.implicits._
+    // a chained-templated-doc corpus A~B~C~…: 101 nodes, diameter 100.
+    // Plain neighbor-min propagation needs 100 rounds and would throw at
+    // the default maxIters = 20; pointer doubling converges in ~9.
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = TextPipeline.dedupClusters(chain) // default maxIters = 20
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    labels.unpersist()
+    assert(got.length === 101)
+    assert(got.forall(_._2 === 0L), "every chain node must label to the minimum id")
+  }
+
+  test("langIdUdf is deterministic across repeated evaluation") {
+    // the determinism gate q18 used to pay for per-row (double UDF
+    // evaluation in the query) lives here now: two independent passes
+    // over the same rows must classify identically
+    import spark.implicits._
+    val texts = (0 until 500).map(i => s"the quick brown fox $i jumped over the lazy dog and " +
+      ("der hund " * (i % 3)) + ("el perro " * (i % 5))).toDF("text")
+    val p1 = texts.select(TextPipeline.langIdUdf($"text").as("p")).collect().map(_.getString(0))
+    val p2 = texts.select(TextPipeline.langIdUdf($"text").as("p")).collect().map(_.getString(0))
+    assert(p1.toSeq === p2.toSeq)
+  }
 }

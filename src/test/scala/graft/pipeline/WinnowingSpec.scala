@@ -118,6 +118,38 @@ class WinnowingSpec extends AnyFunSuite {
     assert(guaranteed.subsetOf(candAll))
   }
 
+  test("dfCapStats surfaces what the hot-fingerprint cap drops") {
+    import spark.implicits._
+    val r = new scala.util.Random(23)
+    def words(n: Int) = (0 until n).map(_ => randAlnum(3 + r.nextInt(6), r)).mkString(" ")
+    // boilerplate span shared by ALL 6 docs (its fingerprints have df=6);
+    // a rare span shared by exactly docs 1 and 2
+    val boiler = words(30)
+    val rare = words(30)
+    val docs = (
+      Seq((1L, boiler + " " + rare + " " + words(10)),
+          (2L, rare + " " + boiler + " " + words(10))) ++
+      (3L to 6L).map(i => (i, boiler + " " + words(20)))
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), fingerprintsUdf()(col("text")).as("fps"))
+    // cap at df<=2: boilerplate fingerprints (df=6) are dropped
+    val stats = dfCapStats(fps, maxDf = 2).head
+    assert(stats.getLong(0) > 0, "the boilerplate fingerprints must register as hot")
+    assert(stats.getLong(1) === 6 * stats.getLong(0),
+      "every hot fingerprint here is shared by exactly the 6 docs")
+    // each hot fp with df=6 suppresses C(6,2)=15 pair slots
+    assert(stats.getLong(2) === stats.getLong(0) * 15)
+    // the capped candidate set still finds (1,2) via the rare span, and
+    // loses the boilerplate-only pairs the stats account for
+    val capped = candidatesFromFps(fps, maxDf = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+    // no cap ⇒ no drops reported, all 15 pairs appear
+    val uncapped = dfCapStats(fps, maxDf = Long.MaxValue).head
+    assert(uncapped.getLong(0) === 0L && uncapped.getLong(2) === 0L)
+    assert(candidatesFromFps(fps, maxDf = Long.MaxValue).count() === 15L)
+  }
+
   test("degenerate corpus: all-short docs yield empty fingerprints and zero candidates") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, ""), (4L, "!!!???")).toDF("doc_id", "text")

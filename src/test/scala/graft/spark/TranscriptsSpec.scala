@@ -68,4 +68,24 @@ class TranscriptsSpec extends AnyFunSuite {
     assert(first.conv_id.nonEmpty && first.text != null)
     assert(ds.count() > 0)
   }
+
+  test("CatalogSource drives a pipeline query end-to-end (the Iceberg drop-in seam)") {
+    // the seam is EXECUTED, not just compiled: testdata registered as
+    // catalog-visible temp views, then the q12 dedup aggregation runs
+    // through CatalogSource and must agree with the ParquetDirSource run
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents")
+    try {
+      val viaCatalog = graft.pipeline.TextPipeline
+        .documents(spark, new CatalogSource(""))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_texts"))
+        .head
+      val viaParquet = graft.pipeline.TextPipeline.documents(spark, sf)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_texts"))
+        .head
+      assert(viaCatalog === viaParquet)
+      assert(viaCatalog.getLong(0) > 0)
+    } finally spark.catalog.dropTempView("documents")
+  }
 }
