@@ -22,14 +22,15 @@ object VectorPipeline {
   def embeddings(spark: SparkSession, source: graft.spark.TableSource): DataFrame =
     source.table(spark, "embeddings")
 
-  /** Cosine similarity of two float-array columns via zip_with +
-    * aggregate — pure Catalyst collection functions, codegen'd, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / greatest(na * nb, lit(1e-12d))
-  }
+  /** Cosine similarity of two float-array columns — the native codegen'd
+    * CosineSim expression (one fused primitive loop inside whole-stage
+    * codegen). Bit-identical to the zip_with/aggregate higher-order form
+    * it replaces (float multiply, double accumulate, same 1e-12 floor —
+    * parity pinned in VectorExprSpec), but HOFs are CodegenFallback:
+    * they allocate a product array per row and drop the projection out
+    * of codegen — the wrong shape for a 10^9-row scoring scan. */
+  def cosine(a: Column, b: Column): Column =
+    graft.spark.catalyst.cosineNative(a, b)
 
   /** Brute-force top-k: queries (small, broadcast) × corpus (scanned once),
     * ranked per query with a window — the exact baseline. */
@@ -126,34 +127,21 @@ object VectorPipeline {
     * previous shape (crossJoin + Window.partitionBy(vec_id) + row_number)
     * hash-exchanged and sorted corpus×ncentroids rows — at 10^9 vectors ×
     * 16 centroids a 1.6·10^10-row shuffle for a per-row reduction, on the
-    * write-time critical path of the index.
-    *
-    * Centroid norms are precomputed driver-side with the same float-
-    * multiply-then-widen arithmetic Spark's `aggregate` fold performs, so
-    * the cosine values (and therefore every assignment) are bit-identical
-    * to the old plan's. */
+    * write-time critical path of the index. The argmax is the single
+    * fused CosineArgmax expression (catalyst.cosineArgmaxNative): one
+    * primitive loop per row computes every centroid's cosine and keeps
+    * the winner — zero per-row allocation, whole-stage codegen,
+    * bit-identical to scoring each centroid with [[cosine]] and taking
+    * (cos desc, centroid_id asc). */
   def ivfAssign(corpus: DataFrame, book: DataFrame): DataFrame = {
-    val cents: Array[(Long, Seq[Float], Double)] = book
+    val cents: Array[(Long, Seq[Float])] = book
       .select(col("centroid_id"), col("c_emb")).collect()
-      .map { r =>
-        val ce = r.getSeq[Float](1)
-        // float v*v then widen — mirrors Spark's `acc + v * v` fold typing
-        (r.getLong(0), ce, math.sqrt(ce.foldLeft(0.0d)((a, x) => a + (x * x))))
-      }
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "cannot assign against an empty codebook")
-    // embedding norm computed once per row, shared by every centroid score
-    val eNorm = sqrt(aggregate(col("embedding"), lit(0.0d), (acc, v) => acc + v * v))
-    val scored = cents.map { case (cid, ce, cNorm) =>
-      val dot = aggregate(zip_with(col("embedding"), typedLit(ce), (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
-      struct((dot / greatest(col("__graft_enorm") * lit(cNorm), lit(1e-12d))).as("cos"),
-        lit(-cid).as("negid"))
-    }
-    corpus
-      .withColumn("__graft_enorm", eNorm)
-      .select(col("vec_id"), col("embedding"),
-        (-array_max(array(scored: _*)).getField("negid")).as("centroid_id"))
+    corpus.select(col("vec_id"), col("embedding"),
+      graft.spark.catalyst.cosineArgmaxNative(col("embedding"),
+        cents.map(_._1).toSeq, cents.map(_._2).toSeq).as("centroid_id"))
   }
 
   // -------------------------------------------- embedding-cosine near-dup

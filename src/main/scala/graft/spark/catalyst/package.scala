@@ -40,6 +40,19 @@ package object catalyst {
     B.column(BloomMightContainKeyed(B.expression(cacheKey), B.expression(sketch),
       keys.map(B.expression(_))))
 
+  /** Codegen'd cosine similarity of two array<float> columns (see
+    * CosineSim — bit-identical to the zip_with/aggregate form it
+    * replaces, minus the per-row allocation and codegen fallback). */
+  def cosineNative(a: Column, b: Column): Column =
+    B.column(CosineSim(B.expression(a), B.expression(b)))
+
+  /** Nearest-centroid id by cosine against a driver-side codebook — the
+    * IVF write-time assignment as one fused zero-allocation expression
+    * (see CosineArgmax; ties to the smallest centroid id). */
+  def cosineArgmaxNative(embedding: Column,
+      centroidIds: Seq[Long], centroids: Seq[Seq[Float]]): Column =
+    B.column(CosineArgmax(B.expression(embedding), centroidIds, centroids))
+
   private def registeredId(pair: graft.core.KMHashPair): Byte = {
     require(pair.id >= 0,
       s"hash pair '$pair' is not registered — only KMHashPair.registered " +

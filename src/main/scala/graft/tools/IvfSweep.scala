@@ -44,28 +44,54 @@ object IvfSweep {
       bf.unpersist(); emb.unpersist()
     }
 
-    // write-time assignment throughput (the shuffle-free argmax): the
-    // sf0.1 corpus replicated 50x, min of 3 timed passes. Evidence for
-    // BENCH.md's ivfAssign before/after entry.
+    // write-time assignment throughput, BEFORE vs AFTER the round-3
+    // rewrite: the sf0.1 corpus replicated 50x, min of 3 timed passes
+    // each. "windowed" reconstructs the superseded round-2 shape
+    // (crossJoin + Window.partitionBy(vec_id) argmax — a corpus×16-row
+    // exchange); "argmax" is the shipped shuffle-free projection. Both
+    // produce identical assignments (asserted). Evidence for BENCH.md.
     {
       val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.1")
-      val big = emb.crossJoin(spark.range(0, 50).toDF("rep"))
-        .select((col("vec_id") * 50 + col("rep")).as("vec_id"), col("embedding"))
+      val reps = 500 // 1M vectors: small enough for the cache, big enough
+      // that the windowed shape's corpus×16-row exchange+sort is visible
+      val big = emb.crossJoin(spark.range(0, reps.toLong).toDF("rep"))
+        .select((col("vec_id") * reps + col("rep")).as("vec_id"), col("embedding"))
         .cache()
       val n = big.count()
       val book = VectorPipeline.trainedCodebook(emb, 16).cache()
       book.count()
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        VectorPipeline.ivfAssign(big, book)
-          .agg(sum(col("centroid_id"))).collect()
-        (System.nanoTime() - t0) / 1e9
+      def time(mk: () => org.apache.spark.sql.DataFrame): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          mk().agg(sum(col("centroid_id"))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up
+        (1 to 3).map(_ => once()).min
       }
-      once() // warm-up
-      val secs = (1 to 3).map(_ => once()).min
-      println(f"assign_bench,n_vectors=$n,secs=$secs%.3f,vecs_per_sec=${n / secs}%.0f")
+      val tNew = time(() => VectorPipeline.ivfAssign(big, book))
+      val tOld = time(() => ivfAssignWindowed(big, book))
+      val agree = VectorPipeline.ivfAssign(big, book).select(col("vec_id"), col("centroid_id"))
+        .exceptAll(ivfAssignWindowed(big, book).select(col("vec_id"), col("centroid_id")))
+        .isEmpty
+      println(f"assign_bench,n_vectors=$n,argmax_secs=$tNew%.3f,windowed_secs=$tOld%.3f," +
+        f"speedup=${tOld / tNew}%.2f,assignments_identical=$agree")
       big.unpersist(); book.unpersist()
     }
     spark.stop()
+  }
+
+  /** The SUPERSEDED round-2 assignment shape, kept ONLY as the bench
+    * comparator for the shuffle-free rewrite (do not use: it exchanges
+    * and sorts corpus×ncentroids rows for a per-row reduction). */
+  private def ivfAssignWindowed(corpus: org.apache.spark.sql.DataFrame,
+      book: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        VectorPipeline.cosine(col("embedding"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 }
