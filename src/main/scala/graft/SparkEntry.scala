@@ -516,6 +516,45 @@ object SparkEntry {
       Seq((n, ok("xf"), ok("fm"), ok("xx")))
         .toDF("n_probes", "xx_fnv_ok", "fnv_murmur_ok", "xx_xx_ok")
     }),
+
+    // HIGH-GROUP-CARDINALITY sketch table — the 100 TB shape where the
+    // shuffle cost is per-GROUP blob size, not input size: one HLL + one
+    // CMS per conversation (thousands of tiny groups, vs 3 roles in q07).
+    // The canonical sparse codec (SketchCodec v2, SparseCodecSpec) must
+    // kick in for every group: a 30-turn conversation encodes its HLL in
+    // ~a hundred bytes instead of the 16 KiB dense register file, and its
+    // tool-frequency CMS in ~1 KiB instead of the ~109 KiB dense grid —
+    // this query gates that every blob IS sparse (version byte, checked
+    // with a codegen'd binary substring, no UDF), that the whole sketch
+    // column is ≥10× smaller than dense would be, and that every group's
+    // HLL estimate still meets the published bound.
+    "q41_sparse_sketch_table" -> ((s, dir) => {
+      import graft.spark.catalyst._
+      val t = Transcripts.load(s, dir)
+      val rse = 3 * 1.04 / math.sqrt(1 << HLLSketch.DefaultP)
+      val hllDense = 10L + (1L << HLLSketch.DefaultP)
+      val cmsEps = 0.001
+      val cmsDelta = 0.01
+      val cmsDense = 23L + 8L * math.ceil(math.log(1.0 / cmsDelta)).toLong *
+        math.ceil(math.E / cmsEps).toLong
+      val estUdf = udf((b: Array[Byte]) => math.round(SketchCodec.decodeHll(b).estimate))
+      val sparseV2 = lit(Array[Byte](2))
+      val groups = t.groupBy(col("conv_id"))
+        .agg(hllAggNative(col("turn_idx")).as("hsk"),
+          cmsAggNative(cmsEps, cmsDelta)(col("tool")).as("csk"),
+          countDistinct(col("turn_idx")).as("exact"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        (coalesce(sum(when(abs(estUdf(col("hsk")) - col("exact"))
+          <= lit(rse) * col("exact") + 1, 0L).otherwise(1L)), lit(0L)) === 0)
+          .as("all_within_bound"),
+        (coalesce(sum(when(substring(col("hsk"), 6, 1) === sparseV2 &&
+          substring(col("csk"), 6, 1) === sparseV2, 0L).otherwise(1L)), lit(0L)) === 0)
+          .as("all_blobs_sparse"),
+        (sum(length(col("hsk"))) * 10 < count(lit(1)) * lit(hllDense) &&
+          sum(length(col("csk"))) * 10 < count(lit(1)) * lit(cmsDense))
+          .as("sparse_saves_10x"))
+    }),
   )
 
   /** Exact ranks of three quantile estimates in ONE pass over the gaps
@@ -606,5 +645,8 @@ object SparkEntry {
     "q40_rollup_sketches" ->
       (s"$C SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns, true AS rollup_identity_ok, " +
         "true AS hll_ok, true AS grand_identity_ok FROM transcripts GROUP BY role ORDER BY role"),
+    "q41_sparse_sketch_table" ->
+      (s"$C SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_groups, true AS all_within_bound, " +
+        "true AS all_blobs_sparse, true AS sparse_saves_10x FROM transcripts"),
   )
 }

@@ -35,23 +35,27 @@ object SketchCodec {
     val Theta: Byte = 6
     val BottomK: Byte = 7
   }
-  // Versions are PER TYPE: only the Bloom payload changed in v2 (it
-  // carries the KM hash-pair id, see KMHashPair), so only Bloom blobs
-  // are stamped v2 — HLL/CMS/theta/KLL/t-digest/bottom-k payloads are
-  // byte-identical to v1 and stay stamped v1, so an older (v1-only)
-  // reader keeps accepting them during a rolling upgrade. Decoders
-  // ACCEPT v1 Bloom blobs too (default pair, hasherId 0), so checkpoints
-  // written by an older build stay resumable (the whole point of
-  // CheckpointedBuild is cross-run durability).
+  // Versions are PER TYPE — and, for HLL/CMS, PER BLOB:
+  //   - Bloom: v2 (carries the KM hash-pair id, see KMHashPair); v1
+  //     blobs still decode (default pair), so old checkpoints resume.
+  //   - HLL/CMS: DENSE blobs keep the byte-identical v1 layout; a blob
+  //     whose occupied cells are few enough that the SPARSE layout is
+  //     strictly smaller is stamped v2 and encoded sparse (see
+  //     encodeHll/encodeCms). The dense/sparse choice is a pure function
+  //     of the logical sketch state, so equal sketches always encode to
+  //     equal bytes regardless of merge order — the canonical-encoding
+  //     property every bit-identity gate (q33, state-identity suites)
+  //     relies on. An older (v1-only) reader keeps accepting every dense
+  //     blob and FAILS FAST (version check) on a sparse one, rather than
+  //     misreading it.
+  //   - theta/KLL/t-digest/bottom-k: unchanged, always v1 (their
+  //     payloads are already content-proportional).
   private val Version: Byte = 2
   private val MinVersion: Byte = 1
 
-  private def versionFor(typeId: Byte): Byte =
-    if (typeId == TypeId.Bloom) Version else MinVersion
-
-  private def writer(typeId: Byte, payloadSize: Int): ByteBuffer = {
+  private def writer(typeId: Byte, payloadSize: Int, version: Byte): ByteBuffer = {
     val bb = ByteBuffer.allocate(6 + payloadSize).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(Magic).put(typeId).put(versionFor(typeId))
+    bb.put(Magic).put(typeId).put(version)
     bb
   }
 
@@ -105,7 +109,7 @@ object SketchCodec {
       "custom (unregistered) hash pairs cannot cross the codec — register " +
         "the pair with a stable id in KMHashPair to use it in Spark aggregation")
     val w = s.bits.words
-    val bb = writer(TypeId.Bloom, 1 + 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length)
+    val bb = writer(TypeId.Bloom, 1 + 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length, Version)
     bb.put(s.variant)
     bb.put(keyMode)
     bb.put(s.hasherId)
@@ -149,34 +153,106 @@ object SketchCodec {
   }
 
   // -------------------------------------------------------------- HLL
-  // payload: p(4) registers(m bytes)
+  // v1 (dense):  p(4) registers(m bytes)
+  // v2 (sparse): p(4) count(4) packed(4*count) — packed int = idx<<6 | rank
+  //              (rank ≤ 64−p+1 ≤ 61 fits 6 bits; idx < 2^p ≤ 2^18 fits
+  //              the rest), ascending idx.
+  //
+  // The layout is chosen from the LOGICAL state: sparse iff it is
+  // strictly smaller (occupied < m/4 registers, minus the count field) —
+  // a grouped sketch table at 10^6+ group cardinality is dominated by
+  // small groups, and shipping a 16 KiB dense register file per group
+  // through every partial-agg shuffle / checkpoint / sketch-table column
+  // is the scale cost this removes (a 100-distinct group encodes in
+  // ~0.4 KiB). Canonical by construction: equal register vectors encode
+  // to equal bytes whatever the merge tree.
   def encodeHll(s: HLLSketch): Array[Byte] = {
-    val bb = writer(TypeId.Hll, 4 + s.registers.length)
-    bb.putInt(s.p)
-    bb.put(s.registers)
-    bb.array()
+    val regs = s.registers
+    val m = regs.length
+    var occupied = 0
+    var i = 0
+    while (i < m) { if (regs(i) != 0) occupied += 1; i += 1 }
+    if (4 + 4 * occupied < m) {
+      val bb = writer(TypeId.Hll, 4 + 4 + 4 * occupied, 2)
+      bb.putInt(s.p)
+      bb.putInt(occupied)
+      i = 0
+      while (i < m) {
+        if (regs(i) != 0) bb.putInt((i << 6) | (regs(i) & 0x3f))
+        i += 1
+      }
+      bb.array()
+    } else {
+      val bb = writer(TypeId.Hll, 4 + m, 1)
+      bb.putInt(s.p)
+      bb.put(regs)
+      bb.array()
+    }
   }
 
   def decodeHll(bytes: Array[Byte]): HLLSketch = {
     val bb = reader(bytes, TypeId.Hll)
     val p = bb.getInt()
     val regs = new Array[Byte](1 << p)
-    bb.get(regs)
+    if (versionOf(bytes) >= 2) {
+      val n = bb.getInt()
+      var i = 0
+      var prevIdx = -1
+      while (i < n) {
+        val packed = bb.getInt()
+        val idx = packed >>> 6
+        require(idx > prevIdx && idx < regs.length, "corrupt sparse HLL blob")
+        regs(idx) = (packed & 0x3f).toByte
+        prevIdx = idx
+        i += 1
+      }
+    } else {
+      bb.get(regs)
+    }
     new HLLSketch(p, regs)
   }
 
   // -------------------------------------------------------------- CMS
-  // payload: keyMode(1) depth(4) width(4) total(8) counters(8 * d*w)
+  // v1 (dense):  keyMode(1) depth(4) width(4) total(8) counters(8 * d*w)
+  // v2 (sparse): keyMode(1) depth(4) width(4) total(8) count(4)
+  //              [idx(4) value(8)]*count — nonzero cells only, ascending
+  //              idx into the row-major d×w grid.
+  //
+  // Same canonical dense/sparse rule as HLL: sparse iff strictly smaller
+  // (a pure function of the counter grid), so equal sketches encode to
+  // equal bytes under any merge order. A grouped CMS table (frequency
+  // sketch per tool/domain/source) at high group cardinality is mostly
+  // near-empty grids — a d=5,w=2719 dense grid is ~109 KiB per group on
+  // every shuffle; a group with 100 distinct items encodes in ~6 KiB.
   def encodeCms(s: CMSSketch, keyMode: Byte = KeyMode.Bytes): Array[Byte] = {
     val n = s.counters.length
-    val bb = writer(TypeId.Cms, 1 + 4 + 4 + 8 + 8 * n)
-    bb.put(keyMode)
-    bb.putInt(s.depth)
-    bb.putInt(s.width)
-    bb.putLong(s.totalCount)
+    var nonzero = 0
     var i = 0
-    while (i < n) { bb.putLong(s.counters(i)); i += 1 }
-    bb.array()
+    while (i < n) { if (s.counters(i) != 0L) nonzero += 1; i += 1 }
+    val header = 1 + 4 + 4 + 8
+    if (4 + 12 * nonzero < 8 * n) {
+      val bb = writer(TypeId.Cms, header + 4 + 12 * nonzero, 2)
+      bb.put(keyMode)
+      bb.putInt(s.depth)
+      bb.putInt(s.width)
+      bb.putLong(s.totalCount)
+      bb.putInt(nonzero)
+      i = 0
+      while (i < n) {
+        if (s.counters(i) != 0L) { bb.putInt(i); bb.putLong(s.counters(i)) }
+        i += 1
+      }
+      bb.array()
+    } else {
+      val bb = writer(TypeId.Cms, header + 8 * n, 1)
+      bb.put(keyMode)
+      bb.putInt(s.depth)
+      bb.putInt(s.width)
+      bb.putLong(s.totalCount)
+      i = 0
+      while (i < n) { bb.putLong(s.counters(i)); i += 1 }
+      bb.array()
+    }
   }
 
   def decodeCms(bytes: Array[Byte]): CMSSketch = {
@@ -186,8 +262,21 @@ object SketchCodec {
     val w = bb.getInt()
     val total = bb.getLong()
     val counters = new Array[Long](d * w)
-    var i = 0
-    while (i < counters.length) { counters(i) = bb.getLong(); i += 1 }
+    if (versionOf(bytes) >= 2) {
+      val nz = bb.getInt()
+      var i = 0
+      var prevIdx = -1
+      while (i < nz) {
+        val idx = bb.getInt()
+        require(idx > prevIdx && idx < counters.length, "corrupt sparse CMS blob")
+        counters(idx) = bb.getLong()
+        prevIdx = idx
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < counters.length) { counters(i) = bb.getLong(); i += 1 }
+    }
     new CMSSketch(d, w, counters, total)
   }
 
@@ -201,7 +290,7 @@ object SketchCodec {
   // payload: compression(8) min(8) max(8) n(4) [mean(8) weight(8)]*n
   def encodeTDigest(s: TDigestSketch): Array[Byte] = {
     val (means, weights) = s.centroids
-    val bb = writer(TypeId.TDigest, 8 + 8 + 8 + 4 + 16 * means.length)
+    val bb = writer(TypeId.TDigest, 8 + 8 + 8 + 4 + 16 * means.length, MinVersion)
     bb.putDouble(s.compression)
     bb.putDouble(s.minValue)
     bb.putDouble(s.maxValue)
@@ -232,7 +321,7 @@ object SketchCodec {
   def encodeKll(s: KLLSketch): Array[Byte] = {
     val levels = s.levelsSnapshot
     val nItems = levels.map(_.length).sum
-    val bb = writer(TypeId.Kll, 4 + 8 + 8 + 8 + 4 + 4 * levels.length + 8 * nItems)
+    val bb = writer(TypeId.Kll, 4 + 8 + 8 + 8 + 4 + 4 * levels.length + 8 * nItems, MinVersion)
     bb.putInt(s.k)
     bb.putLong(s.count)
     bb.putDouble(s.minValue)
@@ -264,7 +353,7 @@ object SketchCodec {
   // payload: k(4) thetaU(8) count(4) [entry(8)...] (entries unsigned-sorted)
   def encodeTheta(s: ThetaSketch): Array[Byte] = {
     val es = s.entriesArray
-    val bb = writer(TypeId.Theta, 4 + 8 + 4 + 8 * es.length)
+    val bb = writer(TypeId.Theta, 4 + 8 + 4 + 8 * es.length, MinVersion)
     bb.putInt(s.k)
     bb.putLong(s.thetaLong)
     bb.putInt(es.length)
@@ -288,7 +377,7 @@ object SketchCodec {
   def encodeBottomK(s: BottomKSketch): Array[Byte] = {
     val es = s.entriesSeq
     val payload = 4 + 4 + es.map(e => 8 + 4 + e._2.length).sum
-    val bb = writer(TypeId.BottomK, payload)
+    val bb = writer(TypeId.BottomK, payload, MinVersion)
     bb.putInt(s.k)
     bb.putInt(es.size)
     es.foreach { case (h, kb) => bb.putLong(h); bb.putInt(kb.length); bb.put(kb) }

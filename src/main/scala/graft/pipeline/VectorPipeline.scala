@@ -121,18 +121,16 @@ object VectorPipeline {
     *
     * SHUFFLE-FREE: the codebook is by construction tiny (trainedCodebook
     * materializes it on the driver already), so the per-row argmax is ONE
-    * map-side projection against literal centroids — `array_max` over a
-    * (cos, −centroid_id) struct array, ties to the smallest centroid_id,
-    * exactly the old Window's (cos desc, centroid_id asc) order. The
-    * previous shape (crossJoin + Window.partitionBy(vec_id) + row_number)
-    * hash-exchanged and sorted corpus×ncentroids rows — at 10^9 vectors ×
-    * 16 centroids a 1.6·10^10-row shuffle for a per-row reduction, on the
-    * write-time critical path of the index. The argmax is the single
-    * fused CosineArgmax expression (catalyst.cosineArgmaxNative): one
-    * primitive loop per row computes every centroid's cosine and keeps
-    * the winner — zero per-row allocation, whole-stage codegen,
-    * bit-identical to scoring each centroid with [[cosine]] and taking
-    * (cos desc, centroid_id asc). */
+    * map-side projection — the fused CosineArgmax expression
+    * (catalyst.cosineArgmaxNative): a single primitive loop per row
+    * computes every centroid's cosine and keeps the winner (ties to the
+    * smallest centroid_id), zero per-row allocation, inside whole-stage
+    * codegen, bit-identical to scoring each centroid with [[cosine]] and
+    * taking (cos desc, centroid_id asc). The round-2 shape (crossJoin +
+    * Window.partitionBy(vec_id) + row_number) hash-exchanged and sorted
+    * corpus×ncentroids rows — at 10^9 vectors × 16 centroids a
+    * 1.6·10^10-row shuffle for a per-row reduction, on the write-time
+    * critical path of the index. */
   def ivfAssign(corpus: DataFrame, book: DataFrame): DataFrame = {
     val cents: Array[(Long, Seq[Float])] = book
       .select(col("centroid_id"), col("c_emb")).collect()

@@ -311,17 +311,26 @@ class BloomSketchSpec extends AnyFunSuite {
     assert(merged.mightContain("x") && merged.mightContain("z"))
   }
 
-  test("codec version is PER TYPE: only Bloom is v2, unchanged payloads stay v1") {
-    // an older (v1-only) reader must keep accepting HLL/CMS/theta/KLL/
-    // t-digest/bottom-k blobs during a rolling upgrade — their payloads
-    // never changed, so their version byte (offset 5) must still be 1
+  test("codec version is PER TYPE (and per blob for HLL/CMS): dense stays v1") {
+    // an older (v1-only) reader must keep accepting every blob whose
+    // layout is unchanged from v1 during a rolling upgrade: theta/KLL/
+    // t-digest/bottom-k always, HLL/CMS whenever they encode DENSE.
+    // Sparse HLL/CMS blobs are the only new layout, stamped v2 so an old
+    // reader fails fast instead of misreading them.
     def versionByte(b: Array[Byte]): Byte = b(5)
     val bloom = KMBloomSketch(100L, 0.01); bloom.insert("a")
     assert(versionByte(SketchCodec.encodeBloom(bloom)) === 2)
-    val hll = HLLSketch(); hll.updateHash(42L)
-    assert(versionByte(SketchCodec.encodeHll(hll)) === 1)
-    val cms = CMSSketch(0.01, 0.01); cms.updateHash(42L)
-    assert(versionByte(SketchCodec.encodeCms(cms)) === 1)
+    // a near-full HLL encodes dense = v1; a near-empty one sparse = v2
+    val hllFull = HLLSketch()
+    (0 until 200000).foreach(i => hllFull.updateHash(Hashing.xxHash64Long(i.toLong, 7L)))
+    assert(versionByte(SketchCodec.encodeHll(hllFull)) === 1)
+    val hllSmall = HLLSketch(); hllSmall.updateHash(42L)
+    assert(versionByte(SketchCodec.encodeHll(hllSmall)) === 2)
+    val cmsFull = CMSSketch(0.01, 0.01)
+    (0 until 20000).foreach(i => cmsFull.updateHash(Hashing.xxHash64Long(i.toLong, 7L)))
+    assert(versionByte(SketchCodec.encodeCms(cmsFull)) === 1)
+    val cmsSmall = CMSSketch(0.01, 0.01); cmsSmall.updateHash(42L)
+    assert(versionByte(SketchCodec.encodeCms(cmsSmall)) === 2)
     val theta = ThetaSketch(); theta.updateHash(42L)
     assert(versionByte(SketchCodec.encodeTheta(theta)) === 1)
     val td = TDigestSketch(); td.update(1.0)

@@ -1,0 +1,155 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sparse HLL/CMS blob encodings — the shuffle/checkpoint size fix for
+  * grouped sketch tables at high group cardinality (a 100-distinct group
+  * must not ship a 16 KiB dense HLL register file or a ~109 KiB CMS grid
+  * through every partial-agg exchange). Pins:
+  *   1. lossless round-trip through the sparse layout;
+  *   2. CANONICAL encoding — the dense/sparse choice is a function of
+  *      logical state only, so any merge tree yields byte-identical
+  *      blobs (what q33's bit-identity gate and the state-identity
+  *      suites rely on);
+  *   3. the size win itself, and that sparse is only chosen when
+  *      strictly smaller;
+  *   4. old dense (v1) blobs still decode — rolling-upgrade readers;
+  *   5. describe() renders sparse blobs.
+  */
+class SparseCodecSpec extends AnyFunSuite {
+
+  private def hllOf(ids: Range): HLLSketch = {
+    val h = HLLSketch()
+    ids.foreach(i => h.updateHash(Hashing.xxHash64Long(i.toLong, 99L)))
+    h
+  }
+
+  private def cmsOf(ids: Range): CMSSketch = {
+    val c = CMSSketch(0.01, 0.01)
+    ids.foreach(i => c.updateHash(Hashing.xxHash64Long(i.toLong, 99L), 1L + (i % 5)))
+    c
+  }
+
+  test("sparse HLL round-trips losslessly and keeps the estimate") {
+    for (n <- Seq(1, 10, 100, 1000)) {
+      val s = hllOf(0 until n)
+      val blob = SketchCodec.encodeHll(s)
+      assert(blob(5) === 2, s"n=$n should encode sparse")
+      val back = SketchCodec.decodeHll(blob)
+      assert(back === s, s"n=$n round-trip")
+      assert(back.estimate === s.estimate)
+    }
+    // far past the threshold: dense, still lossless
+    val big = hllOf(0 until 200000)
+    val blob = SketchCodec.encodeHll(big)
+    assert(blob(5) === 1)
+    assert(SketchCodec.decodeHll(blob) === big)
+  }
+
+  test("sparse CMS round-trips losslessly with counts and total") {
+    // (0.01, 0.01) is a d=5 × w=272 grid — 1000 distinct items already
+    // saturate it, so only genuinely small groups encode sparse
+    for (n <- Seq(1, 10, 100)) {
+      val s = cmsOf(0 until n)
+      val blob = SketchCodec.encodeCms(s)
+      assert(blob(5) === 2, s"n=$n should encode sparse")
+      val back = SketchCodec.decodeCms(blob)
+      assert(back === s, s"n=$n round-trip")
+      assert(back.totalCount === s.totalCount)
+      assert(back.estimateHash(Hashing.xxHash64Long(3L, 99L)) ===
+        s.estimateHash(Hashing.xxHash64Long(3L, 99L)))
+    }
+    for (n <- Seq(1000, 20000)) { // grid mostly/fully occupied → dense
+      val big = cmsOf(0 until n)
+      val blob = SketchCodec.encodeCms(big)
+      assert(blob(5) === 1, s"n=$n should encode dense")
+      assert(SketchCodec.decodeCms(blob) === big)
+    }
+  }
+
+  test("encoding is canonical: any merge tree yields byte-identical blobs") {
+    // three parts whose pairwise merges straddle the sparse/dense
+    // threshold in different intermediate states — the FINAL state is
+    // equal, so the bytes must be too
+    val parts = Seq(0 until 1500, 1500 until 3000, 1000 until 2000)
+    def mergeHll(order: Seq[Int]): Array[Byte] = {
+      val acc = hllOf(parts(order.head))
+      order.tail.foreach(i => acc.mergeInPlace(hllOf(parts(i))))
+      SketchCodec.encodeHll(acc)
+    }
+    val o1 = mergeHll(Seq(0, 1, 2))
+    val o2 = mergeHll(Seq(2, 0, 1))
+    val o3 = mergeHll(Seq(1, 2, 0))
+    assert(java.util.Arrays.equals(o1, o2) && java.util.Arrays.equals(o2, o3))
+
+    // CMS merge ADDS counts, so different part sets would differ — use
+    // permutations of the same parts (disjoint id ranges)
+    val cparts = Seq(0 until 300, 300 until 600, 600 until 900)
+    def mergeCms(order: Seq[Int]): Array[Byte] = {
+      val acc = cmsOf(cparts(order.head))
+      order.tail.foreach(i => acc.mergeInPlace(cmsOf(cparts(i))))
+      SketchCodec.encodeCms(acc)
+    }
+    val c1 = mergeCms(Seq(0, 1, 2))
+    val c2 = mergeCms(Seq(2, 0, 1))
+    assert(java.util.Arrays.equals(c1, c2))
+  }
+
+  test("sparse is chosen exactly when strictly smaller, and wins big on small groups") {
+    // HLL: a 100-distinct group is ~16 KiB dense; sparse must be < 1 KiB
+    val small = SketchCodec.encodeHll(hllOf(0 until 100))
+    assert(small.length < 1024, s"100-distinct HLL blob is ${small.length} B")
+    val dense = SketchCodec.encodeHll(hllOf(0 until 200000))
+    assert(dense.length === 6 + 4 + (1 << HLLSketch.DefaultP))
+    // sparse blob is always strictly smaller than the dense layout would be
+    for (n <- Seq(1, 50, 500, 3000)) {
+      val blob = SketchCodec.encodeHll(hllOf(0 until n))
+      if (blob(5) == 2) assert(blob.length < 6 + 4 + (1 << HLLSketch.DefaultP))
+    }
+    // CMS at production width (ε=0.001 ⇒ w=2719, d=5 ⇒ ~109 KB dense):
+    // a 100-distinct group must encode at least 10× smaller
+    val c = new CMSSketch(5, 2719, new Array[Long](5 * 2719), 0L)
+    (0 until 100).foreach(i => c.updateHash(Hashing.xxHash64Long(i.toLong, 99L), 1L))
+    val cblob = SketchCodec.encodeCms(c)
+    val cdense = 6 + 1 + 4 + 4 + 8 + 8 * c.counters.length
+    assert(cblob.length < cdense / 10,
+      s"100-distinct CMS blob is ${cblob.length} B vs $cdense dense")
+    assert(SketchCodec.decodeCms(cblob) === c)
+  }
+
+  test("old dense (v1) HLL/CMS blobs of ANY occupancy still decode") {
+    // synthesize what a pre-sparse writer emitted for a SMALL sketch:
+    // dense layout with version byte 1
+    val s = hllOf(0 until 10)
+    val bb = ByteBuffer.allocate(6 + 4 + s.registers.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('G'.toByte).put('S'.toByte).put('K'.toByte).put('1'.toByte)
+    bb.put(SketchCodec.TypeId.Hll).put(1.toByte)
+    bb.putInt(s.p).put(s.registers)
+    assert(SketchCodec.decodeHll(bb.array()) === s)
+
+    val c = cmsOf(0 until 10)
+    val cb = ByteBuffer.allocate(6 + 1 + 4 + 4 + 8 + 8 * c.counters.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    cb.put('G'.toByte).put('S'.toByte).put('K'.toByte).put('1'.toByte)
+    cb.put(SketchCodec.TypeId.Cms).put(1.toByte)
+    cb.put(SketchCodec.KeyMode.Bytes).putInt(c.depth).putInt(c.width).putLong(c.totalCount)
+    c.counters.foreach(cb.putLong)
+    assert(SketchCodec.decodeCms(cb.array()) === c)
+  }
+
+  test("describe renders sparse blobs; corrupt sparse blobs fail loudly") {
+    val h = hllOf(0 until 50)
+    assert(SketchCodec.describe(SketchCodec.encodeHll(h)).contains("HLLSketch"))
+    val c = cmsOf(0 until 50)
+    assert(SketchCodec.describe(SketchCodec.encodeCms(c)).contains("CMSSketch"))
+    // out-of-order sparse entries = corrupt
+    val blob = SketchCodec.encodeHll(h)
+    // payload starts at 6: p(4) count(4) packed... — swap first two entries
+    val bad = blob.clone()
+    val t = bad.slice(14, 18)
+    Array.copy(bad, 18, bad, 14, 4)
+    Array.copy(t, 0, bad, 18, 4)
+    intercept[IllegalArgumentException](SketchCodec.decodeHll(bad))
+  }
+}
