@@ -107,11 +107,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 300x on sf0.1 → 30M turns: big enough that the ~0.8s fixed per-job
-    // cost (planning + stage launch + final collect) stays well under the
-    // parallel work at every level — at 20M it alone capped 4→16
-    // efficiency near 0.81 (t(n) = c + W/n with c ≈ 0.8 s measured)
-    val expand = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXPAND", "300").toInt
+    // Target ~30M ladder turns REGARDLESS of the input SF: big enough
+    // that the ~0.8s fixed per-job cost (planning + stage launch + final
+    // collect) stays well under the parallel work at every level — at
+    // 20M it alone capped 4→16 efficiency near 0.81 (t(n) = c + W/n with
+    // c ≈ 0.8 s measured), and a fixed expansion factor run against a
+    // smaller SF dir (3M turns at sf0.01) makes the fixed cost DOMINATE
+    // and fakes a scaling failure. The expansion is derived from the
+    // actual input count; env overrides stay available.
+    val targetTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "30000000").toLong
     // measured parallelism levels: two N-vs-4N pairs (4→16, 8→32)
     val levels = Seq(4, 8, 16, 32).filter(_ <= cpusHi) match {
       case ls if ls.size >= 2 => ls
@@ -123,7 +127,10 @@ object Bench {
     val benchInput = "/tmp/graft_bench_input.parquet"
     var spark = session(cpusHi)
     val base = Transcripts.load(spark, sfDir)
-    val turns = base.count() * expand
+    val baseTurns = base.count()
+    val expand = sys.env.get("SPARK_GRAFT_BENCH_EXPAND").map(_.toInt)
+      .getOrElse(math.max(1, math.ceil(targetTurns.toDouble / baseTurns).toInt))
+    val turns = baseTurns * expand
     base.crossJoin(spark.range(0, expand).toDF("rep"))
       .withColumn("conv_id", concat(col("conv_id"), lit("r"), col("rep")))
       .drop("rep")

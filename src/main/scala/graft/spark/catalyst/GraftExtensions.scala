@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_cms_estimate(sketch, key...)                → bigint
   *   graft_tdigest_agg(value)                          → binary sketch
   *   graft_kll_agg(value)                              → binary sketch
+  *   graft_cosine(a, b)                                → double
   * plus the blob-level estimators from graft.spark.functions
   * (bloom_fpp, hll_estimate, …) via functions.registerAll.
   */
@@ -109,6 +110,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_sketch_merge_agg(blob)")
         SketchMergeAgg(args.head).toAggregateExpression()
+      }),
+    "graft_cosine" -> ("graft_cosine(a, b) - cosine similarity of two array<float> embeddings",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b)")
+        CosineSim(args(0), args(1))
       }))
 
   /** Runtime registration into an existing session (same builders the

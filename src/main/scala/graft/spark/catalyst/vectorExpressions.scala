@@ -14,8 +14,8 @@ import org.apache.spark.sql.types._
   * CodegenFallback: every row allocates a product array, boxes through
   * lambda variables, and drops the enclosing Project out of whole-stage
   * codegen. This expression is one fused primitive loop (no allocation,
-  * no boxing) and keeps its WSCG span — measured ~8× on the brute-force
-  * scoring kernel at sf0.1.
+  * no boxing) and keeps its WSCG span — measured 14.6× on a 1M-row
+  * scoring scan (IvfSweep `cosine_bench`, BENCH.md).
   *
   * Arithmetic is BIT-IDENTICAL to the higher-order form it replaces
   * (`dot/greatest(√Σx²·√Σy², 1e-12)` with FLOAT multiply then double
@@ -130,6 +130,11 @@ case class CosineArgmax(child: Expression,
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine_argmax"
+
+  /** Plan strings must not embed the full centroid matrix (a 16×64-float
+    * codebook is ~6 KB of text per explain line). */
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"ncentroids=${centroidIds.length}", s"dim=${centroids.head.length}")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

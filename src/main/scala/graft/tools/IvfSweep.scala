@@ -76,6 +76,29 @@ object IvfSweep {
         .isEmpty
       println(f"assign_bench,n_vectors=$n,argmax_secs=$tNew%.3f,windowed_secs=$tOld%.3f," +
         f"speedup=${tOld / tNew}%.2f,assignments_identical=$agree")
+
+      // raw scoring-scan throughput, native CosineSim vs the superseded
+      // zip_with/aggregate higher-order formula (CodegenFallback): one
+      // fixed query vector against every corpus row — the brute-force /
+      // verification hot shape. Evidence for vectorExpressions.scala's
+      // speedup claim.
+      {
+        val q = emb.orderBy(col("vec_id")).limit(1)
+          .collect()(0).getSeq[Float](1)
+        def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+          val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+          val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+          val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+          dot / greatest(na * nb, lit(1e-12d))
+        }
+        val tNative = time(() => big.select(col("vec_id"),
+          (graft.spark.catalyst.cosineNative(col("embedding"), typedLit(q)) * 1e6)
+            .cast("long").as("centroid_id")))
+        val tHof = time(() => big.select(col("vec_id"),
+          (hof(col("embedding"), typedLit(q)) * 1e6).cast("long").as("centroid_id")))
+        println(f"cosine_bench,n_vectors=$n,native_secs=$tNative%.3f,hof_secs=$tHof%.3f," +
+          f"speedup=${tHof / tNative}%.2f")
+      }
       big.unpersist(); book.unpersist()
     }
     spark.stop()

@@ -157,6 +157,16 @@ class VectorExprSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("graft_cosine is registered on the SQL surface") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs_sql_test")
+    val got = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs_sql_test ORDER BY c")
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
+  }
+
   test("argmax null propagation: null embedding, null element, dim mismatch") {
     import spark.implicits._
     val dim = 4
