@@ -268,6 +268,48 @@ object PipelineEntries {
         .toDF("n_queries", "recall8_ok", "recall12_ok")
     }),
 
+    // IVF against the PERSISTED index (inverted-list layout: assigned
+    // corpus partitionBy(centroid_id) on storage — the 100 TB read path,
+    // where "scan nprobe/ncentroids of the corpus" is enforced by
+    // directory-level partition pruning, not a post-scan filter). Gates:
+    // the index path's full candidate relation is value-identical to the
+    // in-memory q17 path; the executed scan carries the centroid_id
+    // PartitionFilters; and the same two recall floors hold. File-count
+    // pruning metrics are pinned in IvfIndexSpec.
+    "q42_ann_ivf_index" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      val queries = emb.filter(col("vec_id") < 20)
+      val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+      val ixPath = "/tmp/graft_q42_ivf_index"
+      VectorPipeline.writeIvfIndex(emb, book, ixPath)
+      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+        .select(col("q_id"), col("n_id")).cache()
+      val nq = queries.count()
+      val scored = VectorPipeline
+        .ivfScoredCandidatesFromIndex(s, ixPath, book, queries, 12).cache()
+      val memScored = VectorPipeline.ivfScoredCandidates(
+        VectorPipeline.ivfAssign(emb, book), book, queries, 12)
+      val equiv = scored.exceptAll(memScored).isEmpty &&
+        memScored.exceptAll(scored).isEmpty
+      // the executed plan (AQE-final in its string form) must show the
+      // partition filter reaching the index scan
+      val pruned = "PartitionFilters: \\[[^\\]]*centroid_id".r
+        .findFirstIn(scored.queryExecution.executedPlan.toString).isDefined
+      def recallAt(nprobe: Int): Double = {
+        val ivf = VectorPipeline
+          .topKFromScored(scored.filter(col("probe_rank") <= nprobe), 10)
+          .select(col("q_id"), col("n_id"))
+        bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      }
+      val r8 = recallAt(8)
+      val r12 = recallAt(12)
+      scored.unpersist(); bf.unpersist(); book.unpersist(); emb.unpersist()
+      Seq((nq, r8 >= 0.70, r12 >= 0.90, equiv, pruned))
+        .toDF("n_queries", "recall8_ok", "recall12_ok",
+          "matches_memory_path", "scan_partition_pruned")
+    }),
+
     // Language ID heuristic: ONE UDF evaluation per row (the determinism
     // gate that used to double-evaluate the UDF here lives in
     // TextPipelineSpec now); oracle anchors on exact per-lang counts,
@@ -605,6 +647,10 @@ object PipelineEntries {
     "q17_ann_ivf" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall8_ok, " +
         "true AS recall12_ok FROM embeddings WHERE vec_id < 20"),
+    "q42_ann_ivf_index" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall8_ok, " +
+        "true AS recall12_ok, true AS matches_memory_path, " +
+        "true AS scan_partition_pruned FROM embeddings WHERE vec_id < 20"),
     "q18_lang_id" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_classified " +
         "FROM documents GROUP BY lang ORDER BY lang"),

@@ -216,6 +216,21 @@ object VectorPipeline {
       .distinct()
   }
 
+  /** Per-query probed-centroid relation: (q_id, q_emb, centroid_id,
+    * probe_rank ≤ maxProbe) — |queries|·maxProbe rows, tiny (the query
+    * set is small by contract; the codebook is broadcast). */
+  def centroidProbes(book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qc = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(book))
+      .select(col("q_id"), col("q_emb"), col("centroid_id"),
+        cosine(col("q_emb"), col("c_emb")).as("ccos"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    qc.withColumn("probe_rank", row_number().over(wq))
+      .filter(col("probe_rank") <= maxProbe)
+      .select(col("q_id"), col("q_emb"), col("centroid_id"), col("probe_rank"))
+  }
+
   /** Scored IVF candidates with the PROBE RANK retained: one centroid
     * ranking + one inverted-list join + one cosine pass serves every
     * probe depth ≤ maxProbe (filter `probe_rank <= nprobe`, then rank
@@ -223,21 +238,49 @@ object VectorPipeline {
     * instead of re-scanning per depth. Returns
     * (q_id, n_id, cos, probe_rank). */
   def ivfScoredCandidates(assigned: DataFrame, book: DataFrame, queries: DataFrame,
-      maxProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qc = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(book))
-      .select(col("q_id"), col("q_emb"), col("centroid_id"),
-        cosine(col("q_emb"), col("c_emb")).as("ccos"))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = qc.withColumn("probe_rank", row_number().over(wq))
-      .filter(col("probe_rank") <= maxProbe)
-      .select(col("q_id"), col("q_emb"), col("centroid_id"), col("probe_rank"))
-    probes.join(assigned, "centroid_id")
+      maxProbe: Int): DataFrame =
+    scoreProbedLists(centroidProbes(book, queries, maxProbe), assigned)
+
+  private def scoreProbedLists(probes: DataFrame, lists: DataFrame): DataFrame =
+    broadcast(probes).join(lists, "centroid_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"), col("probe_rank"))
+
+  // ------------------------------------------------- persisted IVF index
+  /** Write the IVF index in the INVERTED-LIST layout: the assigned corpus
+    * partitioned by centroid_id on storage. This is what makes "scan only
+    * nprobe/ncentroids of the corpus" literally true at 100 TB — a query
+    * against [[ivfScoredCandidatesFromIndex]] reaches the parquet scan
+    * with a `centroid_id IN (probed...)` PARTITION filter, so unprobed
+    * inverted lists are never read from storage at all (directory-level
+    * pruning), instead of being scanned and discarded by a post-scan
+    * filter. Write path is the shuffle-free [[ivfAssign]] projection +
+    * one partitioned write. */
+  def writeIvfIndex(corpus: DataFrame, book: DataFrame, path: String): Unit =
+    ivfAssign(corpus, book).write.partitionBy("centroid_id")
+      .mode("overwrite").parquet(path)
+
+  /** Scored candidates against a WRITTEN index ([[writeIvfIndex]]):
+    * identical semantics to [[ivfScoredCandidates]] (same probes, same
+    * deterministic assignment, same scoring), but the corpus scan is
+    * partition-pruned to the probed inverted lists. The probed-centroid
+    * id pull is ≤ ncentroids values — constant-size, never corpus-bound. */
+  def ivfScoredCandidatesFromIndex(spark: SparkSession, indexPath: String,
+      book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
+    val probes = centroidProbes(book, queries, maxProbe)
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probedIds.toSeq: _*))
+    scoreProbedLists(probes, lists)
   }
+
+  /** Top-k against a written index with partition-pruned scans. */
+  def ivfTopKFromIndex(spark: SparkSession, indexPath: String, book: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    topKFromScored(
+      ivfScoredCandidatesFromIndex(spark, indexPath, book, queries, nprobe), k)
 
   /** IVF top-k: probe the nprobe nearest centroids per query, scan only
     * those inverted lists. */

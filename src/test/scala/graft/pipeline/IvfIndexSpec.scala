@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF index (inverted-list layout: assigned corpus
+  * `partitionBy(centroid_id)` on storage). Pins the two properties that
+  * make it the 100 TB ANN read path:
+  *   1. EQUIVALENCE — querying the written index returns exactly the
+  *      in-memory path's candidates (same probes, same deterministic
+  *      assignment, same scores);
+  *   2. PRUNING — the corpus scan carries a centroid_id PARTITION filter
+  *      and physically reads only the probed inverted lists' files
+  *      (FileSourceScanExec numFiles metric), instead of scanning
+  *      everything and discarding rows post-scan.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-ivf-index-test")
+    .getOrCreate()
+
+  private val indexPath = "/tmp/graft_test_ivf_index"
+
+  test("index-path candidates are exactly the in-memory path's") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+    VectorPipeline.writeIvfIndex(emb, book, indexPath)
+
+    val assigned = VectorPipeline.ivfAssign(emb, book)
+    val mem = VectorPipeline.ivfScoredCandidates(assigned, book, queries, 12)
+      .select(col("q_id"), col("n_id"), col("cos"), col("probe_rank"))
+    val idx = VectorPipeline
+      .ivfScoredCandidatesFromIndex(spark, indexPath, book, queries, 12)
+      .select(col("q_id"), col("n_id"), col("cos"), col("probe_rank"))
+    assert(idx.exceptAll(mem).isEmpty && mem.exceptAll(idx).isEmpty,
+      "written-index candidates must be value-identical to the in-memory path")
+
+    // and therefore top-k matches too
+    val memK = VectorPipeline.ivfTopK(assigned, book, queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    val idxK = VectorPipeline.ivfTopKFromIndex(spark, indexPath, book, queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    assert(idxK.exceptAll(memK).isEmpty && memK.exceptAll(idxK).isEmpty)
+    book.unpersist(); emb.unpersist()
+  }
+
+  test("probed scan is partition-pruned: only probed lists' files are read") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+    VectorPipeline.writeIvfIndex(emb, book, indexPath)
+    val totalFiles = spark.read.parquet(indexPath).inputFiles.length
+
+    // one query, nprobe=2: the union of probed centroids is exactly 2 of
+    // 16 — a pruned scan must read only those two directories' files.
+    // AQE off for this query only: AdaptiveSparkPlanExec is a leaf node,
+    // so plan.collect could not reach the FileSourceScanExec metrics.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val oneQuery = emb.filter(col("vec_id") === 0)
+    val scored = VectorPipeline
+      .ivfScoredCandidatesFromIndex(spark, indexPath, book, oneQuery, 2)
+    // collect(), NOT count(): count() builds a separate QueryExecution,
+    // leaving THIS plan's scan metrics unpopulated
+    try scored.collect()
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    val scans = scored.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft_test_ivf_index")) => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the index")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("centroid_id")),
+      s"scan must carry a centroid_id partition filter, got: ${scan.partitionFilters}")
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < totalFiles,
+      s"pruned scan read $filesRead of $totalFiles files — no pruning happened")
+    // 2 of 16 lists probed; allow multiple files per partition directory
+    assert(filesRead <= math.max(2L, totalFiles.toLong * 2 / 16 + 2),
+      s"read $filesRead files of $totalFiles — more than the 2 probed lists")
+    book.unpersist(); emb.unpersist()
+  }
+}
