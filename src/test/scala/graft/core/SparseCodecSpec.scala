@@ -118,6 +118,31 @@ class SparseCodecSpec extends AnyFunSuite {
     assert(SketchCodec.decodeCms(cblob) === c)
   }
 
+  test("property: random merge trees over random partitions encode identically") {
+    // the canonical-encoding claim, property-style: split an id range
+    // into random parts, merge them in a random binary tree, encode —
+    // every tree of the same parts must yield the same bytes, and the
+    // result must equal the bulk build
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 25) {
+      val n = 1 + rnd.nextInt(6000) // spans sparse AND dense regimes
+      val nParts = 2 + rnd.nextInt(6)
+      val cuts = (Seq(0, n) ++ Seq.fill(nParts - 1)(rnd.nextInt(n + 1))).sorted
+      val parts = cuts.zip(cuts.tail).map { case (a, b) => a until b }
+      def mergeTree(ps: Seq[Range]): HLLSketch =
+        if (ps.size == 1) hllOf(ps.head)
+        else {
+          val split = 1 + rnd.nextInt(ps.size - 1)
+          mergeTree(ps.take(split)).mergeInPlace(mergeTree(ps.drop(split)))
+        }
+      val t1 = SketchCodec.encodeHll(mergeTree(rnd.shuffle(parts)))
+      val t2 = SketchCodec.encodeHll(mergeTree(rnd.shuffle(parts)))
+      val bulk = SketchCodec.encodeHll(hllOf(0 until n))
+      assert(java.util.Arrays.equals(t1, t2) && java.util.Arrays.equals(t1, bulk),
+        s"trial $trial (n=$n, parts=${parts.map(_.length)}) produced diverging bytes")
+    }
+  }
+
   test("old dense (v1) HLL/CMS blobs of ANY occupancy still decode") {
     // synthesize what a pre-sparse writer emitted for a SMALL sketch:
     // dense layout with version byte 1
