@@ -117,6 +117,8 @@ object StreamingSketch {
     val cmsState = new IncrementalState
     val tdState = new IncrementalState
     val kllState = new IncrementalState
+    val thetaState = new IncrementalState
+    val bkState = new IncrementalState
     val q1 = stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -128,22 +130,34 @@ object StreamingSketch {
             hllAggNative(col("conv_id")).as("h"),
             cmsAggNative(0.001, 0.01)(col("tool")).as("c"),
             tdigestAggNative(col("turn_idx").cast("double")).as("t"),
-            kllAggNative(col("turn_idx").cast("double")).as("k")).head
+            kllAggNative(col("turn_idx").cast("double")).as("k"),
+            thetaAggNative(col("conv_id")).as("th"),
+            bottomKSampleAgg(256)(col("conv_id")).as("bk")).head
           bloomState.merge(r.getAs[Array[Byte]]("b"))
           hllState.merge(r.getAs[Array[Byte]]("h"))
           cmsState.merge(r.getAs[Array[Byte]]("c"))
           tdState.merge(r.getAs[Array[Byte]]("t"))
           kllState.merge(r.getAs[Array[Byte]]("k"))
+          thetaState.merge(r.getAs[Array[Byte]]("th"))
+          bkState.merge(r.getAs[Array[Byte]]("bk"))
         }
         ()
       }
       .start()
     q1.awaitTermination()
 
+    // theta and bottom-k join the BIT-identity club: theta union keeps
+    // the k smallest hashes under the running θ and bottom-k keeps the k
+    // smallest (hash, key) entries — both are order-insensitive set folds
+    // whose state (and therefore canonical encoding) is merge-tree
+    // independent, proven kernel-side in ThetaSketchSpec/BottomKSketchSpec
+    // and gated here across real micro-batch splits.
     val batchRow = transcripts.agg(
       bloomAggNative(capacity, 0.001)(col("conv_id"), col("turn_idx")).as("b"),
       hllAggNative(col("conv_id")).as("h"),
-      cmsAggNative(0.001, 0.01)(col("tool")).as("c")).head
+      cmsAggNative(0.001, 0.01)(col("tool")).as("c"),
+      thetaAggNative(col("conv_id")).as("th"),
+      bottomKSampleAgg(256)(col("conv_id")).as("bk")).head
     def eq(state: IncrementalState, c: String): Boolean =
       state.get.exists(java.util.Arrays.equals(_, batchRow.getAs[Array[Byte]](c)))
 
@@ -203,9 +217,10 @@ object StreamingSketch {
     val windowedEq = winRow.getLong(0) > 0 && winRow.getLong(0) == winRow.getLong(1)
     spark.catalog.dropTempView(sinkName) // memory sink hygiene (winRow is materialized)
 
-    Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"), tdOk, kllOk, windowedEq))
+    Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"),
+        eq(thetaState, "th"), eq(bkState, "bk"), tdOk, kllOk, windowedEq))
       .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq",
-        "inc_tdigest_ok", "inc_kll_ok", "windowed_eq")
+        "inc_theta_eq", "inc_bottomk_eq", "inc_tdigest_ok", "inc_kll_ok", "windowed_eq")
   }
 
   /** Input row for the per-conversation stateful operator. */
