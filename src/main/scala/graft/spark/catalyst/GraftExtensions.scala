@@ -115,6 +115,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine(a, b)")
         CosineSim(args(0), args(1))
+      }),
+    "graft_bloom_might_contain_keyed" ->
+      ("graft_bloom_might_contain_keyed(cache_key, sketch, key...) - shard-table probe " +
+        "(cache_key bounds blob decode to once per distinct key per task)",
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "graft_bloom_might_contain_keyed(cache_key, sketch, key...)")
+        BloomMightContainKeyed(args(0), args(1), args.drop(2))
       }))
 
   /** Runtime registration into an existing session (same builders the

@@ -161,6 +161,27 @@ class SparkAggSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("graft_bloom_might_contain_keyed on the SQL surface: shard-routed probe") {
+    import spark.implicits._
+    import graft.spark.catalyst.GraftExtensions
+    GraftExtensions.register(spark)
+    (0 until 4000).map(i => (i.toLong % 4, s"c-$i", i))
+      .toDF("shard", "conv_id", "turn_idx").createOrReplaceTempView("kp_rows")
+    spark.sql(
+      "SELECT shard, graft_bloom_agg(2000, CAST(0.001 AS DOUBLE), conv_id, turn_idx) AS sk " +
+        "FROM kp_rows GROUP BY shard").createOrReplaceTempView("kp_shards")
+    val hits = spark.sql(
+      """SELECT COUNT(*) FROM kp_rows r JOIN kp_shards s USING (shard)
+        |WHERE graft_bloom_might_contain_keyed(shard, sk, conv_id, turn_idx)""".stripMargin)
+      .head.getLong(0)
+    assert(hits === 4000L, "keyed SQL probe lost inserted keys — false negative!")
+    val fps = spark.sql(
+      """SELECT COUNT(*) FROM kp_rows r JOIN kp_shards s USING (shard)
+        |WHERE graft_bloom_might_contain_keyed(shard, sk, conv_id, turn_idx + 1000000)""".stripMargin)
+      .head.getLong(0)
+    assert(fps <= 10L, s"disjoint keys matched $fps times at fpp=0.001 over 4000 probes")
+  }
+
   test("bloomProbe as filter predicate: semi-join reduction keeps exactly the hits") {
     import spark.implicits._
     val build = (0 until 5000).map(i => s"id-$i").toDF("k")
