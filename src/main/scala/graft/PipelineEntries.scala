@@ -196,13 +196,16 @@ object PipelineEntries {
       val nCandidates = tok.count()
       // 3. decontamination: one Bloom over eval shingles, probed in the
       // corpus scan; FPs die in the exact verify join
-      val sh = TextPipeline.docShingles(d).cache()
-      val evalSh = sh.filter(col("doc_id") < 20).cache()
+      // shingling is restricted up front: eval docs on the build side,
+      // CANDIDATE docs only on the probe side — docs the dedup/token
+      // stages already dropped are never shingled (the stage ordering
+      // that matters at 100 TB, where shingling is the map-side cost)
+      val evalSh = TextPipeline.docShingles(d.filter(col("doc_id") < 20)).cache()
       val nEvalSh = evalSh.count()
       val blob = evalSh
         .agg(bloomAggNative(math.max(nEvalSh, 1000L), 0.0001)(col("sh")))
         .head.getAs[Array[Byte]](0)
-      val contaminated = sh.filter(col("doc_id") >= 20)
+      val contaminated = TextPipeline.docShingles(d.join(tok, "doc_id"))
         .filter(bloomMightContainNative(lit(blob), col("sh")))
         .join(evalSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
         .select(col("doc_id")).distinct()
@@ -217,7 +220,7 @@ object PipelineEntries {
           lit(sampleBlob))).as("did"))
       val holdoutSize = sampleDf.count()
       val allExist = sampleDf.join(clean, Seq("did"), "left_anti").count() == 0
-      clean.unpersist(); evalSh.unpersist(); sh.unpersist(); tok.unpersist(); d.unpersist()
+      clean.unpersist(); evalSh.unpersist(); tok.unpersist(); d.unpersist()
       Seq((nDocs, nUnique, nCandidates, nClean, holdoutSize, allExist))
         .toDF("n_docs", "n_unique", "n_candidates", "n_clean",
           "holdout_size", "all_sampled_exist")
