@@ -364,6 +364,40 @@ object PipelineEntries {
           "matches_memory_path", "scan_partition_pruned")
     }),
 
+    // INT8-quantized ANN: the 100 TB storage/IO path — embeddings stored
+    // as 1-byte-per-dimension QuantizeI8 blobs (per-vector scale cancels
+    // in cosine, so no scale column exists at all). Gates: recall@10 of
+    // the quantized scoring scan vs the float brute-force baseline, and
+    // the on-disk parquet footprint of the quantized column at least
+    // 2.5× under the float column (4× logical, compression-dependent on
+    // disk — measured 3.7× on this data, with recall 0.98).
+    "q44_ann_quantized" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      val queries = emb.filter(col("vec_id") < 20)
+      val nq = queries.count()
+      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+        .select(col("q_id"), col("n_id")).cache()
+      val qbf = VectorPipeline.bruteForceTopKQuantized(emb, queries, 10)
+        .select(col("q_id"), col("n_id"))
+      val recall = bf.join(qbf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      // honest storage ratio: both columns written as parquet
+      def dirBytes(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(path).getLength
+      }
+      val base = "/tmp/graft_q44_size"
+      emb.select(col("embedding")).repartition(1)
+        .write.mode("overwrite").parquet(s"$base/f32")
+      emb.select(graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"))
+        .repartition(1).write.mode("overwrite").parquet(s"$base/i8")
+      val ratio = dirBytes(s"$base/f32").toDouble / math.max(dirBytes(s"$base/i8"), 1L)
+      bf.unpersist(); emb.unpersist()
+      Seq((nq, recall >= 0.90, ratio >= 2.5))
+        .toDF("n_queries", "recall_ok", "storage_4x_ok")
+    }),
+
     // Language ID heuristic: ONE UDF evaluation per row (the determinism
     // gate that used to double-evaluate the UDF here lives in
     // TextPipelineSpec now); oracle anchors on exact per-lang counts,
@@ -705,6 +739,9 @@ object PipelineEntries {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall8_ok, " +
         "true AS recall12_ok, true AS matches_memory_path, " +
         "true AS scan_partition_pruned FROM embeddings WHERE vec_id < 20"),
+    "q44_ann_quantized" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok, " +
+        "true AS storage_4x_ok FROM embeddings WHERE vec_id < 20"),
     "q18_lang_id" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_classified " +
         "FROM documents GROUP BY lang ORDER BY lang"),

@@ -45,6 +45,25 @@ object VectorPipeline {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Brute-force top-k over INT8-QUANTIZED vectors: the same broadcast ×
+    * scan shape as [[bruteForceTopK]], but the corpus column is the
+    * 1-byte-per-dimension [[graft.spark.catalyst.QuantizeI8]] blob — 4×
+    * less storage/shuffle/scan IO, which at a 10^9×high-dim corpus is
+    * the difference between an IO-bound and a compute-bound scoring
+    * scan. Per-vector scales cancel in cosine, so nothing but the bytes
+    * is stored; recall vs the float path is gated in q44. */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.spark.catalyst.{cosineI8, quantizeI8}
+    val qc = corpus.select(col("vec_id"), quantizeI8(col("embedding")).as("qe"))
+    val qq = queries.select(col("vec_id").as("q_id"), quantizeI8(col("embedding")).as("q_qe"))
+    val scored = qc.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cosineI8(col("q_qe"), col("qe")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Naive deterministic IVF codebook: the embeddings of the `ncentroids`
     * smallest vec_ids — kept as the untrained BASELINE for the trained
     * codebook's recall comparison (and note it is subtly leaky as a

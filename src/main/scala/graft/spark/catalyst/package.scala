@@ -53,6 +53,17 @@ package object catalyst {
       centroidIds: Seq[Long], centroids: Seq[Seq[Float]]): Column =
     B.column(CosineArgmax(B.expression(embedding), centroidIds, centroids))
 
+  /** Symmetric int8 quantization of a float embedding to binary (1 B per
+    * dimension; the per-vector scale cancels in cosine so none is
+    * stored — see QuantizeI8). */
+  def quantizeI8(embedding: Column): Column =
+    B.column(QuantizeI8(B.expression(embedding)))
+
+  /** Cosine similarity of two QuantizeI8 blobs (integer MAC loop; 4×
+    * less scan IO than the float path). */
+  def cosineI8(a: Column, b: Column): Column =
+    B.column(CosineSimI8(B.expression(a), B.expression(b)))
+
   private def registeredId(pair: graft.core.KMHashPair): Byte = {
     require(pair.id >= 0,
       s"hash pair '$pair' is not registered — only KMHashPair.registered " +

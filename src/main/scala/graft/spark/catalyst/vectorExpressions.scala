@@ -232,3 +232,147 @@ case class CosineArgmax(child: Expression,
   override protected def withNewChildInternal(c: Expression): CosineArgmax =
     copy(child = c)
 }
+
+/** Per-vector symmetric int8 quantization of a float embedding:
+  * q_i = round(127 · x_i / max|x|), emitted as BinaryType (1 byte per
+  * dimension — 4× smaller than array<float> in storage, shuffle, and
+  * scan IO). COSINE-SAFE BY CONSTRUCTION: cosine divides by both
+  * norms, so the per-vector positive scale cancels exactly and no
+  * scale column needs to be stored or read for similarity work (only
+  * reconstruction would need it, which the ANN path never does).
+  *
+  * A zero vector quantizes to all-zero bytes (its cosine later hits
+  * the 1e-12 floor at 0.0, matching the float path's behavior). A null
+  * array or null element ⇒ null.
+  */
+case class QuantizeI8(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantize_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes an array<float> column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = math.abs(x.getFloat(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0.0f) {
+      val s = 127.0f / maxAbs
+      i = 0
+      while (i < n) { out(i) = math.round(x.getFloat(i) * s).toByte; i += 1 }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val maxAbs = ctx.freshName("maxAbs")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        float $maxAbs = 0.0f;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+          float $v = Math.abs($a.getFloat($i));
+          if ($v > $maxAbs) $maxAbs = $v;
+        }
+        if (!${ev.isNull}) {
+          byte[] $out = new byte[$n];
+          if ($maxAbs > 0.0f) {
+            float $s = 127.0f / $maxAbs;
+            for (int $j = 0; $j < $n; $j++) {
+              $out[$j] = (byte) Math.round($a.getFloat($j) * $s);
+            }
+          }
+          ${ev.value} = $out;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): QuantizeI8 =
+    copy(child = c)
+}
+
+/** Cosine similarity of two int8-quantized embeddings ([[QuantizeI8]]
+  * blobs): one primitive byte loop, integer multiply-accumulate in
+  * longs (no overflow up to dim ≈ 5.7·10¹⁴), same `dot/√·√` with the
+  * 1e-12 floor as [[CosineSim]]. The scan reads 1 byte per dimension
+  * instead of 4 — at 10^9×1024-dim corpora the scoring scan's IO drops
+  * 4×, which is the point. Null blob or length mismatch ⇒ null. */
+case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes two binary (QuantizeI8) columns, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < x.length) {
+      dot += x(i).toLong * y(i)
+      na += x(i).toLong * x(i)
+      nb += y(i).toLong * y(i)
+      i += 1
+    }
+    dot.toDouble / math.max(math.sqrt(na.toDouble) * math.sqrt(nb.toDouble), 1e-12d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+        if ($a.length != $b.length) {
+          ${ev.isNull} = true;
+        } else {
+          long $dot = 0L;
+          long $na = 0L;
+          long $nb = 0L;
+          for (int $i = 0; $i < $a.length; $i++) {
+            $dot += (long) $a[$i] * $b[$i];
+            $na += (long) $a[$i] * $a[$i];
+            $nb += (long) $b[$i] * $b[$i];
+          }
+          ${ev.value} = (double) $dot /
+            Math.max(Math.sqrt((double) $na) * Math.sqrt((double) $nb), 1e-12);
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimI8 =
+    copy(left = l, right = r)
+}

@@ -181,4 +181,55 @@ class VectorExprSpec extends AnyFunSuite {
       .select(cosineArgmaxNative($"embedding", Seq(0L), book)).collect().map(_.isNullAt(0))
     assert(got.toSeq === Seq(false, true, true, true))
   }
+
+  // ---------------------------------------------------- QuantizeI8 + i8 cosine
+
+  test("int8 quantization: exact values, scale cancellation, cosine fidelity") {
+    import spark.implicits._
+    // hand-computable vector: max|x| = 4 → scale 127/4 = 31.75
+    val df = Seq((1L, Seq(4f, -4f, 2f, 0f, 1f))).toDF("id", "a")
+    val q = df.select(quantizeI8($"a")).head.getAs[Array[Byte]](0)
+    assert(q.toSeq === Seq[Byte](127, -127, 64, 0, 32)) // round(31.75·x)
+    // scale cancellation: a and 1000·a quantize to the SAME bytes
+    val scaled = Seq((1L, Seq(4000f, -4000f, 2000f, 0f, 1000f))).toDF("id", "a")
+    assert(scaled.select(quantizeI8($"a")).head.getAs[Array[Byte]](0).toSeq === q.toSeq)
+    // cosine fidelity on random vectors: |i8 cosine − float cosine| small
+    val rows = randomVecs(1000, 64, seed = 77)
+    val maxErr = rows.toDF("id", "a", "b")
+      .select(abs(cosineI8(quantizeI8($"a"), quantizeI8($"b"))
+        - cosineNative($"a", $"b")).as("err"))
+      .agg(max($"err")).head.getDouble(0)
+    assert(maxErr < 0.02, s"int8 cosine deviates $maxErr from float cosine")
+    // zero vector: all-zero bytes, cosine floors to 0.0 like the float path
+    val z = Seq((1L, Seq(0f, 0f), Seq(1f, 2f))).toDF("id", "a", "b")
+    assert(z.select(quantizeI8($"a")).head.getAs[Array[Byte]](0).toSeq === Seq[Byte](0, 0))
+    assert(z.select(cosineI8(quantizeI8($"a"), quantizeI8($"b"))).head.getDouble(0) === 0.0)
+  }
+
+  test("int8 expressions: codegen agrees with interpreted; null propagation") {
+    import spark.implicits._
+    val df = randomVecs(300, 32, seed = 91).toDF("id", "a", "b").cache()
+    def run(): Array[Double] = df.orderBy($"id")
+      .select(cosineI8(quantizeI8($"a"), quantizeI8($"b"))).collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val cg = try run() finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val in = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(cg.toSeq === in.toSeq)
+    df.unpersist()
+    // nulls: null array / null element → null blob; length mismatch → null cosine
+    val nulls = Seq(
+      (1L, Some(Seq(Some(1f), Some(2f)))),
+      (2L, None),
+      (3L, Some(Seq(Some(1f), None))))
+      .toDF("id", "a")
+    val got = nulls.orderBy($"id").select(quantizeI8($"a")).collect().map(_.isNullAt(0))
+    assert(got.toSeq === Seq(false, true, true))
+    val mism = Seq((Array[Byte](1, 2), Array[Byte](1, 2, 3))).toDF("x", "y")
+    assert(mism.select(cosineI8($"x", $"y")).head.isNullAt(0))
+  }
 }
