@@ -280,6 +280,39 @@ object VectorPipeline {
     ivfAssign(corpus, book).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(path)
 
+  /** The IVF-SQ8 composition — the production index shape at corpus
+    * scale: inverted-list layout (partition pruning reads only probed
+    * lists) AND int8-quantized vectors (each list 4× smaller on disk
+    * and in the scoring scan). Assignment happens on the FLOAT vectors
+    * (bit-identical routing to [[writeIvfIndex]]); only the stored
+    * payload is quantized. */
+  def writeIvfIndexQuantized(corpus: DataFrame, book: DataFrame, path: String): Unit =
+    ivfAssign(corpus, book)
+      .select(col("vec_id"), graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"),
+        col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Top-k against a quantized index ([[writeIvfIndexQuantized]]):
+    * centroid routing on the float query against the float codebook
+    * (same probes as every other path), candidate scoring with the
+    * integer-MAC [[graft.spark.catalyst.CosineSimI8]] over the pruned
+    * quantized lists. */
+  def ivfTopKFromIndexQuantized(spark: SparkSession, indexPath: String,
+      book: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import graft.spark.catalyst.{cosineI8, quantizeI8}
+    val probes = centroidProbes(book, queries, nprobe)
+      .withColumn("q_qe", quantizeI8(col("q_emb"))).drop("q_emb")
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probedIds.toSeq: _*))
+    val scored = broadcast(probes).join(lists, "centroid_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosineI8(col("q_qe"), col("qe")).as("cos"), col("probe_rank"))
+    topKFromScored(scored, k)
+  }
+
   /** Scored candidates against a WRITTEN index ([[writeIvfIndex]]):
     * identical semantics to [[ivfScoredCandidates]] (same probes, same
     * deterministic assignment, same scoring), but the corpus scan is

@@ -52,6 +52,31 @@ class IvfIndexSpec extends AnyFunSuite {
     book.unpersist(); emb.unpersist()
   }
 
+  test("IVF-SQ8: quantized index keeps recall and the 4x payload saving") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val nq = queries.count()
+    val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+    val qPath = "/tmp/graft_test_ivf_index_q8"
+    VectorPipeline.writeIvfIndexQuantized(emb, book, qPath)
+
+    // recall@10 at nprobe=12 vs the FLOAT brute-force ground truth: the
+    // float IVF path gates 0.90 at this depth (q17); int8 scoring must
+    // hold ≥ 0.85 (measured equal-or-near the float path on this data)
+    val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+      .select(col("q_id"), col("n_id"))
+    val q8 = VectorPipeline.ivfTopKFromIndexQuantized(spark, qPath, book, queries, 10, 12)
+      .select(col("q_id"), col("n_id"))
+    val recall = bf.join(q8, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+    assert(recall >= 0.85, s"IVF-SQ8 recall@10(nprobe=12) = $recall")
+
+    // the stored lists are the quantized payload: 1 byte per dimension
+    val row = spark.read.parquet(qPath).select(length(col("qe"))).head
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    assert(row.getInt(0) === dim, "quantized list rows must be 1 byte/dim")
+    book.unpersist(); emb.unpersist()
+  }
+
   test("probed scan is partition-pruned: only probed lists' files are read") {
     val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001").cache()
     val book = VectorPipeline.trainedCodebook(emb, 16).cache()
