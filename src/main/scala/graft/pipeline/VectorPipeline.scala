@@ -321,6 +321,10 @@ object VectorPipeline {
   def ivfScoredCandidatesFromIndex(spark: SparkSession, indexPath: String,
       book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
     val probes = centroidProbes(book, queries, maxProbe)
+    // probes is computed twice (id pull here + the join below) — it is
+    // |queries|·maxProbe rows against a broadcast codebook, so the
+    // recompute is cheaper than holding a cache registration open past
+    // this call's lifetime
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val lists = spark.read.parquet(indexPath)

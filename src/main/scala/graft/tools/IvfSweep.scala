@@ -98,6 +98,25 @@ object IvfSweep {
           (hof(col("embedding"), typedLit(q)) * 1e6).cast("long").as("centroid_id")))
         println(f"cosine_bench,n_vectors=$n,native_secs=$tNative%.3f,hof_secs=$tHof%.3f," +
           f"speedup=${tHof / tNative}%.2f")
+
+        // int8 scoring vs float scoring over a PRE-QUANTIZED cached
+        // corpus: in cache the win is compute (byte MAC vs float MAC);
+        // on a cold parquet scan it compounds with the 3.7× smaller IO
+        // (q44's storage gate)
+        val qBytes: Array[Byte] = {
+          val m = q.map(math.abs).max
+          if (m > 0f) q.map(x => math.round(x * 127f / m).toByte).toArray
+          else new Array[Byte](q.length)
+        }
+        val bigQ = big.select(col("vec_id"),
+          graft.spark.catalyst.quantizeI8(col("embedding")).as("qe")).cache()
+        bigQ.count()
+        val tI8 = time(() => bigQ.select(col("vec_id"),
+          (graft.spark.catalyst.cosineI8(col("qe"), lit(qBytes)) * 1e6)
+            .cast("long").as("centroid_id")))
+        println(f"cosine_i8_bench,n_vectors=$n,i8_secs=$tI8%.3f,f32_secs=$tNative%.3f," +
+          f"speedup_vs_f32=${tNative / tI8}%.2f")
+        bigQ.unpersist()
       }
       big.unpersist(); book.unpersist()
     }
