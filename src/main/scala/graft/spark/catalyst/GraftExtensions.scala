@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_tdigest_agg(value)                          → binary sketch
   *   graft_kll_agg(value)                              → binary sketch
   *   graft_cosine(a, b)                                → double
+  *   graft_quantize_i8(embedding)                      → binary (1 B/dim)
+  *   graft_cosine_i8(a, b)                             → double
   * plus the blob-level estimators from graft.spark.functions
   * (bloom_fpp, hll_estimate, …) via functions.registerAll.
   */
@@ -122,6 +124,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length >= 3, "graft_bloom_might_contain_keyed(cache_key, sketch, key...)")
         BloomMightContainKeyed(args(0), args(1), args.drop(2))
+      }),
+    "graft_quantize_i8" ->
+      ("graft_quantize_i8(embedding) - symmetric int8 quantization of array<float> to binary",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_quantize_i8(embedding)")
+        QuantizeI8(args.head)
+      }),
+    "graft_cosine_i8" ->
+      ("graft_cosine_i8(a, b) - cosine similarity of two graft_quantize_i8 blobs",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine_i8(a, b)")
+        CosineSimI8(args(0), args(1))
       }))
 
   /** Runtime registration into an existing session (same builders the

@@ -157,7 +157,7 @@ class VectorExprSpec extends AnyFunSuite {
     df.unpersist()
   }
 
-  test("graft_cosine is registered on the SQL surface") {
+  test("graft_cosine / graft_quantize_i8 / graft_cosine_i8 on the SQL surface") {
     import spark.implicits._
     GraftExtensions.register(spark)
     Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
@@ -165,6 +165,10 @@ class VectorExprSpec extends AnyFunSuite {
     val got = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs_sql_test ORDER BY c")
       .collect().map(_.getDouble(0))
     assert(math.abs(got(0)) < 1e-12 && math.abs(got(1) - 1.0) < 1e-12)
+    val gotI8 = spark.sql(
+      "SELECT graft_cosine_i8(graft_quantize_i8(a), graft_quantize_i8(b)) AS c " +
+        "FROM vecs_sql_test ORDER BY c").collect().map(_.getDouble(0))
+    assert(math.abs(gotI8(0)) < 1e-12 && math.abs(gotI8(1) - 1.0) < 1e-12)
   }
 
   test("argmax null propagation: null embedding, null element, dim mismatch") {
