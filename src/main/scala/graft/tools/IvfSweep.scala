@@ -41,6 +41,22 @@ object IvfSweep {
         }
         scored.unpersist(); assigned.unpersist(); b.unpersist()
       }
+      // IVF-SQ8: the trained codebook over int8-quantized inverted lists
+      // (recall vs the FLOAT brute-force truth — quantization error and
+      // routing error compound here)
+      {
+        val b = VectorPipeline.trainedCodebook(emb, 16).cache()
+        val qPath = "/tmp/graft_sweep_ivf_q8"
+        VectorPipeline.writeIvfIndexQuantized(emb, b, qPath)
+        for (nprobe <- Seq(8, 12, 16)) {
+          val ivf = VectorPipeline
+            .ivfTopKFromIndexQuantized(spark, qPath, b, queries, 10, nprobe)
+            .select(col("q_id"), col("n_id"))
+          val recall = bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+          println(f"$sf,trained_sq8,$nprobe,$recall%.3f")
+        }
+        b.unpersist()
+      }
       bf.unpersist(); emb.unpersist()
     }
 
