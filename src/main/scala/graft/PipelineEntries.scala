@@ -14,6 +14,15 @@ object PipelineEntries {
 
   private def docs(s: SparkSession, dir: String) = TextPipeline.documents(s, dir)
 
+  /** Best-effort removal of a per-run /tmp artifact (Hadoop FS so the
+    * same code works against HDFS/S3 staging dirs in deployment). */
+  private def deleteTmpDir(s: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    } catch { case _: Exception => () }
+
   /** All physical reads route through the TableSource seam (SURVEY §7.4):
     * replace with a CatalogSource for an Iceberg deployment. */
   private def src(dir: String) = graft.spark.TableSource.parquetDir(dir)
@@ -335,8 +344,11 @@ object PipelineEntries {
       val emb = VectorPipeline.embeddings(s, dir).cache()
       val queries = emb.filter(col("vec_id") < 20)
       val book = VectorPipeline.trainedCodebook(emb, 16).cache()
-      val ixPath = "/tmp/graft_q42_ivf_index"
+      // unique per run: a fixed path would let concurrent invocations
+      // overwrite an index another JVM is mid-scan on
+      val ixPath = s"/tmp/graft_q42_ivf_index_${java.util.UUID.randomUUID()}"
       VectorPipeline.writeIvfIndex(emb, book, ixPath)
+      try {
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
         .select(col("q_id"), col("n_id")).cache()
       val nq = queries.count()
@@ -362,6 +374,7 @@ object PipelineEntries {
       Seq((nq, r8 >= 0.70, r12 >= 0.90, equiv, pruned))
         .toDF("n_queries", "recall8_ok", "recall12_ok",
           "matches_memory_path", "scan_partition_pruned")
+      } finally deleteTmpDir(s, ixPath)
     }),
 
     // INT8-quantized ANN: the 100 TB storage/IO path — embeddings stored
@@ -387,12 +400,16 @@ object PipelineEntries {
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.getContentSummary(path).getLength
       }
-      val base = "/tmp/graft_q44_size"
-      emb.select(col("embedding")).repartition(1)
-        .write.mode("overwrite").parquet(s"$base/f32")
-      emb.select(graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"))
-        .repartition(1).write.mode("overwrite").parquet(s"$base/i8")
-      val ratio = dirBytes(s"$base/f32").toDouble / math.max(dirBytes(s"$base/i8"), 1L)
+      // unique per run (concurrent invocations must not clobber each
+      // other's measurement dirs), removed afterwards
+      val base = s"/tmp/graft_q44_size_${java.util.UUID.randomUUID()}"
+      val ratio = try {
+        emb.select(col("embedding")).repartition(1)
+          .write.mode("overwrite").parquet(s"$base/f32")
+        emb.select(graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"))
+          .repartition(1).write.mode("overwrite").parquet(s"$base/i8")
+        dirBytes(s"$base/f32").toDouble / math.max(dirBytes(s"$base/i8"), 1L)
+      } finally deleteTmpDir(s, base)
       bf.unpersist(); emb.unpersist()
       Seq((nq, recall >= 0.90, ratio >= 2.5))
         .toDF("n_queries", "recall_ok", "storage_4x_ok")

@@ -538,7 +538,7 @@ object SparkEntry {
       val cmsDense = 23L + 8L * math.ceil(math.log(1.0 / cmsDelta)).toLong *
         math.ceil(math.E / cmsEps).toLong
       val estUdf = udf((b: Array[Byte]) => math.round(SketchCodec.decodeHll(b).estimate))
-      val sparseV2 = lit(Array[Byte](2))
+      val sparseV3 = lit(Array[Byte](3))
       val groups = t.groupBy(col("conv_id"))
         .agg(hllAggNative(col("turn_idx")).as("hsk"),
           cmsAggNative(cmsEps, cmsDelta)(col("tool")).as("csk"),
@@ -548,8 +548,8 @@ object SparkEntry {
         (coalesce(sum(when(abs(estUdf(col("hsk")) - col("exact"))
           <= lit(rse) * col("exact") + 1, 0L).otherwise(1L)), lit(0L)) === 0)
           .as("all_within_bound"),
-        (coalesce(sum(when(substring(col("hsk"), 6, 1) === sparseV2 &&
-          substring(col("csk"), 6, 1) === sparseV2, 0L).otherwise(1L)), lit(0L)) === 0)
+        (coalesce(sum(when(substring(col("hsk"), 6, 1) === sparseV3 &&
+          substring(col("csk"), 6, 1) === sparseV3, 0L).otherwise(1L)), lit(0L)) === 0)
           .as("all_blobs_sparse"),
         (sum(length(col("hsk"))) * 10 < count(lit(1)) * lit(hllDense) &&
           sum(length(col("csk"))) * 10 < count(lit(1)) * lit(cmsDense))

@@ -38,19 +38,26 @@ object SketchCodec {
   // Versions are PER TYPE — and, for HLL/CMS, PER BLOB:
   //   - Bloom: v2 (carries the KM hash-pair id, see KMHashPair); v1
   //     blobs still decode (default pair), so old checkpoints resume.
-  //   - HLL/CMS: DENSE blobs keep the byte-identical v1 layout; a blob
-  //     whose occupied cells are few enough that the SPARSE layout is
-  //     strictly smaller is stamped v2 and encoded sparse (see
-  //     encodeHll/encodeCms). The dense/sparse choice is a pure function
-  //     of the logical sketch state, so equal sketches always encode to
-  //     equal bytes regardless of merge order — the canonical-encoding
-  //     property every bit-identity gate (q33, state-identity suites)
-  //     relies on. An older (v1-only) reader keeps accepting every dense
-  //     blob and FAILS FAST (version check) on a sparse one, rather than
-  //     misreading it.
-  //   - theta/KLL/t-digest/bottom-k: unchanged, always v1 (their
-  //     payloads are already content-proportional).
-  private val Version: Byte = 2
+  //   - HLL/CMS: DENSE blobs are written v1 (byte-identical layout to
+  //     every earlier build); a blob whose occupied cells are few enough
+  //     that the SPARSE layout is strictly smaller is stamped v3 and
+  //     encoded sparse (see encodeHll/encodeCms). v3, NOT v2: one
+  //     earlier build stamped version 2 on every type while still
+  //     writing the DENSE layout, so v2 must keep decoding as dense —
+  //     reusing it for sparse would silently misdecode that build's
+  //     persisted HLL/CMS blobs (checkpoints, sketch-table columns).
+  //     The dense/sparse choice is a pure function of the logical
+  //     sketch state, so equal sketches always encode to equal bytes
+  //     regardless of merge order — the canonical-encoding property
+  //     every bit-identity gate (q33, state-identity suites) relies on.
+  //     An older reader keeps accepting every dense blob and FAILS FAST
+  //     (version check) on a sparse v3 one, rather than misreading it.
+  //   - theta/KLL/t-digest/bottom-k: content-proportional payloads,
+  //     written v1; v2 blobs from the earlier always-v2 build decode
+  //     identically (the version byte never changed their layout).
+  private val Version: Byte = 3 // max accepted by readers
+  private val BloomVersion: Byte = 2
+  private val SparseVersion: Byte = 3
   private val MinVersion: Byte = 1
 
   private def writer(typeId: Byte, payloadSize: Int, version: Byte): ByteBuffer = {
@@ -109,7 +116,7 @@ object SketchCodec {
       "custom (unregistered) hash pairs cannot cross the codec — register " +
         "the pair with a stable id in KMHashPair to use it in Spark aggregation")
     val w = s.bits.words
-    val bb = writer(TypeId.Bloom, 1 + 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length, Version)
+    val bb = writer(TypeId.Bloom, 1 + 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length, BloomVersion)
     bb.put(s.variant)
     bb.put(keyMode)
     bb.put(s.hasherId)
@@ -153,8 +160,8 @@ object SketchCodec {
   }
 
   // -------------------------------------------------------------- HLL
-  // v1 (dense):  p(4) registers(m bytes)
-  // v2 (sparse): p(4) count(4) packed(4*count) — packed int = idx<<6 | rank
+  // v1/v2 (dense): p(4) registers(m bytes)
+  // v3 (sparse): p(4) count(4) packed(4*count) — packed int = idx<<6 | rank
   //              (rank ≤ 64−p+1 ≤ 61 fits 6 bits; idx < 2^p ≤ 2^18 fits
   //              the rest), ascending idx.
   //
@@ -173,7 +180,7 @@ object SketchCodec {
     var i = 0
     while (i < m) { if (regs(i) != 0) occupied += 1; i += 1 }
     if (4 + 4 * occupied < m) {
-      val bb = writer(TypeId.Hll, 4 + 4 + 4 * occupied, 2)
+      val bb = writer(TypeId.Hll, 4 + 4 + 4 * occupied, SparseVersion)
       bb.putInt(s.p)
       bb.putInt(occupied)
       i = 0
@@ -194,7 +201,14 @@ object SketchCodec {
     val bb = reader(bytes, TypeId.Hll)
     val p = bb.getInt()
     val regs = new Array[Byte](1 << p)
-    if (versionOf(bytes) >= 2) {
+    // v1 is dense; v3 is sparse; v2 is AMBIGUOUS (one build stamped v2
+    // on dense payloads, another briefly wrote sparse payloads as v2) —
+    // but the sparse layout is only ever chosen when STRICTLY smaller
+    // than dense, so the blob length disambiguates v2 exactly
+    val denseLen = 6 + 4 + (1 << p)
+    val sparse = versionOf(bytes) >= SparseVersion ||
+      (versionOf(bytes) == 2 && bytes.length != denseLen)
+    if (sparse) {
       val n = bb.getInt()
       var i = 0
       var prevIdx = -1
@@ -213,8 +227,8 @@ object SketchCodec {
   }
 
   // -------------------------------------------------------------- CMS
-  // v1 (dense):  keyMode(1) depth(4) width(4) total(8) counters(8 * d*w)
-  // v2 (sparse): keyMode(1) depth(4) width(4) total(8) count(4)
+  // v1/v2 (dense): keyMode(1) depth(4) width(4) total(8) counters(8 * d*w)
+  // v3 (sparse): keyMode(1) depth(4) width(4) total(8) count(4)
   //              [idx(4) value(8)]*count — nonzero cells only, ascending
   //              idx into the row-major d×w grid.
   //
@@ -231,7 +245,7 @@ object SketchCodec {
     while (i < n) { if (s.counters(i) != 0L) nonzero += 1; i += 1 }
     val header = 1 + 4 + 4 + 8
     if (4 + 12 * nonzero < 8 * n) {
-      val bb = writer(TypeId.Cms, header + 4 + 12 * nonzero, 2)
+      val bb = writer(TypeId.Cms, header + 4 + 12 * nonzero, SparseVersion)
       bb.put(keyMode)
       bb.putInt(s.depth)
       bb.putInt(s.width)
@@ -262,7 +276,11 @@ object SketchCodec {
     val w = bb.getInt()
     val total = bb.getLong()
     val counters = new Array[Long](d * w)
-    if (versionOf(bytes) >= 2) {
+    // v1 dense, v3 sparse, v2 length-disambiguated (see decodeHll)
+    val denseLen = 6 + 1 + 4 + 4 + 8 + 8 * counters.length
+    val sparse = versionOf(bytes) >= SparseVersion ||
+      (versionOf(bytes) == 2 && bytes.length != denseLen)
+    if (sparse) {
       val nz = bb.getInt()
       var i = 0
       var prevIdx = -1

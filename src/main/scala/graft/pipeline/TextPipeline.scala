@@ -316,6 +316,14 @@ object TextPipeline {
     * ContextCleaner once dereferenced. Throws if `maxIters` rounds don't
     * reach the fixpoint rather than returning a half-propagated labeling.
     *
+    * FAULT TOLERANCE: `localCheckpoint` blocks are executor-local and
+    * non-replicated — once lineage is truncated a lost executor fails
+    * the job (it cannot recompute). For long runs on preemptible
+    * infrastructure, set `spark.sparkContext.setCheckpointDir(...)`:
+    * when a checkpoint dir is configured this method uses RELIABLE
+    * `checkpoint()` per round instead (HDFS/S3-backed, survives
+    * executor loss) at the cost of one distributed write per round.
+    *
     * Returns (doc_id, canonical_id) for every doc that appears in a
     * pair; canonical_id = the cluster's minimum doc_id. Docs with no
     * near-dup pair are their own canonical and are NOT emitted (join
@@ -324,16 +332,19 @@ object TextPipeline {
     * unpersists it when done; all intermediate round caches are
     * released internally. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // eager materialization + plan truncation per round (see scaladoc);
+    // reliable checkpoint when the session has a checkpoint dir, local
+    // otherwise (fault-tolerance note in the scaladoc)
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    // eager localCheckpoint: materialized AND plan-truncated per round
-    // (see scaladoc — a cached-only label table makes planning itself
-    // exponential in the round count under the 3-reference round body)
-    var labels: DataFrame = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+    var labels: DataFrame = materialize(
+      edges.select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("label", col("doc_id")))
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
@@ -350,14 +361,13 @@ object TextPipeline {
           col("label") === col("__lbl_id"), "left")
         .select(col("doc_id"), col("label"),
           coalesce(col("label_label"), col("label")).as("label_label"))
-      val updated = labelOfLabel
+      val updated = materialize(labelOfLabel
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), col("label_label"),
             coalesce(col("neighbor_label"), col("label"))).as("new_label"))
         .select(col("doc_id"), col("new_label").as("label"),
-          (col("new_label") < col("label")).as("__chg"))
-        .localCheckpoint()
+          (col("new_label") < col("label")).as("__chg")))
       changed = updated.filter(col("__chg")).count()
       labels = updated.drop("__chg")
       iters += 1

@@ -199,15 +199,24 @@ object Winnowing {
     * its candidate count: a large n_dropped_pair_slots means boilerplate
     * spans are being excluded BY POLICY, not silently missed. */
   def dfCapStats(docFps: DataFrame, maxDf: Long = 1000L): DataFrame = {
-    val hot = docFps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val incidences = docFps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val hot = incidences
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-    hot.agg(
+    val hotAgg = hot.agg(
       count(lit(1)).as("n_hot_fps"),
-      coalesce(sum(col("df")), lit(0L)).as("n_docs_touching_hot"),
+      // (doc, hot-fp) INCIDENCES — a doc touching 3 hot fps counts 3×
+      coalesce(sum(col("df")), lit(0L)).as("n_hot_incidences"),
       // DIV keeps the arithmetic in longs (the `/` operator widens to
       // double, which loses exactness past 2^53 pair slots)
       coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)).as("n_dropped_pair_slots"))
+    // DISTINCT docs that touch any hot fingerprint — the "how much of my
+    // corpus is boilerplate-affected" number a 100 TB run actually wants
+    // (hot fps are rare by definition of the cap: broadcast them)
+    val docsTouching = incidences
+      .join(broadcast(hot.select(col("fp"))), Seq("fp"), "left_semi")
+      .agg(countDistinct(col("doc_id")).as("n_docs_touching_hot"))
+    hotAgg.crossJoin(docsTouching)
   }
 
   /** Doc pairs sharing at least one 3-word shingle whose normalized

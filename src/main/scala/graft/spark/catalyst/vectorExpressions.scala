@@ -126,6 +126,13 @@ case class CosineArgmax(child: Expression,
 
   require(centroids.nonEmpty && centroids.length == centroidIds.length,
     "CosineArgmax needs one id per centroid and at least one centroid")
+  // the documented "ties break to the smallest centroid id" contract is
+  // implemented as first-strictly-greater-wins over the scan order, so
+  // the scan order MUST be ascending ids — enforce rather than document
+  require(centroidIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "CosineArgmax centroidIds must be strictly ascending (sort the codebook first)")
+  require(centroids.forall(_.length == centroids.head.length),
+    "CosineArgmax centroids must all have the same dimension")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -315,8 +315,10 @@ class BloomSketchSpec extends AnyFunSuite {
     // an older (v1-only) reader must keep accepting every blob whose
     // layout is unchanged from v1 during a rolling upgrade: theta/KLL/
     // t-digest/bottom-k always, HLL/CMS whenever they encode DENSE.
-    // Sparse HLL/CMS blobs are the only new layout, stamped v2 so an old
-    // reader fails fast instead of misreading them.
+    // Sparse HLL/CMS blobs are the only new layout, stamped v3 (NOT v2:
+    // one earlier build wrote v2 on dense payloads — SparseCodecSpec
+    // pins that v2 still decodes dense) so an old reader fails fast
+    // instead of misreading them.
     def versionByte(b: Array[Byte]): Byte = b(5)
     val bloom = KMBloomSketch(100L, 0.01); bloom.insert("a")
     assert(versionByte(SketchCodec.encodeBloom(bloom)) === 2)
@@ -325,12 +327,12 @@ class BloomSketchSpec extends AnyFunSuite {
     (0 until 200000).foreach(i => hllFull.updateHash(Hashing.xxHash64Long(i.toLong, 7L)))
     assert(versionByte(SketchCodec.encodeHll(hllFull)) === 1)
     val hllSmall = HLLSketch(); hllSmall.updateHash(42L)
-    assert(versionByte(SketchCodec.encodeHll(hllSmall)) === 2)
+    assert(versionByte(SketchCodec.encodeHll(hllSmall)) === 3)
     val cmsFull = CMSSketch(0.01, 0.01)
     (0 until 20000).foreach(i => cmsFull.updateHash(Hashing.xxHash64Long(i.toLong, 7L)))
     assert(versionByte(SketchCodec.encodeCms(cmsFull)) === 1)
     val cmsSmall = CMSSketch(0.01, 0.01); cmsSmall.updateHash(42L)
-    assert(versionByte(SketchCodec.encodeCms(cmsSmall)) === 2)
+    assert(versionByte(SketchCodec.encodeCms(cmsSmall)) === 3)
     val theta = ThetaSketch(); theta.updateHash(42L)
     assert(versionByte(SketchCodec.encodeTheta(theta)) === 1)
     val td = TDigestSketch(); td.update(1.0)

@@ -35,7 +35,7 @@ class SparseCodecSpec extends AnyFunSuite {
     for (n <- Seq(1, 10, 100, 1000)) {
       val s = hllOf(0 until n)
       val blob = SketchCodec.encodeHll(s)
-      assert(blob(5) === 2, s"n=$n should encode sparse")
+      assert(blob(5) === 3, s"n=$n should encode sparse")
       val back = SketchCodec.decodeHll(blob)
       assert(back === s, s"n=$n round-trip")
       assert(back.estimate === s.estimate)
@@ -53,7 +53,7 @@ class SparseCodecSpec extends AnyFunSuite {
     for (n <- Seq(1, 10, 100)) {
       val s = cmsOf(0 until n)
       val blob = SketchCodec.encodeCms(s)
-      assert(blob(5) === 2, s"n=$n should encode sparse")
+      assert(blob(5) === 3, s"n=$n should encode sparse")
       val back = SketchCodec.decodeCms(blob)
       assert(back === s, s"n=$n round-trip")
       assert(back.totalCount === s.totalCount)
@@ -105,7 +105,7 @@ class SparseCodecSpec extends AnyFunSuite {
     // sparse blob is always strictly smaller than the dense layout would be
     for (n <- Seq(1, 50, 500, 3000)) {
       val blob = SketchCodec.encodeHll(hllOf(0 until n))
-      if (blob(5) == 2) assert(blob.length < 6 + 4 + (1 << HLLSketch.DefaultP))
+      if (blob(5) == 3) assert(blob.length < 6 + 4 + (1 << HLLSketch.DefaultP))
     }
     // CMS at production width (ε=0.001 ⇒ w=2719, d=5 ⇒ ~109 KB dense):
     // a 100-distinct group must encode at least 10× smaller
@@ -143,24 +143,45 @@ class SparseCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("old dense (v1) HLL/CMS blobs of ANY occupancy still decode") {
-    // synthesize what a pre-sparse writer emitted for a SMALL sketch:
-    // dense layout with version byte 1
-    val s = hllOf(0 until 10)
-    val bb = ByteBuffer.allocate(6 + 4 + s.registers.length).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put('G'.toByte).put('S'.toByte).put('K'.toByte).put('1'.toByte)
-    bb.put(SketchCodec.TypeId.Hll).put(1.toByte)
-    bb.putInt(s.p).put(s.registers)
-    assert(SketchCodec.decodeHll(bb.array()) === s)
+  test("old dense (v1 AND v2) HLL/CMS blobs of ANY occupancy still decode") {
+    // synthesize what earlier writers actually emitted for a SMALL
+    // sketch: the dense layout stamped v1 (first build) and — crucially
+    // — stamped v2 by the build that versioned EVERY type 2 while still
+    // writing dense payloads. v2 must decode as DENSE; treating it as
+    // sparse would silently misread every HLL/CMS blob that build
+    // persisted (checkpoints, sketch-table columns). That is why the
+    // sparse layout is v3.
+    for (version <- Seq(1.toByte, 2.toByte)) {
+      val s = hllOf(0 until 10)
+      val bb = ByteBuffer.allocate(6 + 4 + s.registers.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('G'.toByte).put('S'.toByte).put('K'.toByte).put('1'.toByte)
+      bb.put(SketchCodec.TypeId.Hll).put(version)
+      bb.putInt(s.p).put(s.registers)
+      assert(SketchCodec.decodeHll(bb.array()) === s, s"dense HLL v$version")
 
-    val c = cmsOf(0 until 10)
-    val cb = ByteBuffer.allocate(6 + 1 + 4 + 4 + 8 + 8 * c.counters.length)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    cb.put('G'.toByte).put('S'.toByte).put('K'.toByte).put('1'.toByte)
-    cb.put(SketchCodec.TypeId.Cms).put(1.toByte)
-    cb.put(SketchCodec.KeyMode.Bytes).putInt(c.depth).putInt(c.width).putLong(c.totalCount)
-    c.counters.foreach(cb.putLong)
-    assert(SketchCodec.decodeCms(cb.array()) === c)
+      val c = cmsOf(0 until 10)
+      val cb = ByteBuffer.allocate(6 + 1 + 4 + 4 + 8 + 8 * c.counters.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      cb.put('G'.toByte).put('S'.toByte).put('K'.toByte).put('1'.toByte)
+      cb.put(SketchCodec.TypeId.Cms).put(version)
+      cb.put(SketchCodec.KeyMode.Bytes).putInt(c.depth).putInt(c.width).putLong(c.totalCount)
+      c.counters.foreach(cb.putLong)
+      assert(SketchCodec.decodeCms(cb.array()) === c, s"dense CMS v$version")
+    }
+    // and the OTHER ambiguous-v2 world: a build briefly wrote the SPARSE
+    // layout stamped v2 — blob length disambiguates (sparse is only
+    // chosen when strictly smaller than dense), so restamping a v3
+    // sparse blob as v2 must still decode as sparse
+    val sp = hllOf(0 until 10)
+    val v2sparse = SketchCodec.encodeHll(sp).clone()
+    assert(v2sparse(5) === 3)
+    v2sparse(5) = 2
+    assert(SketchCodec.decodeHll(v2sparse) === sp, "sparse-layout v2 HLL")
+    val cs = cmsOf(0 until 10)
+    val v2sparseC = SketchCodec.encodeCms(cs).clone()
+    assert(v2sparseC(5) === 3)
+    v2sparseC(5) = 2
+    assert(SketchCodec.decodeCms(v2sparseC) === cs, "sparse-layout v2 CMS")
   }
 
   test("describe renders sparse blobs; corrupt sparse blobs fail loudly") {

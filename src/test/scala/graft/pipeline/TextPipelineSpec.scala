@@ -156,6 +156,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 === 0L), "every chain node must label to the minimum id")
   }
 
+  test("dedupClusters uses RELIABLE checkpoints when a checkpoint dir is set") {
+    import spark.implicits._
+    // with spark.sparkContext.setCheckpointDir configured, each round
+    // materializes via replicated checkpoint() (survives executor loss)
+    // instead of executor-local localCheckpoint blocks — same labels
+    val ckptDir = s"/tmp/graft_cc_ckpt_${java.util.UUID.randomUUID()}"
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val labels = TextPipeline.dedupClusters(chain)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      labels.unpersist()
+      assert(got.length === 41 && got.forall(_._2 === 0L))
+      // the reliable path actually wrote round states to the configured dir
+      val p = new org.apache.hadoop.fs.Path(ckptDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(p).nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      // unset so other tests in this shared session keep the local path
+      spark.sparkContext.setCheckpointDir(null)
+      val p = new org.apache.hadoop.fs.Path(ckptDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("langIdUdf is deterministic across repeated evaluation") {
     // the determinism gate q18 used to pay for per-row (double UDF
     // evaluation in the query) lives here now: two independent passes

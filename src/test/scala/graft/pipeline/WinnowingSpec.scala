@@ -135,10 +135,13 @@ class WinnowingSpec extends AnyFunSuite {
     // cap at df<=2: boilerplate fingerprints (df=6) are dropped
     val stats = dfCapStats(fps, maxDf = 2).head
     assert(stats.getLong(0) > 0, "the boilerplate fingerprints must register as hot")
-    assert(stats.getLong(1) === 6 * stats.getLong(0),
+    assert(stats.getAs[Long]("n_hot_incidences") === 6 * stats.getLong(0),
       "every hot fingerprint here is shared by exactly the 6 docs")
     // each hot fp with df=6 suppresses C(6,2)=15 pair slots
-    assert(stats.getLong(2) === stats.getLong(0) * 15)
+    assert(stats.getAs[Long]("n_dropped_pair_slots") === stats.getLong(0) * 15)
+    // DISTINCT affected docs — the incidence sum counts a doc once per
+    // hot fp it touches; the doc count must say 6, not 6·n_hot_fps
+    assert(stats.getAs[Long]("n_docs_touching_hot") === 6L)
     // the capped candidate set still finds (1,2) via the rare span, and
     // loses the boilerplate-only pairs the stats account for
     val capped = candidatesFromFps(fps, maxDf = 2)
@@ -146,7 +149,9 @@ class WinnowingSpec extends AnyFunSuite {
     assert(capped === Set((1L, 2L)))
     // no cap ⇒ no drops reported, all 15 pairs appear
     val uncapped = dfCapStats(fps, maxDf = Long.MaxValue).head
-    assert(uncapped.getLong(0) === 0L && uncapped.getLong(2) === 0L)
+    assert(uncapped.getLong(0) === 0L &&
+      uncapped.getAs[Long]("n_dropped_pair_slots") === 0L &&
+      uncapped.getAs[Long]("n_docs_touching_hot") === 0L)
     assert(candidatesFromFps(fps, maxDf = Long.MaxValue).count() === 15L)
   }
 
