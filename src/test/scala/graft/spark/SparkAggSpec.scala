@@ -203,6 +203,32 @@ class SparkAggSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= math.max(1L, (0.03 * exact).toLong))
   }
 
+  test("100k-group sketch table: fallback aggregation + sparse serde end-to-end") {
+    import spark.implicits._
+    import graft.spark.catalyst.hllAggNative
+    // far past ObjectHashAggregate's in-memory group threshold, so the
+    // sort-based fallback path (which round-trips every partial state
+    // through the codec between groups) runs for real, with the sparse
+    // layout on every one of the 100k small groups
+    val n = 100000L
+    val grouped = spark.range(n * 5)
+      .select(pmod(col("id"), lit(n)).as("g"), col("id"))
+      .groupBy(col("g")).agg(hllAggNative(col("id")).as("h"))
+      .cache()
+    assert(grouped.count() === n)
+    val stats = grouped.agg(
+      max(length(col("h"))).as("max_len"),
+      min(length(col("h"))).as("min_len")).head
+    // 5 distinct values per group: sparse blobs of ~30 B, never dense
+    assert(stats.getInt(0) < 64 && stats.getInt(1) > 10,
+      s"unexpected blob sizes [${stats.getInt(1)}, ${stats.getInt(0)}]")
+    // sample-decode: estimates must be ~5 for every sampled group
+    val sampled = grouped.filter(col("g") % 9973 === 0)
+      .collect().map(r => graft.core.SketchCodec.decodeHll(r.getAs[Array[Byte]]("h")).estimate)
+    assert(sampled.length === 11 && sampled.forall(e => math.abs(e - 5.0) < 0.5))
+    grouped.unpersist()
+  }
+
   test("sketch_describe renders every sketch type; null-safe; SQL-registered") {
     import spark.implicits._
     import graft.spark.catalyst._
