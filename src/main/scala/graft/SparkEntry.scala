@@ -517,6 +517,39 @@ object SparkEntry {
         .toDF("n_probes", "xx_fnv_ok", "fnv_murmur_ok", "xx_xx_ok")
     }),
 
+    // Misra–Gries heavy hitters over the tool column — the DETERMINISTIC
+    // frequent-items sketch (k=8 entries vs ~50 tools): CMS's complement,
+    // carrying the keys themselves so "which tools dominate" needs no
+    // candidate set or second pass. All three theorems gated (not
+    // probabilities — MG has no randomness): undercount-only, error ≤
+    // decrementTotal ≤ N/(k+1), and total recall of every tool with
+    // frequency > N/(k+1). The sketch state crosses Spark's partial/final
+    // merge (PODS 2012 mergeable-summaries rule), so the gates also prove
+    // the distributed merge. n_heavy is DuckDB-recomputed exactly.
+    "q45_mg_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      import graft.spark.catalyst.mgAgg
+      val t = Transcripts.load(s, dir).cache()
+      val n = t.count()
+      val k = 8
+      val blob = t.agg(mgAgg(k)(col("tool"))).head.getAs[Array[Byte]](0)
+      val mg = SketchCodec.decodeMg(blob)
+      val exact = t.groupBy(col("tool")).agg(count(lit(1)).as("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      t.unpersist()
+      val thresh = n / (k + 1)
+      val est = mg.entries
+        .map(e => new String(e._1, java.nio.charset.StandardCharsets.UTF_8) -> e._2)
+        .toMap
+      val heavy = exact.filter(_._2 > thresh)
+      val recallOk = heavy.keys.forall(est.contains)
+      val underOk = est.forall { case (key, e) => e <= exact.getOrElse(key, 0L) }
+      val errOk = mg.decrementTotal <= thresh &&
+        exact.forall { case (key, f) => f - est.getOrElse(key, 0L) <= mg.decrementTotal }
+      Seq((n, heavy.size.toLong, recallOk, underOk, errOk))
+        .toDF("n_turns", "n_heavy", "heavy_recall_ok", "undercount_ok", "err_bound_ok")
+    }),
+
     // HIGH-GROUP-CARDINALITY sketch table — the 100 TB shape where the
     // shuffle cost is per-GROUP blob size, not input size: one HLL + one
     // CMS per conversation (thousands of tiny groups, vs 3 roles in q07).
@@ -649,5 +682,12 @@ object SparkEntry {
     "q41_sparse_sketch_table" ->
       (s"$C SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_groups, true AS all_within_bound, " +
         "true AS all_blobs_sparse, true AS sparse_saves_10x FROM transcripts"),
+    "q45_mg_heavy_hitters" ->
+      (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM " +
+        "  (SELECT tool, COUNT(*) AS c FROM transcripts GROUP BY tool) g " +
+        "  WHERE c > (SELECT COUNT(*) FROM transcripts) // 9) AS n_heavy, " +
+        "true AS heavy_recall_ok, true AS undercount_ok, true AS err_bound_ok " +
+        "FROM transcripts"),
   )
 }

@@ -34,6 +34,7 @@ object SketchCodec {
     val Kll: Byte = 5
     val Theta: Byte = 6
     val BottomK: Byte = 7
+    val Mg: Byte = 8
   }
   // Versions are PER TYPE — and, for HLL/CMS, PER BLOB:
   //   - Bloom: v2 (carries the KM hash-pair id, see KMHashPair); v1
@@ -102,6 +103,7 @@ object SketchCodec {
       case TypeId.Kll => decodeKll(bytes).toString
       case TypeId.Theta => decodeTheta(bytes).toString
       case TypeId.BottomK => decodeBottomK(bytes).toString
+      case TypeId.Mg => decodeMg(bytes).toString
       case other => s"unknown sketch type $other (${bytes.length} bytes)"
     } catch {
       case e: Exception =>
@@ -400,6 +402,39 @@ object SketchCodec {
     bb.putInt(es.size)
     es.foreach { case (h, kb) => bb.putLong(h); bb.putInt(kb.length); bb.put(kb) }
     bb.array()
+  }
+
+  // ------------------------------------------------------- Misra-Gries
+  // payload: k(4) decremented(8) n(8) count(4) [keyLen(4) key... count(8)]*
+  // entries in unsigned-lexicographic key order — canonical for a GIVEN
+  // logical state (the state itself is merge-tree dependent, like
+  // t-digest; bounds hold under every tree)
+  def encodeMg(s: MGSketch): Array[Byte] = {
+    val es = s.entries.sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+    val payload = 4 + 8 + 8 + 4 + es.map(e => 4 + e._1.length + 8).sum
+    val bb = writer(TypeId.Mg, payload, MinVersion)
+    bb.putInt(s.k)
+    bb.putLong(s.decrementTotal)
+    bb.putLong(s.processedCount)
+    bb.putInt(es.size)
+    es.foreach { case (kb, c) => bb.putInt(kb.length); bb.put(kb); bb.putLong(c) }
+    bb.array()
+  }
+
+  def decodeMg(bytes: Array[Byte]): MGSketch = {
+    val bb = reader(bytes, TypeId.Mg)
+    val k = bb.getInt()
+    val dec = bb.getLong()
+    val n = bb.getLong()
+    val cnt = bb.getInt()
+    val es = (0 until cnt).map { _ =>
+      val len = bb.getInt()
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      (kb, bb.getLong())
+    }
+    MGSketch.fromEntries(k, es, dec, n)
   }
 
   def decodeBottomK(bytes: Array[Byte]): BottomKSketch = {

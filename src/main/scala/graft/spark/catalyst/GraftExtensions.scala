@@ -125,6 +125,13 @@ object GraftExtensions {
         require(args.length >= 3, "graft_bloom_might_contain_keyed(cache_key, sketch, key...)")
         BloomMightContainKeyed(args(0), args(1), args.drop(2))
       }),
+    "graft_mg_agg" -> ("graft_mg_agg(k, key) - Misra-Gries heavy hitters (deterministic, undercount-only)",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_mg_agg(k, key)")
+        val k = lit2Long(args.head, "graft_mg_agg k")
+        require(k >= 1 && k <= Int.MaxValue, s"graft_mg_agg k out of range: $k")
+        MgSketchAgg(args(1), k.toInt).toAggregateExpression()
+      }),
     "graft_quantize_i8" ->
       ("graft_quantize_i8(embedding) - symmetric int8 quantization of array<float> to binary",
       (args: Seq[Expression]) => {

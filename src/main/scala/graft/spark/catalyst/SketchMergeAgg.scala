@@ -90,6 +90,7 @@ object SketchMergeAgg {
           case SketchCodec.TypeId.Kll => sketch = SketchCodec.decodeKll(bytes)
           case SketchCodec.TypeId.Theta => sketch = SketchCodec.decodeTheta(bytes)
           case SketchCodec.TypeId.BottomK => sketch = SketchCodec.decodeBottomK(bytes)
+          case SketchCodec.TypeId.Mg => sketch = SketchCodec.decodeMg(bytes)
           case other => throw new IllegalArgumentException(s"unknown sketch type $other")
         }
       } else {
@@ -113,6 +114,8 @@ object SketchMergeAgg {
             sketch.asInstanceOf[ThetaSketch].mergeInPlace(SketchCodec.decodeTheta(bytes))
           case SketchCodec.TypeId.BottomK =>
             sketch.asInstanceOf[BottomKSketch].mergeInPlace(SketchCodec.decodeBottomK(bytes))
+          case SketchCodec.TypeId.Mg =>
+            sketch.asInstanceOf[MGSketch].mergeInPlace(SketchCodec.decodeMg(bytes))
         }
       }
     }

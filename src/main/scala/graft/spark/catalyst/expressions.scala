@@ -519,6 +519,56 @@ case class BottomKSampleAgg(
     copy(key = c.head)
 }
 
+/** Misra–Gries heavy hitters as a native aggregate: deterministic
+  * ε-approximate frequent items carrying the KEYS themselves (CMS's
+  * complement — see core/MGSketch.scala for the bounds and the
+  * PODS 2012 mergeable-summaries merge Spark's partial/final shape
+  * relies on). */
+case class MgSketchAgg(
+    key: Expression,
+    k: Int = MGSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[MGSketch] {
+
+  override def children: Seq[Expression] = Seq(key)
+  override def prettyName: String = "graft_mg_agg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    key.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName takes a string or binary key column, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): MGSketch = MGSketch(k)
+
+  override def update(b: MGSketch, input: InternalRow): MGSketch = {
+    val v = key.eval(input)
+    if (v != null) {
+      val bytes = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+        case a: Array[Byte] => a
+      }
+      b.update(bytes)
+    }
+    b
+  }
+
+  override def merge(b: MGSketch, o: MGSketch): MGSketch = b.mergeInPlace(o)
+  override def eval(b: MGSketch): Any = SketchCodec.encodeMg(b)
+  override def serialize(b: MGSketch): Array[Byte] = SketchCodec.encodeMg(b)
+  override def deserialize(bytes: Array[Byte]): MGSketch = SketchCodec.decodeMg(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): MgSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MgSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MgSketchAgg =
+    copy(key = c.head)
+}
+
 /** §2.2 count–min as a native aggregate. */
 case class CmsSketchAgg(
     keys: Seq[Expression],

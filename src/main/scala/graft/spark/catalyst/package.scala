@@ -104,6 +104,12 @@ package object catalyst {
   def bottomKSampleAgg(k: Int)(key: Column): Column =
     B.aggColumn(BottomKSampleAgg(B.expression(key), k))
 
+  /** Misra–Gries heavy hitters of a string/binary column: at most k
+    * (key, count) entries, undercount-only, every key with frequency
+    * > N/(k+1) guaranteed present (deterministic — no probabilities). */
+  def mgAgg(k: Int)(key: Column): Column =
+    B.aggColumn(MgSketchAgg(B.expression(key), k))
+
   /** Fold a column of sketch blobs into one blob (hierarchical rollup /
     * two-stage salted aggregation / incremental union). Works for every
     * sketch type in the codec. */

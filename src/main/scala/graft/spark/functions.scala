@@ -183,6 +183,20 @@ object functions {
     udf((s: Array[Byte]) =>
       if (s == null) null else SketchCodec.decodeBottomK(s).sample).apply(sketch)
 
+  /** Unwrap a Misra–Gries blob into (key, est) structs as strings,
+    * sorted (est desc, key asc) — `explode` it for a heavy-hitter
+    * relation. Null blob → null. */
+  def mgHeavyHitters(sketch: Column): Column =
+    udf((s: Array[Byte]) => if (s == null) null
+      else SketchCodec.decodeMg(s).entries
+        .map(e => (new String(e._1, java.nio.charset.StandardCharsets.UTF_8), e._2)))
+      .apply(sketch)
+
+  /** The Misra–Gries blob's REALIZED error bound: for every key,
+    * trueCount − estimate ≤ this (≤ N/(k+1)). */
+  def mgErrorBound(sketch: Column): Column =
+    udf((s: Array[Byte]) => SketchCodec.decodeMg(s).decrementTotal).apply(sketch)
+
   def cmsEstimate(sketch: Column, key: Column): Column =
     udf((s: Array[Byte], k: Array[Byte]) => {
       require(SketchCodec.cmsKeyMode(s) == SketchCodec.KeyMode.Bytes,
