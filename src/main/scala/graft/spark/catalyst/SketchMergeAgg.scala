@@ -129,6 +129,7 @@ object SketchMergeAgg {
         case SketchCodec.TypeId.Kll => SketchCodec.encodeKll(s.asInstanceOf[KLLSketch])
         case SketchCodec.TypeId.Theta => SketchCodec.encodeTheta(s.asInstanceOf[ThetaSketch])
         case SketchCodec.TypeId.BottomK => SketchCodec.encodeBottomK(s.asInstanceOf[BottomKSketch])
+        case SketchCodec.TypeId.Mg => SketchCodec.encodeMg(s.asInstanceOf[MGSketch])
       }
     }
   }

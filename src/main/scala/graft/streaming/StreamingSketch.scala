@@ -119,6 +119,7 @@ object StreamingSketch {
     val kllState = new IncrementalState
     val thetaState = new IncrementalState
     val bkState = new IncrementalState
+    val mgState = new IncrementalState
     val q1 = stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -132,7 +133,8 @@ object StreamingSketch {
             tdigestAggNative(col("turn_idx").cast("double")).as("t"),
             kllAggNative(col("turn_idx").cast("double")).as("k"),
             thetaAggNative(col("conv_id")).as("th"),
-            bottomKSampleAgg(256)(col("conv_id")).as("bk")).head
+            bottomKSampleAgg(256)(col("conv_id")).as("bk"),
+            mgAgg(8)(col("tool")).as("mg")).head
           bloomState.merge(r.getAs[Array[Byte]]("b"))
           hllState.merge(r.getAs[Array[Byte]]("h"))
           cmsState.merge(r.getAs[Array[Byte]]("c"))
@@ -140,6 +142,7 @@ object StreamingSketch {
           kllState.merge(r.getAs[Array[Byte]]("k"))
           thetaState.merge(r.getAs[Array[Byte]]("th"))
           bkState.merge(r.getAs[Array[Byte]]("bk"))
+          mgState.merge(r.getAs[Array[Byte]]("mg"))
         }
         ()
       }
@@ -190,6 +193,24 @@ object StreamingSketch {
       val eps = 3 * kll.normalizedRankError
       rankOk(Seq((0.5, kll.quantile(0.5), eps), (0.95, kll.quantile(0.95), eps)))
     }
+    // Misra–Gries is bound-level too (its merge prunes differently per
+    // tree): stream-merged sketch must satisfy all three MG theorems vs
+    // the exact tool counts, with N = the full stream's weight
+    val mgOk = mgState.get.exists { blob =>
+      val mg = SketchCodec.decodeMg(blob)
+      val exact = transcripts.groupBy(col("tool")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val thresh = n / (mg.k + 1)
+      val est = mg.entries
+        .map(e => new String(e._1, java.nio.charset.StandardCharsets.UTF_8) -> e._2)
+        .toMap
+      mg.decrementTotal <= thresh &&
+        est.forall { case (key, e) => e <= exact.getOrElse(key, 0L) } &&
+        exact.forall { case (key, f) =>
+          f - est.getOrElse(key, 0L) <= mg.decrementTotal &&
+            (f <= thresh || est.contains(key))
+        }
+    }
 
     // shape 1: windowed aggregation, stream (complete mode, AvailableNow)
     // vs the SAME transform run as a plain batch query
@@ -218,9 +239,10 @@ object StreamingSketch {
     spark.catalog.dropTempView(sinkName) // memory sink hygiene (winRow is materialized)
 
     Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"),
-        eq(thetaState, "th"), eq(bkState, "bk"), tdOk, kllOk, windowedEq))
+        eq(thetaState, "th"), eq(bkState, "bk"), tdOk, kllOk, mgOk, windowedEq))
       .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq",
-        "inc_theta_eq", "inc_bottomk_eq", "inc_tdigest_ok", "inc_kll_ok", "windowed_eq")
+        "inc_theta_eq", "inc_bottomk_eq", "inc_tdigest_ok", "inc_kll_ok",
+        "inc_mg_ok", "windowed_eq")
   }
 
   /** Input row for the per-conversation stateful operator. */

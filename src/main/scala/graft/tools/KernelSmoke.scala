@@ -45,6 +45,9 @@ object KernelSmoke {
       val fp = (10000 until 20000).count(i => back.mightContain(s"k$i"))
       println(s"pair ${pair.name}: fn=$fn (expect 0) fp=$fp/10000 (expect ~10)")
     }
+    val mg = MGSketch(8)
+    (0 until 9000).foreach(i => mg.update(if (i % 3 == 0) "grep" else s"tool${i % 40}"))
+    println(s"MG grep est=${mg.estimate("grep")} (true 3000, undercount<=${mg.decrementTotal})")
     val ta = ThetaSketch()
     val tb = ThetaSketch()
     (0 until 60000).foreach(i => ta.updateHash(Hashing.xxHash64Long(i.toLong, 0L)))
