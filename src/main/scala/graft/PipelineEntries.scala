@@ -347,8 +347,8 @@ object PipelineEntries {
       // unique per run: a fixed path would let concurrent invocations
       // overwrite an index another JVM is mid-scan on
       val ixPath = s"/tmp/graft_q42_ivf_index_${java.util.UUID.randomUUID()}"
-      VectorPipeline.writeIvfIndex(emb, book, ixPath)
       try {
+      VectorPipeline.writeIvfIndex(emb, book, ixPath)
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
         .select(col("q_id"), col("n_id")).cache()
       val nq = queries.count()

@@ -86,6 +86,11 @@ final class MGSketch private (
   def entries: Seq[(Array[Byte], Long)] =
     counts.toSeq.sortBy { case (key, c) => (-c, key) }.map { case (key, c) => (key.bytes, c) }
 
+  /** Entries in unsigned-lexicographic KEY order (the codec layout —
+    * one sort, not entries' count order re-sorted). */
+  def entriesByKey: Seq[(Array[Byte], Long)] =
+    counts.toSeq.sortBy(_._1).map { case (key, c) => (key.bytes, c) }
+
   /** Mergeable-summaries merge (PODS 2012 §3.1): pointwise add, then
     * subtract the (k+1)-largest counter and drop non-positive. */
   def mergeInPlace(other: MGSketch): this.type = {

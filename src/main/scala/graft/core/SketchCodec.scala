@@ -410,8 +410,7 @@ object SketchCodec {
   // logical state (the state itself is merge-tree dependent, like
   // t-digest; bounds hold under every tree)
   def encodeMg(s: MGSketch): Array[Byte] = {
-    val es = s.entries.sortWith((a, b) =>
-      java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+    val es = s.entriesByKey
     val payload = 4 + 8 + 8 + 4 + es.map(e => 4 + e._1.length + 8).sum
     val bb = writer(TypeId.Mg, payload, MinVersion)
     bb.putInt(s.k)

@@ -320,9 +320,13 @@ object TextPipeline {
     * non-replicated — once lineage is truncated a lost executor fails
     * the job (it cannot recompute). For long runs on preemptible
     * infrastructure, set `spark.sparkContext.setCheckpointDir(...)`:
-    * when a checkpoint dir is configured this method uses RELIABLE
-    * `checkpoint()` per round instead (HDFS/S3-backed, survives
-    * executor loss) at the cost of one distributed write per round.
+    * rounds then round-trip through MANAGED parquet files under that
+    * dir (HDFS/S3-backed, survives executor loss) at the cost of one
+    * distributed write per round, with round i−1's files deleted as
+    * round i lands and everything removed before returning — no
+    * checkpoint-file leak (a bare `Dataset.checkpoint()` leaks every
+    * round unless the non-default cleanCheckpoints conf plus a driver
+    * GC happens to fire).
     *
     * Returns (doc_id, canonical_id) for every doc that appears in a
     * pair; canonical_id = the cluster's minimum doc_id. Docs with no
@@ -332,12 +336,34 @@ object TextPipeline {
     * unpersists it when done; all intermediate round caches are
     * released internally. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // eager materialization + plan truncation per round (see scaladoc);
-    // reliable checkpoint when the session has a checkpoint dir, local
-    // otherwise (fault-tolerance note in the scaladoc)
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    val spark = pairs.sparkSession
+    // eager materialization + plan truncation per round (see scaladoc).
+    // Reliable mode (session has a checkpoint dir): rounds round-trip
+    // through MANAGED parquet files — survives executor loss AND lets us
+    // delete round i−1 the moment round i is materialized (a bare
+    // Dataset.checkpoint() leaks every round's files: Spark only removes
+    // reliable checkpoint data under the non-default
+    // spark.cleaner.referenceTracking.cleanCheckpoints, and even then
+    // only on driver GC). Local mode: eager localCheckpoint.
+    val reliableBase = spark.sparkContext.getCheckpointDir
+      .map(d => s"$d/graft_cc_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    var roundId = 0
+    var prevRoundPath: Option[String] = None
+    def deleteDir(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    def materialize(df: DataFrame): DataFrame = reliableBase match {
+      case Some(base) =>
+        val path = s"$base/round$roundId"
+        roundId += 1
+        df.write.parquet(path)
+        prevRoundPath.foreach(deleteDir)
+        prevRoundPath = Some(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -377,11 +403,15 @@ object TextPipeline {
       throw new IllegalArgumentException(
         s"label propagation did not converge in $maxIters rounds")
     }
-    // the returned frame is cached (contract: caller unpersists); the
-    // per-round checkpoint blocks are freed by the ContextCleaner once
-    // this method's references go out of scope
-    val out = labels.select(col("doc_id"), col("label").as("canonical_id")).cache()
+    // the returned frame is eagerly localCheckpoint-ed AND cached
+    // (contract: caller unpersists): it must not depend on the final
+    // round's parquet file, which is deleted here — reliable mode leaves
+    // ZERO files behind. Local-mode round blocks are freed by the
+    // ContextCleaner once this method's references go out of scope.
+    val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
+      .localCheckpoint().cache()
     out.count()
+    reliableBase.foreach(deleteDir)
     out
   }
 

@@ -191,12 +191,20 @@ object Winnowing {
   }
 
   /** TELEMETRY for the hot-fingerprint cap: what [[candidatesFromFps]]
-    * silently dropped. One row — (n_hot_fps, n_docs_touching_hot,
-    * n_dropped_pair_slots) where n_dropped_pair_slots = Σ df·(df−1)/2
-    * over the capped fingerprints (an upper bound on candidate pairs the
-    * cap suppressed; a pair sharing both a hot and a rare fingerprint is
-    * still found via the rare one). A 100 TB run should log this next to
-    * its candidate count: a large n_dropped_pair_slots means boilerplate
+    * silently dropped. One row of FOUR columns —
+    *   n_hot_fps              fingerprints with df > maxDf,
+    *   n_hot_incidences       Σ df over them ((doc, hot-fp) pairs — a doc
+    *                          touching 3 hot fps counts 3×),
+    *   n_dropped_pair_slots   Σ df·(df−1)/2 (upper bound on candidate
+    *                          pairs the cap suppressed; a pair sharing
+    *                          both a hot and a rare fingerprint is still
+    *                          found via the rare one),
+    *   n_docs_touching_hot    DISTINCT docs touching any hot fp — "how
+    *                          much of the corpus is boilerplate-affected".
+    * Access columns BY NAME (the shape grew in round 3). Two passes over
+    * `docFps` (the hot aggregate and the distinct-doc semi-join) — pass
+    * a CACHED docFps, as the q30 gate already does. A 100 TB run should
+    * log this next to its candidate count: large numbers mean boilerplate
     * spans are being excluded BY POLICY, not silently missed. */
   def dfCapStats(docFps: DataFrame, maxDf: Long = 1000L): DataFrame = {
     val incidences = docFps.select(col("doc_id"), explode(col("fps")).as("fp"))

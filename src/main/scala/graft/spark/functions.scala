@@ -193,9 +193,11 @@ object functions {
       .apply(sketch)
 
   /** The Misra–Gries blob's REALIZED error bound: for every key,
-    * trueCount − estimate ≤ this (≤ N/(k+1)). */
+    * trueCount − estimate ≤ this (≤ N/(k+1)). Null blob → null. */
   def mgErrorBound(sketch: Column): Column =
-    udf((s: Array[Byte]) => SketchCodec.decodeMg(s).decrementTotal).apply(sketch)
+    udf((s: Array[Byte]) =>
+      if (s == null) null else Long.box(SketchCodec.decodeMg(s).decrementTotal))
+      .apply(sketch)
 
   def cmsEstimate(sketch: Column, key: Column): Column =
     udf((s: Array[Byte], k: Array[Byte]) => {

@@ -156,23 +156,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 === 0L), "every chain node must label to the minimum id")
   }
 
-  test("dedupClusters uses RELIABLE checkpoints when a checkpoint dir is set") {
+  test("dedupClusters uses RELIABLE round files when a checkpoint dir is set") {
     import spark.implicits._
     // with spark.sparkContext.setCheckpointDir configured, each round
-    // materializes via replicated checkpoint() (survives executor loss)
-    // instead of executor-local localCheckpoint blocks — same labels
+    // materializes through a managed parquet file (survives executor
+    // loss) instead of executor-local localCheckpoint blocks — same
+    // labels, and ZERO files left behind afterwards
     val ckptDir = s"/tmp/graft_cc_ckpt_${java.util.UUID.randomUUID()}"
     spark.sparkContext.setCheckpointDir(ckptDir)
     try {
       val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
       val labels = TextPipeline.dedupClusters(chain)
       val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      // result must NOT depend on the (deleted) round files
       labels.unpersist()
+      assert(labels.collect().length === 41, "result must survive cache eviction")
       assert(got.length === 41 && got.forall(_._2 === 0L))
-      // the reliable path actually wrote round states to the configured dir
+      // the reliable path cleaned up every graft_cc round dir it wrote
+      // (setCheckpointDir itself pre-creates a UUID subdir — ignore it)
       val p = new org.apache.hadoop.fs.Path(ckptDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.listStatus(p).nonEmpty, "no reliable checkpoint data written")
+      val leftover = fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("graft_cc_"))
+      assert(leftover.isEmpty, s"leaked round files: ${leftover.mkString(",")}")
     } finally {
       // unset so other tests in this shared session keep the local path
       spark.sparkContext.setCheckpointDir(null)

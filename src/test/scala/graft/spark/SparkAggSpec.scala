@@ -229,6 +229,48 @@ class SparkAggSpec extends AnyFunSuite {
     grouped.unpersist()
   }
 
+  test("Misra-Gries end-to-end in Spark: native agg, bounds, SQL, unwrap fns") {
+    import spark.implicits._
+    import graft.spark.catalyst.{mgAgg, GraftExtensions}
+    // heavy key "grep" (30k of 50k) + 40 light keys, spread over 7
+    // partitions so the PODS-2012 merge runs in Spark's final stage
+    val rows = (0 until 20000).map(i => s"tool-${i % 40}") ++
+      (0 until 30000).map(_ => "grep")
+    val df = rows.toDF("k").repartition(7).cache()
+    val n = df.count()
+    val blob = df.agg(mgAgg(8)($"k")).head.getAs[Array[Byte]](0)
+    val mg = graft.core.SketchCodec.decodeMg(blob)
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val thresh = n / 9
+    assert(mg.processedCount === n)
+    assert(mg.decrementTotal <= thresh, s"err bound ${mg.decrementTotal} > $thresh")
+    exact.foreach { case (key, f) =>
+      assert(mg.estimate(key) <= f, s"$key overcounted")
+      assert(f - mg.estimate(key) <= mg.decrementTotal, s"$key outside realized bound")
+      if (f > thresh) assert(mg.estimate(key) > 0, s"heavy $key missing")
+    }
+    // unwrap fns: heavy hitters relation + realized bound; null-safe
+    val hh = Seq(Tuple1(blob)).toDF("s")
+      .select(explode(gf.mgHeavyHitters($"s")).as("e"))
+      .select($"e._1".as("key"), $"e._2".as("est")).collect()
+    assert(hh.nonEmpty && hh.head.getString(0) === "grep",
+      "entries must lead with the heaviest key")
+    assert(Seq(Tuple1(blob)).toDF("s").select(gf.mgErrorBound($"s")).head.getLong(0)
+      === mg.decrementTotal)
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("s")
+      .select(gf.mgHeavyHitters($"s")).head.isNullAt(0))
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("s")
+      .select(gf.mgErrorBound($"s")).head.isNullAt(0))
+    // SQL surface
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("mg_v")
+    val sqlBlob = spark.sql("SELECT graft_mg_agg(8, k) FROM mg_v").head.getAs[Array[Byte]](0)
+    val mg2 = graft.core.SketchCodec.decodeMg(sqlBlob)
+    assert(mg2.processedCount === n && mg2.decrementTotal <= thresh)
+    assert(mg2.estimate("grep") > 0)
+    df.unpersist()
+  }
+
   test("sketch_describe renders every sketch type; null-safe; SQL-registered") {
     import spark.implicits._
     import graft.spark.catalyst._
@@ -240,10 +282,11 @@ class SparkAggSpec extends AnyFunSuite {
       tdigestAggNative($"v").as("td"),
       kllAggNative($"v").as("kll"),
       thetaAggNative($"k").as("theta"),
-      bottomKSampleAgg(16)($"k").as("bk")).head
-    val descs = (0 until 7).map(i =>
+      bottomKSampleAgg(16)($"k").as("bk"),
+      mgAgg(8)($"k").as("mg")).head
+    val descs = (0 until 8).map(i =>
       graft.core.SketchCodec.describe(blobs.getAs[Array[Byte]](i)))
-    val expected = Seq("Bloom", "HLL", "CMS", "TDigest", "KLL", "Theta", "BottomK")
+    val expected = Seq("Bloom", "HLL", "CMS", "TDigest", "KLL", "Theta", "BottomK", "MGSketch")
     descs.zip(expected).foreach { case (d, e) =>
       assert(d.contains(e), s"describe '$d' does not name $e") }
     // column fn null-safe + SQL name; corrupt blobs render a diagnostic
