@@ -280,6 +280,26 @@ object VectorPipeline {
     ivfAssign(corpus, book).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(path)
 
+  /** INCREMENTAL index maintenance: assign a new vector batch with the
+    * SAME codebook the index was built with and append it into the
+    * partitioned layout — at corpus scale an index is never built once,
+    * it accretes. Append is directory-level (new files land inside the
+    * existing centroid_id=... partitions), so probes see old + new rows
+    * with the same pruning, and the result is value-identical to having
+    * built the index over the union in one pass (the assignment is a
+    * deterministic pure function of (vector, codebook)). Re-training the
+    * codebook requires a REBUILD — mixing codebooks mixes routing. */
+  def appendToIvfIndex(batch: DataFrame, book: DataFrame, path: String): Unit =
+    ivfAssign(batch, book).write.partitionBy("centroid_id")
+      .mode("append").parquet(path)
+
+  /** Quantized twin of [[appendToIvfIndex]] (IVF-SQ8 layout). */
+  def appendToIvfIndexQuantized(batch: DataFrame, book: DataFrame, path: String): Unit =
+    ivfAssign(batch, book)
+      .select(col("vec_id"), graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"),
+        col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+
   /** The IVF-SQ8 composition — the production index shape at corpus
     * scale: inverted-list layout (partition pruning reads only probed
     * lists) AND int8-quantized vectors (each list 4× smaller on disk

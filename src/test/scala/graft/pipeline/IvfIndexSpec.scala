@@ -52,6 +52,35 @@ class IvfIndexSpec extends AnyFunSuite {
     book.unpersist(); emb.unpersist()
   }
 
+  test("incremental append: accreted index == index built in one pass") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+    val oncePath = "/tmp/graft_test_ivf_once"
+    val accrPath = "/tmp/graft_test_ivf_accreted"
+    VectorPipeline.writeIvfIndex(emb, book, oncePath)
+    // build over the first half, append the second half in two batches
+    VectorPipeline.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), book, accrPath)
+    VectorPipeline.appendToIvfIndex(
+      emb.filter(col("vec_id") % 4 === 1), book, accrPath)
+    VectorPipeline.appendToIvfIndex(
+      emb.filter(col("vec_id") % 4 === 3), book, accrPath)
+    // same rows on disk...
+    val once = spark.read.parquet(oncePath)
+      .select(col("vec_id"), col("centroid_id"))
+    val accr = spark.read.parquet(accrPath)
+      .select(col("vec_id"), col("centroid_id"))
+    assert(once.exceptAll(accr).isEmpty && accr.exceptAll(once).isEmpty,
+      "accreted index rows differ from the one-pass build")
+    // ...and identical query results through the pruned probe path
+    val a = VectorPipeline.ivfTopKFromIndex(spark, oncePath, book, queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    val b = VectorPipeline.ivfTopKFromIndex(spark, accrPath, book, queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    book.unpersist(); emb.unpersist()
+  }
+
   test("IVF-SQ8: quantized index keeps recall and the 4x payload saving") {
     val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
     val queries = emb.filter(col("vec_id") < 20)
