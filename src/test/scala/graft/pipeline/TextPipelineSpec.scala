@@ -178,6 +178,10 @@ class TextPipelineSpec extends AnyFunSuite {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val leftover = fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("graft_cc_"))
       assert(leftover.isEmpty, s"leaked round files: ${leftover.mkString(",")}")
+      // empty input through the reliable path (empty-DataFrame parquet
+      // round-trips are where schema inference dies if unhandled)
+      assert(TextPipeline.dedupClusters(
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
     } finally {
       // unset so other tests in this shared session keep the local path
       spark.sparkContext.setCheckpointDir(null)
