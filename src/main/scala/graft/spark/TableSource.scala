@@ -34,6 +34,37 @@ final class CatalogSource(prefix: String) extends TableSource {
   override def toString: String = s"CatalogSource($prefix)"
 }
 
+/** Newline-delimited JSON dirs (one per table) — the append-log shape
+  * transcript ingestion actually arrives in. `schemas` pins each
+  * table's schema: at corpus scale schema INFERENCE is a full extra
+  * pass over the data and silently widens types (an int64 turn_idx
+  * inferred from a small sample can come back as double), so reads of
+  * a pinned table fail fast on drift instead of inferring around it;
+  * unpinned tables fall back to inference for exploration. */
+final class JsonDirSource(dir: String,
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+  extends TableSource {
+  override def table(spark: SparkSession, name: String): DataFrame = {
+    val reader = spark.read
+    schemas.get(name).fold(reader)(reader.schema).json(s"$dir/$name.json")
+  }
+  override def toString: String = s"JsonDirSource($dir)"
+}
+
+/** CSV dirs with headers; same pinned-schema discipline as
+  * [[JsonDirSource]] (CSV inference is even weaker — everything is a
+  * string without it). */
+final class CsvDirSource(dir: String,
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+  extends TableSource {
+  override def table(spark: SparkSession, name: String): DataFrame = {
+    val reader = spark.read.option("header", "true")
+    schemas.get(name).fold(reader.option("inferSchema", "true"))(reader.schema)
+      .csv(s"$dir/$name.csv")
+  }
+  override def toString: String = s"CsvDirSource($dir)"
+}
+
 object TableSource {
   /** The convention every (spark, sfDir) entry point uses today. */
   def parquetDir(dir: String): TableSource = new ParquetDirSource(dir)

@@ -88,4 +88,30 @@ class TranscriptsSpec extends AnyFunSuite {
       assert(viaCatalog.getLong(0) > 0)
     } finally spark.catalog.dropTempView("documents")
   }
+
+  test("JsonDirSource / CsvDirSource read the same rows with pinned schemas") {
+    // the append-log ingestion formats: export the documents table to
+    // ndjson + csv, read back through the seam with the PINNED parquet
+    // schema (no inference pass), and the dedup aggregation must agree
+    val base = s"/tmp/graft_srcfmt_${java.util.UUID.randomUUID()}"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    try {
+      docs.coalesce(1).write.json(s"$base/documents.json")
+      docs.coalesce(1).write.option("header", "true").csv(s"$base/documents.csv")
+      val pinned = Map("documents" -> docs.schema)
+      val expected = docs
+        .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("d")).head
+      for (src <- Seq(new JsonDirSource(base, pinned), new CsvDirSource(base, pinned))) {
+        val got = graft.pipeline.TextPipeline.documents(spark, src)
+          .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("d")).head
+        assert(got === expected, s"$src disagrees with parquet")
+        // the pinned schema came through (no silent type widening)
+        assert(src.table(spark, "documents").schema("doc_id").dataType
+          === docs.schema("doc_id").dataType, s"$src widened doc_id")
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
