@@ -140,6 +140,20 @@ class SparseCodecSpec extends AnyFunSuite {
       val bulk = SketchCodec.encodeHll(hllOf(0 until n))
       assert(java.util.Arrays.equals(t1, t2) && java.util.Arrays.equals(t1, bulk),
         s"trial $trial (n=$n, parts=${parts.map(_.length)}) produced diverging bytes")
+
+      // CMS twin (its merge ADDS counts, so the parts are disjoint by
+      // construction here and any tree over them sums to the bulk state)
+      def mergeCmsTree(ps: Seq[Range]): CMSSketch =
+        if (ps.size == 1) cmsOf(ps.head)
+        else {
+          val split = 1 + rnd.nextInt(ps.size - 1)
+          mergeCmsTree(ps.take(split)).mergeInPlace(mergeCmsTree(ps.drop(split)))
+        }
+      val c1 = SketchCodec.encodeCms(mergeCmsTree(rnd.shuffle(parts)))
+      val c2 = SketchCodec.encodeCms(mergeCmsTree(rnd.shuffle(parts)))
+      val cBulk = SketchCodec.encodeCms(cmsOf(0 until n))
+      assert(java.util.Arrays.equals(c1, c2) && java.util.Arrays.equals(c1, cBulk),
+        s"trial $trial CMS (n=$n) produced diverging bytes")
     }
   }
 
