@@ -277,8 +277,34 @@ object VectorPipeline {
     * filter. Write path is the shuffle-free [[ivfAssign]] projection +
     * one partitioned write. */
   def writeIvfIndex(corpus: DataFrame, book: DataFrame, path: String): Unit =
-    ivfAssign(corpus, book).write.partitionBy("centroid_id")
+    floatIndexRows(corpus, book).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(path)
+
+  /** The two index payload layouts share ONE projection definition each,
+    * so write and append can never drift apart. */
+  private def floatIndexRows(corpus: DataFrame, book: DataFrame): DataFrame =
+    ivfAssign(corpus, book)
+  private def quantizedIndexRows(corpus: DataFrame, book: DataFrame): DataFrame =
+    ivfAssign(corpus, book)
+      .select(col("vec_id"), graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"),
+        col("centroid_id"))
+
+  /** Parquet append performs NO schema validation — appending the float
+    * layout into a quantized index (or vice versa) would poison the
+    * directory with mixed footers and fail (or silently drop rows) only
+    * at read time. Guard: the appended rows' columns must match what is
+    * already on disk. */
+  private def requireSameIndexLayout(spark: SparkSession, path: String,
+      rows: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      val existing = spark.read.parquet(path).schema.fieldNames.toSet
+      val incoming = rows.schema.fieldNames.toSet
+      require(existing == incoming,
+        s"index layout mismatch at $path: on-disk columns $existing vs " +
+          s"appended $incoming — float and quantized indexes cannot mix")
+    }
+  }
 
   /** INCREMENTAL index maintenance: assign a new vector batch with the
     * SAME codebook the index was built with and append it into the
@@ -288,17 +314,20 @@ object VectorPipeline {
     * with the same pruning, and the result is value-identical to having
     * built the index over the union in one pass (the assignment is a
     * deterministic pure function of (vector, codebook)). Re-training the
-    * codebook requires a REBUILD — mixing codebooks mixes routing. */
-  def appendToIvfIndex(batch: DataFrame, book: DataFrame, path: String): Unit =
-    ivfAssign(batch, book).write.partitionBy("centroid_id")
-      .mode("append").parquet(path)
+    * codebook requires a REBUILD — mixing codebooks mixes routing;
+    * mixing LAYOUTS (float vs quantized) is rejected up front. */
+  def appendToIvfIndex(batch: DataFrame, book: DataFrame, path: String): Unit = {
+    val rows = floatIndexRows(batch, book)
+    requireSameIndexLayout(batch.sparkSession, path, rows)
+    rows.write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
 
   /** Quantized twin of [[appendToIvfIndex]] (IVF-SQ8 layout). */
-  def appendToIvfIndexQuantized(batch: DataFrame, book: DataFrame, path: String): Unit =
-    ivfAssign(batch, book)
-      .select(col("vec_id"), graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"),
-        col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("append").parquet(path)
+  def appendToIvfIndexQuantized(batch: DataFrame, book: DataFrame, path: String): Unit = {
+    val rows = quantizedIndexRows(batch, book)
+    requireSameIndexLayout(batch.sparkSession, path, rows)
+    rows.write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
 
   /** The IVF-SQ8 composition — the production index shape at corpus
     * scale: inverted-list layout (partition pruning reads only probed
@@ -307,10 +336,8 @@ object VectorPipeline {
     * (bit-identical routing to [[writeIvfIndex]]); only the stored
     * payload is quantized. */
   def writeIvfIndexQuantized(corpus: DataFrame, book: DataFrame, path: String): Unit =
-    ivfAssign(corpus, book)
-      .select(col("vec_id"), graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"),
-        col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    quantizedIndexRows(corpus, book).write.partitionBy("centroid_id")
+      .mode("overwrite").parquet(path)
 
   /** Top-k against a quantized index ([[writeIvfIndexQuantized]]):
     * centroid routing on the float query against the float codebook

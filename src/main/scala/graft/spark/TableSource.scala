@@ -46,20 +46,34 @@ final class JsonDirSource(dir: String,
   extends TableSource {
   override def table(spark: SparkSession, name: String): DataFrame = {
     val reader = spark.read
-    schemas.get(name).fold(reader)(reader.schema).json(s"$dir/$name.json")
+    schemas.get(name)
+      // FAILFAST delivers the fail-on-drift contract: Spark's default
+      // PERMISSIVE mode would silently null drifted fields/rows instead
+      .fold(reader)(sc => reader.schema(sc).option("mode", "FAILFAST"))
+      .json(s"$dir/$name.json")
   }
   override def toString: String = s"JsonDirSource($dir)"
 }
 
 /** CSV dirs with headers; same pinned-schema discipline as
   * [[JsonDirSource]] (CSV inference is even weaker — everything is a
-  * string without it). */
+  * string without it). `multiLine` is on: transcript/document text
+  * embeds newlines, which the CSV writer quotes — the default
+  * line-split reader would shred those records. `enforceSchema=false`
+  * makes Spark VALIDATE the header against the pinned schema instead
+  * of binding columns positionally (column-order drift fails instead
+  * of silently misbinding). */
 final class CsvDirSource(dir: String,
     schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
   extends TableSource {
   override def table(spark: SparkSession, name: String): DataFrame = {
-    val reader = spark.read.option("header", "true")
-    schemas.get(name).fold(reader.option("inferSchema", "true"))(reader.schema)
+    val reader = spark.read.option("header", "true").option("multiLine", "true")
+    schemas.get(name)
+      .fold(reader.option("inferSchema", "true")) { sc =>
+        reader.schema(sc)
+          .option("mode", "FAILFAST")
+          .option("enforceSchema", "false")
+      }
       .csv(s"$dir/$name.csv")
   }
   override def toString: String = s"CsvDirSource($dir)"

@@ -78,6 +78,25 @@ class IvfIndexSpec extends AnyFunSuite {
     val b = VectorPipeline.ivfTopKFromIndex(spark, accrPath, book, queries, 10, 8)
       .select(col("q_id"), col("n_id"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // quantized twin: same accretion identity on the SQ8 layout
+    val q8Once = "/tmp/graft_test_ivf_q8_once"
+    val q8Accr = "/tmp/graft_test_ivf_q8_accreted"
+    VectorPipeline.writeIvfIndexQuantized(emb, book, q8Once)
+    VectorPipeline.writeIvfIndexQuantized(emb.filter(col("vec_id") % 2 === 0), book, q8Accr)
+    VectorPipeline.appendToIvfIndexQuantized(
+      emb.filter(col("vec_id") % 2 === 1), book, q8Accr)
+    val qa = spark.read.parquet(q8Once).select(col("vec_id"), col("qe"), col("centroid_id"))
+    val qb = spark.read.parquet(q8Accr).select(col("vec_id"), col("qe"), col("centroid_id"))
+    assert(qa.exceptAll(qb).isEmpty && qb.exceptAll(qa).isEmpty,
+      "accreted quantized index differs from the one-pass build")
+
+    // LAYOUT MIXING is rejected up front (parquet append would not
+    // validate; a mixed directory fails only at read time)
+    intercept[IllegalArgumentException](
+      VectorPipeline.appendToIvfIndex(emb, book, q8Accr))
+    intercept[IllegalArgumentException](
+      VectorPipeline.appendToIvfIndexQuantized(emb, book, accrPath))
     book.unpersist(); emb.unpersist()
   }
 

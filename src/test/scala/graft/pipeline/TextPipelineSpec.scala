@@ -176,12 +176,15 @@ class TextPipelineSpec extends AnyFunSuite {
       // (setCheckpointDir itself pre-creates a UUID subdir — ignore it)
       val p = new org.apache.hadoop.fs.Path(ckptDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // empty input through the reliable path (empty-DataFrame parquet
+      // round-trips are where schema inference dies if unhandled);
+      // runs BEFORE the leak assertion so an empty-path leak is caught
+      val empty = TextPipeline.dedupClusters(
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      assert(empty.count() === 0L)
+      empty.unpersist() // the documented caller-unpersists contract
       val leftover = fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("graft_cc_"))
       assert(leftover.isEmpty, s"leaked round files: ${leftover.mkString(",")}")
-      // empty input through the reliable path (empty-DataFrame parquet
-      // round-trips are where schema inference dies if unhandled)
-      assert(TextPipeline.dedupClusters(
-        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
     } finally {
       // unset so other tests in this shared session keep the local path
       spark.sparkContext.setCheckpointDir(null)
