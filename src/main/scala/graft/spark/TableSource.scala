@@ -59,7 +59,9 @@ final class JsonDirSource(dir: String,
   * [[JsonDirSource]] (CSV inference is even weaker — everything is a
   * string without it). `multiLine` is on: transcript/document text
   * embeds newlines, which the CSV writer quotes — the default
-  * line-split reader would shred those records. `enforceSchema=false`
+  * line-split reader would shred those records (note the trade:
+  * multiLine files are read whole, so parallelism is per FILE — keep
+  * ingestion files bounded in size). `enforceSchema=false`
   * makes Spark VALIDATE the header against the pinned schema instead
   * of binding columns positionally (column-order drift fails instead
   * of silently misbinding). */
