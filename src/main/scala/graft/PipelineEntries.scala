@@ -337,8 +337,11 @@ object PipelineEntries {
     // directory-level partition pruning, not a post-scan filter). Gates:
     // the index path's full candidate relation is value-identical to the
     // in-memory q17 path; the executed scan carries the centroid_id
-    // PartitionFilters; and the same two recall floors hold. File-count
-    // pruning metrics are pinned in IvfIndexSpec.
+    // PartitionFilters; the same two recall floors hold; and the probes
+    // route with the index's OWN persisted `_codebook` sidecar (no
+    // codebook argument anywhere on the read path — round-4 lifecycle
+    // closure: a retrained-codebook append/probe throws, IvfIndexSpec).
+    // File-count pruning metrics are pinned in IvfIndexSpec.
     "q42_ann_ivf_index" -> ((s, dir) => {
       import s.implicits._
       val emb = VectorPipeline.embeddings(s, dir).cache()
@@ -352,8 +355,14 @@ object PipelineEntries {
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
         .select(col("q_id"), col("n_id")).cache()
       val nq = queries.count()
+      // NO `book` argument: routing reads the persisted codebook and
+      // fingerprint-verifies it — the round-trip gate below pins that
+      // the sidecar decodes to the exact codebook the build used
+      val codebookRoundtrip = VectorPipeline.codebookFingerprint(
+        VectorPipeline.readIvfCodebook(s, ixPath)) ==
+        VectorPipeline.codebookFingerprint(book)
       val scored = VectorPipeline
-        .ivfScoredCandidatesFromIndex(s, ixPath, book, queries, 12).cache()
+        .ivfScoredCandidatesFromIndex(s, ixPath, queries, 12).cache()
       val memScored = VectorPipeline.ivfScoredCandidates(
         VectorPipeline.ivfAssign(emb, book), book, queries, 12)
       val equiv = scored.exceptAll(memScored).isEmpty &&
@@ -371,19 +380,21 @@ object PipelineEntries {
       val r8 = recallAt(8)
       val r12 = recallAt(12)
       scored.unpersist(); bf.unpersist(); book.unpersist(); emb.unpersist()
-      Seq((nq, r8 >= 0.70, r12 >= 0.90, equiv, pruned))
+      Seq((nq, r8 >= 0.70, r12 >= 0.90, equiv, pruned, codebookRoundtrip))
         .toDF("n_queries", "recall8_ok", "recall12_ok",
-          "matches_memory_path", "scan_partition_pruned")
+          "matches_memory_path", "scan_partition_pruned", "codebook_roundtrip")
       } finally deleteTmpDir(s, ixPath)
     }),
 
     // INT8-quantized ANN: the 100 TB storage/IO path — embeddings stored
     // as 1-byte-per-dimension QuantizeI8 blobs (per-vector scale cancels
     // in cosine, so no scale column exists at all). Gates: recall@10 of
-    // the quantized scoring scan vs the float brute-force baseline, and
-    // the on-disk parquet footprint of the quantized column at least
-    // 2.5× under the float column (4× logical, compression-dependent on
-    // disk — measured 3.7× on this data, with recall 0.98).
+    // the quantized scoring scan vs the float brute-force baseline
+    // (≥0.90 one-stage), the TWO-STAGE path (int8 candidates → exact
+    // float re-rank of top-4k) restoring ≥0.99, and the on-disk parquet
+    // footprint of the quantized column at least 2.5× under the float
+    // column (4× logical, compression-dependent on disk — measured 3.7×
+    // on this data, with one-stage recall 0.98).
     "q44_ann_quantized" -> ((s, dir) => {
       import s.implicits._
       val emb = VectorPipeline.embeddings(s, dir).cache()
@@ -391,9 +402,16 @@ object PipelineEntries {
       val nq = queries.count()
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
         .select(col("q_id"), col("n_id")).cache()
-      val qbf = VectorPipeline.bruteForceTopKQuantized(emb, queries, 10)
+      // ONE int8 scoring pass serves both stages: the one-stage top-10
+      // and the two-stage candidate set are ranked slices of it
+      val scoredI8 = VectorPipeline.bruteForceScoredQuantized(emb, queries).cache()
+      val qbf = VectorPipeline.topKFromScored(scoredI8, 10)
         .select(col("q_id"), col("n_id"))
       val recall = bf.join(qbf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      val rr = VectorPipeline.rerankTopK(scoredI8, emb, queries, 10, 40)
+        .select(col("q_id"), col("n_id"))
+      val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      scoredI8.unpersist()
       // honest storage ratio: both columns written as parquet
       def dirBytes(p: String): Long = {
         val path = new org.apache.hadoop.fs.Path(p)
@@ -411,8 +429,8 @@ object PipelineEntries {
         dirBytes(s"$base/f32").toDouble / math.max(dirBytes(s"$base/i8"), 1L)
       } finally deleteTmpDir(s, base)
       bf.unpersist(); emb.unpersist()
-      Seq((nq, recall >= 0.90, ratio >= 2.5))
-        .toDF("n_queries", "recall_ok", "storage_4x_ok")
+      Seq((nq, recall >= 0.90, recallRerank >= 0.99, ratio >= 2.5))
+        .toDF("n_queries", "recall_ok", "recall_rerank_ok", "storage_4x_ok")
     }),
 
     // Language ID heuristic: ONE UDF evaluation per row (the determinism
@@ -755,10 +773,12 @@ object PipelineEntries {
     "q42_ann_ivf_index" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall8_ok, " +
         "true AS recall12_ok, true AS matches_memory_path, " +
-        "true AS scan_partition_pruned FROM embeddings WHERE vec_id < 20"),
+        "true AS scan_partition_pruned, true AS codebook_roundtrip " +
+        "FROM embeddings WHERE vec_id < 20"),
     "q44_ann_quantized" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok, " +
-        "true AS storage_4x_ok FROM embeddings WHERE vec_id < 20"),
+        "true AS recall_rerank_ok, true AS storage_4x_ok " +
+        "FROM embeddings WHERE vec_id < 20"),
     "q18_lang_id" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_classified " +
         "FROM documents GROUP BY lang ORDER BY lang"),

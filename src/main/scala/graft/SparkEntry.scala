@@ -553,7 +553,7 @@ object SparkEntry {
     // HIGH-GROUP-CARDINALITY sketch table — the 100 TB shape where the
     // shuffle cost is per-GROUP blob size, not input size: one HLL + one
     // CMS per conversation (thousands of tiny groups, vs 3 roles in q07).
-    // The canonical sparse codec (SketchCodec v2, SparseCodecSpec) must
+    // The canonical sparse codec (SketchCodec v3, SparseCodecSpec) must
     // kick in for every group: a 30-turn conversation encodes its HLL in
     // ~a hundred bytes instead of the 16 KiB dense register file, and its
     // tool-frequency CMS in ~1 KiB instead of the ~109 KiB dense grid —

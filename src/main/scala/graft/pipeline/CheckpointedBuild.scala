@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *   (the rest of the per-shard family: distinct convs, tool frequencies,
   *   set-algebra cardinality), popcount, element estimate,
   *   input_fingerprint (order-independent XOR of row hashes — detects a
-  *   changed input on resume), run_id, built_at_ms.
+  *   changed input on resume), num_shards (the routing contract — resume
+  *   and probe validate against it), run_id, built_at_ms.
   * NOTE: the checkpoint row schema is the resume contract — adding or
   * removing a sketch column is not compatible with checkpoints written by
   * an older build (start a fresh checkpointDir when it changes).
@@ -26,9 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object CheckpointedBuild {
 
+  /** Default shard count. The shard count SIZES the build (per-shard
+    * capacity, reducer fan-out, resume granularity): 256 fits the test
+    * SFs, while BENCH.md's 10^12-turn sizing wants 65,536 — so it is a
+    * `run` parameter, recorded in every checkpoint row (`num_shards`),
+    * and resume/probe validate against the recorded value instead of
+    * trusting the caller (a mismatched shard count would route probes
+    * and resume-skips to the WRONG shards silently). */
   val NumShards = 256
 
-  private def shardCol = pmod(xxhash64(col("conv_id")), lit(NumShards)).as("shard")
+  private def shardExpr(numShards: Int) =
+    pmod(xxhash64(col("conv_id")), lit(numShards.toLong))
+
+  /** The shard count the checkpoint was built with (its routing
+    * contract). Fails fast on a pre-contract checkpoint or a dir mixing
+    * shard counts (parquet Append cannot reject the latter itself). */
+  def checkpointNumShards(spark: SparkSession, checkpointDir: String): Int = {
+    val schema = spark.read.parquet(checkpointDir).schema
+    require(schema.fieldNames.contains("num_shards"),
+      s"checkpoint at $checkpointDir predates the recorded-shard-count " +
+        "contract (no num_shards column) — start a fresh checkpointDir")
+    val counts = spark.read.parquet(checkpointDir)
+      .select(col("num_shards")).distinct().collect().map(_.getInt(0)).sorted
+    require(counts.length == 1,
+      s"checkpoint at $checkpointDir mixes shard counts ${counts.mkString(",")} " +
+        "— it was appended to with different num_shards values and cannot be trusted")
+    counts.head
+  }
 
   /** Checkpoint existence via the Hadoop FileSystem API, not java.io.File:
     * SketchBuildJob is a spark-submit entry, so checkpointDir may be an
@@ -42,30 +67,40 @@ object CheckpointedBuild {
   /** One run: builds every shard not already in the checkpoint; returns
     * (newly built shards, total shards done after this run). */
   def run(spark: SparkSession, transcripts: DataFrame, checkpointDir: String,
-      capacity: Long, fpp: Double, runId: String): (Long, Long) = {
-    val capPerShard = math.max(1000L, capacity / NumShards)
+      capacity: Long, fpp: Double, runId: String,
+      numShards: Int = NumShards): (Long, Long) = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val capPerShard = math.max(1000L, capacity / numShards)
 
-    // fail fast on a pre-family-schema checkpoint: parquet Append never
+    // fail fast on a pre-family-schema checkpoint (parquet Append never
     // validates schemas, and mixed footers make later reads either throw
-    // or silently drop the old shards' family columns
+    // or silently drop the old shards' family columns) and on a shard
+    // count differing from the one the checkpoint was built with (resume
+    // would then skip/probe the WRONG shards with no error anywhere)
     if (checkpointExists(spark, checkpointDir)) {
       val existing = spark.read.parquet(checkpointDir).schema.fieldNames.toSet
       require(Seq("hll", "cms", "theta").forall(existing.contains),
         s"checkpoint at $checkpointDir predates the per-shard sketch family " +
           "(no hll/cms/theta columns) — start a fresh checkpointDir")
+      val recorded = checkpointNumShards(spark, checkpointDir)
+      require(recorded == numShards,
+        s"checkpoint at $checkpointDir was built with num_shards=$recorded " +
+          s"but this run requested $numShards — resume with the recorded " +
+          "count or start a fresh checkpointDir")
     }
 
     val done: Set[Long] = doneShards(spark, checkpointDir)
     val remaining = transcripts
-      .withColumn("shard", pmod(xxhash64(col("conv_id")), lit(NumShards)))
+      .withColumn("shard", shardExpr(numShards))
       .filter(!col("shard").isInCollection(if (done.isEmpty) Seq(-1L) else done.toSeq))
 
     val t0 = System.currentTimeMillis()
-    val popcountUdf = udf((b: Array[Byte]) => {
+    // one decode per shard blob for BOTH metrics (popcount feeds the
+    // element estimate anyway — two UDFs would decode each blob twice)
+    val metricsUdf = udf((b: Array[Byte]) => {
       val s = SketchCodec.decodeBloom(b)
-      s.bits.countOnes
+      (s.bits.countOnes, s.approximateElementCount)
     })
-    val estUdf = udf((b: Array[Byte]) => SketchCodec.decodeBloom(b).approximateElementCount)
 
     val built = remaining
       .repartition(col("shard"))
@@ -78,8 +113,11 @@ object CheckpointedBuild {
         count(lit(1)).as("input_rows"),
         // order-independent input fingerprint: XOR of per-row key hashes
         expr("bit_xor(xxhash64(conv_id, turn_idx))").as("input_fingerprint"))
-      .withColumn("popcount", popcountUdf(col("sketch")))
-      .withColumn("element_estimate", estUdf(col("sketch")))
+      .withColumn("__m", metricsUdf(col("sketch")))
+      .withColumn("popcount", col("__m._1"))
+      .withColumn("element_estimate", col("__m._2"))
+      .drop("__m")
+      .withColumn("num_shards", lit(numShards))
       .withColumn("run_id", lit(runId))
       .withColumn("built_at_ms", lit(t0))
 
@@ -139,14 +177,17 @@ object CheckpointedBuild {
     * the (conv_id, turn_idx, …) probe rows that might be contained. */
   def probeShards(spark: SparkSession, checkpointDir: String, probes: DataFrame,
       convId: org.apache.spark.sql.Column, turnIdx: org.apache.spark.sql.Column): DataFrame =
+    // shard count comes from the CHECKPOINT (its recorded routing
+    // contract), never from a caller argument that could drift from it
     probeShardTable(lineage(spark, checkpointDir).select(col("shard"), col("sketch")),
-      "shard", "sketch", NumShards, probes, convId, convId, turnIdx)
+      "shard", "sketch", checkpointNumShards(spark, checkpointDir),
+      probes, convId, convId, turnIdx)
 
   /** Verify the checkpoint against current input: recompute per-shard
     * (rows, fingerprint) and flag shards whose input changed since build. */
   def staleShards(spark: SparkSession, transcripts: DataFrame, checkpointDir: String): DataFrame = {
     val current = transcripts
-      .withColumn("shard", pmod(xxhash64(col("conv_id")), lit(NumShards)))
+      .withColumn("shard", shardExpr(checkpointNumShards(spark, checkpointDir)))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("rows_now"),
         expr("bit_xor(xxhash64(conv_id, turn_idx))").as("fp_now"))

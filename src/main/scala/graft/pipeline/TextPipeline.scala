@@ -323,10 +323,17 @@ object TextPipeline {
     * rounds then round-trip through MANAGED parquet files under that
     * dir (HDFS/S3-backed, survives executor loss) at the cost of one
     * distributed write per round, with round i−1's files deleted as
-    * round i lands and everything removed before returning — no
-    * checkpoint-file leak (a bare `Dataset.checkpoint()` leaks every
-    * round unless the non-default cleanCheckpoints conf plus a driver
-    * GC happens to fire).
+    * round i lands and everything removed on EVERY exit path — success,
+    * non-convergence throw, or a mid-round failure — no checkpoint-file
+    * leak (a bare `Dataset.checkpoint()` leaks every round unless the
+    * non-default cleanCheckpoints conf plus a driver GC happens to
+    * fire). Residual exposure even in reliable mode: the RETURNED frame
+    * is handed off through `localCheckpoint` (executor-local,
+    * non-replicated) and the final round's parquet is deleted before
+    * return, so an executor lost after return but before the caller
+    * consumes the result fails that job with no recompute path —
+    * durability holds per round, not across the handoff. A caller that
+    * needs a durable result writes it to its own storage first.
     *
     * Returns (doc_id, canonical_id) for every doc that appears in a
     * pair; canonical_id = the cluster's minimum doc_id. Docs with no
@@ -367,6 +374,10 @@ object TextPipeline {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // try/finally so the managed round files (and the edges cache) are
+    // released on EVERY exit path — the non-convergence throw and any
+    // mid-round failure included, not just successful convergence
+    try {
     var labels: DataFrame = materialize(
       edges.select(col("src").as("doc_id"))
         .distinct()
@@ -398,21 +409,24 @@ object TextPipeline {
       labels = updated.drop("__chg")
       iters += 1
     }
-    edges.unpersist()
     if (changed != 0) {
       throw new IllegalArgumentException(
         s"label propagation did not converge in $maxIters rounds")
     }
     // the returned frame is eagerly localCheckpoint-ed AND cached
     // (contract: caller unpersists): it must not depend on the final
-    // round's parquet file, which is deleted here — reliable mode leaves
-    // ZERO files behind. Local-mode round blocks are freed by the
-    // ContextCleaner once this method's references go out of scope.
+    // round's parquet file, which the finally below deletes — reliable
+    // mode leaves ZERO files behind. Local-mode round blocks are freed
+    // by the ContextCleaner once this method's references go out of
+    // scope.
     val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
       .localCheckpoint().cache()
     out.count()
-    reliableBase.foreach(deleteDir)
     out
+    } finally {
+      edges.unpersist()
+      reliableBase.foreach(deleteDir)
+    }
   }
 
   // ------------------------------------------------------------ language ID

@@ -52,16 +52,18 @@ object VectorPipeline {
     * the difference between an IO-bound and a compute-bound scoring
     * scan. Per-vector scales cancel in cosine, so nothing but the bytes
     * is stored; recall vs the float path is gated in q44. */
-  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKFromScored(bruteForceScoredQuantized(corpus, queries), k)
+
+  /** The int8 brute-force SCORED relation (q_id, n_id, cos) — shared by
+    * the one-stage top-k and the two-stage re-rank candidate generator. */
+  def bruteForceScoredQuantized(corpus: DataFrame, queries: DataFrame): DataFrame = {
     import graft.spark.catalyst.{cosineI8, quantizeI8}
     val qc = corpus.select(col("vec_id"), quantizeI8(col("embedding")).as("qe"))
     val qq = queries.select(col("vec_id").as("q_id"), quantizeI8(col("embedding")).as("q_qe"))
-    val scored = qc.crossJoin(broadcast(qq))
+    qc.crossJoin(broadcast(qq))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), cosineI8(col("q_qe"), col("qe")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Naive deterministic IVF codebook: the embeddings of the `ncentroids`
@@ -267,6 +269,81 @@ object VectorPipeline {
         cosine(col("q_emb"), col("embedding")).as("cos"), col("probe_rank"))
 
   // ------------------------------------------------- persisted IVF index
+  /** Deterministic 64-bit fingerprint of a codebook's logical content:
+    * (centroid_id, dim, float bit patterns) folded through xxHash64 in
+    * ascending-id order. The codebook IS the index's routing config —
+    * the analogue of the reference's BloomFilterConfig, whose merge
+    * discipline is refuse-on-mismatch (km_bloom_filter.rs:185–187) —
+    * so it gets the same identity treatment: persisted with the index,
+    * verified on every append and probe. Driver-side collect is fine:
+    * the codebook is tiny by construction. */
+  def codebookFingerprint(book: DataFrame): Long = {
+    val cents = book.select(col("centroid_id"), col("c_emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(cents.nonEmpty, "cannot fingerprint an empty codebook")
+    var h = 0x49564643L // 'IVFC'
+    cents.foreach { case (id, emb) =>
+      h = Hashing.xxHash64Long(id, h)
+      h = Hashing.xxHash64Long(emb.length.toLong, h)
+      emb.foreach { f =>
+        h = Hashing.xxHash64Long(
+          java.lang.Float.floatToIntBits(f).toLong & 0xFFFFFFFFL, h)
+      }
+    }
+    h
+  }
+
+  /** The codebook sidecar lives INSIDE the index directory (`_codebook`
+    * — the underscore prefix keeps every Spark read of the index data
+    * from listing it), so index + routing config move/replicate as one
+    * unit and can never drift apart. Written LAST: a half-finished index
+    * write leaves no sidecar, so probes fail fast instead of reading a
+    * torn index. Rows carry the fingerprint as a column; readers verify
+    * recomputed-vs-stored to catch a corrupt or hand-edited sidecar. */
+  private def writeCodebookSidecar(book: DataFrame, indexPath: String): Unit = {
+    val fp = codebookFingerprint(book)
+    book.select(col("centroid_id"), col("c_emb"))
+      .withColumn("__fingerprint", lit(fp))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/_codebook")
+  }
+
+  /** Read (and integrity-verify) the codebook an index was built with —
+    * the read path needs NO separate codebook argument. */
+  def readIvfCodebook(spark: SparkSession, indexPath: String): DataFrame = {
+    val sidecar = new org.apache.hadoop.fs.Path(s"$indexPath/_codebook")
+    require(sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sidecar),
+      s"no _codebook sidecar at $indexPath — either the index write did not " +
+        "complete or the index predates codebook persistence; rebuild with writeIvfIndex")
+    // explicit reads of an underscore-prefixed dir succeed (the filter
+    // only hides it from PARENT-dir listings) but log a cosmetic
+    // "All paths were ignored" WARN — expected, same trick as
+    // _spark_metadata/_delta_log
+    val raw = spark.read.parquet(s"$indexPath/_codebook")
+    val stored = raw.select(col("__fingerprint")).distinct().collect().map(_.getLong(0))
+    require(stored.length == 1, s"codebook sidecar at $indexPath carries " +
+      s"${stored.length} fingerprints — corrupt sidecar")
+    val book = raw.select(col("centroid_id"), col("c_emb"))
+    require(codebookFingerprint(book) == stored.head,
+      s"codebook sidecar at $indexPath fails its own fingerprint — corrupt sidecar")
+    book
+  }
+
+  /** Refuse a codebook that is not the one the index was built with:
+    * appending rows assigned under a retrained codebook (or probing with
+    * one) silently mis-routes — recall degrades with no error anywhere.
+    * This was the one silent-corruption path in the library; now it
+    * throws at the door like every other config mismatch. */
+  private def requireCodebookMatch(spark: SparkSession, indexPath: String,
+      book: DataFrame): Unit = {
+    val stored = readIvfCodebook(spark, indexPath)
+    require(codebookFingerprint(book) == codebookFingerprint(stored),
+      s"codebook mismatch against index at $indexPath: the supplied codebook " +
+        "is not the one the index was built with — re-training the codebook " +
+        "requires a REBUILD (mixing codebooks mixes routing). Probe without " +
+        "a codebook argument to use the index's own persisted codebook.")
+  }
+
   /** Write the IVF index in the INVERTED-LIST layout: the assigned corpus
     * partitioned by centroid_id on storage. This is what makes "scan only
     * nprobe/ncentroids of the corpus" literally true at 100 TB — a query
@@ -275,10 +352,13 @@ object VectorPipeline {
     * inverted lists are never read from storage at all (directory-level
     * pruning), instead of being scanned and discarded by a post-scan
     * filter. Write path is the shuffle-free [[ivfAssign]] projection +
-    * one partitioned write. */
-  def writeIvfIndex(corpus: DataFrame, book: DataFrame, path: String): Unit =
+    * one partitioned write, then the `_codebook` sidecar (the routing
+    * config travels inside the index). */
+  def writeIvfIndex(corpus: DataFrame, book: DataFrame, path: String): Unit = {
     floatIndexRows(corpus, book).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(path)
+    writeCodebookSidecar(book, path)
+  }
 
   /** The two index payload layouts share ONE projection definition each,
     * so write and append can never drift apart. */
@@ -314,20 +394,33 @@ object VectorPipeline {
     * with the same pruning, and the result is value-identical to having
     * built the index over the union in one pass (the assignment is a
     * deterministic pure function of (vector, codebook)). Re-training the
-    * codebook requires a REBUILD — mixing codebooks mixes routing;
-    * mixing LAYOUTS (float vs quantized) is rejected up front. */
+    * codebook requires a REBUILD — the supplied codebook is fingerprint-
+    * verified against the index's persisted one, so a retrained-codebook
+    * append THROWS instead of silently corrupting routing; mixing
+    * LAYOUTS (float vs quantized) is likewise rejected up front. */
   def appendToIvfIndex(batch: DataFrame, book: DataFrame, path: String): Unit = {
+    requireCodebookMatch(batch.sparkSession, path, book)
     val rows = floatIndexRows(batch, book)
     requireSameIndexLayout(batch.sparkSession, path, rows)
     rows.write.partitionBy("centroid_id").mode("append").parquet(path)
   }
 
+  /** Append a batch using the index's OWN persisted codebook — the
+    * incremental-ingest shape with no codebook to pass (and nothing to
+    * get wrong). */
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit =
+    appendToIvfIndex(batch, readIvfCodebook(batch.sparkSession, path), path)
+
   /** Quantized twin of [[appendToIvfIndex]] (IVF-SQ8 layout). */
   def appendToIvfIndexQuantized(batch: DataFrame, book: DataFrame, path: String): Unit = {
+    requireCodebookMatch(batch.sparkSession, path, book)
     val rows = quantizedIndexRows(batch, book)
     requireSameIndexLayout(batch.sparkSession, path, rows)
     rows.write.partitionBy("centroid_id").mode("append").parquet(path)
   }
+
+  def appendToIvfIndexQuantized(batch: DataFrame, path: String): Unit =
+    appendToIvfIndexQuantized(batch, readIvfCodebook(batch.sparkSession, path), path)
 
   /** The IVF-SQ8 composition — the production index shape at corpus
     * scale: inverted-list layout (partition pruning reads only probed
@@ -335,30 +428,46 @@ object VectorPipeline {
     * and in the scoring scan). Assignment happens on the FLOAT vectors
     * (bit-identical routing to [[writeIvfIndex]]); only the stored
     * payload is quantized. */
-  def writeIvfIndexQuantized(corpus: DataFrame, book: DataFrame, path: String): Unit =
+  def writeIvfIndexQuantized(corpus: DataFrame, book: DataFrame, path: String): Unit = {
     quantizedIndexRows(corpus, book).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(path)
+    // the sidecar stores the FLOAT codebook — routing always runs on
+    // float centroids regardless of the list payload layout
+    writeCodebookSidecar(book, path)
+  }
 
-  /** Top-k against a quantized index ([[writeIvfIndexQuantized]]):
-    * centroid routing on the float query against the float codebook
-    * (same probes as every other path), candidate scoring with the
-    * integer-MAC [[graft.spark.catalyst.CosineSimI8]] over the pruned
-    * quantized lists. */
-  def ivfTopKFromIndexQuantized(spark: SparkSession, indexPath: String,
-      book: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  /** Scored int8 candidates against a quantized index: centroid routing
+    * on the float query against the float codebook (same probes as every
+    * other path), candidate scoring with the integer-MAC
+    * [[graft.spark.catalyst.CosineSimI8]] over the pruned quantized
+    * lists. Returns (q_id, n_id, cos, probe_rank). */
+  def ivfScoredCandidatesFromIndexQuantized(spark: SparkSession, indexPath: String,
+      book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
     import graft.spark.catalyst.{cosineI8, quantizeI8}
-    val probes = centroidProbes(book, queries, nprobe)
+    requireCodebookMatch(spark, indexPath, book)
+    val probes = centroidProbes(book, queries, maxProbe)
       .withColumn("q_qe", quantizeI8(col("q_emb"))).drop("q_emb")
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val lists = spark.read.parquet(indexPath)
       .filter(col("centroid_id").isin(probedIds.toSeq: _*))
-    val scored = broadcast(probes).join(lists, "centroid_id")
+    broadcast(probes).join(lists, "centroid_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosineI8(col("q_qe"), col("qe")).as("cos"), col("probe_rank"))
-    topKFromScored(scored, k)
   }
+
+  /** Top-k against a quantized index ([[writeIvfIndexQuantized]]). */
+  def ivfTopKFromIndexQuantized(spark: SparkSession, indexPath: String,
+      book: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    topKFromScored(
+      ivfScoredCandidatesFromIndexQuantized(spark, indexPath, book, queries, nprobe), k)
+
+  /** Same, routing with the index's OWN persisted codebook. */
+  def ivfTopKFromIndexQuantized(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfTopKFromIndexQuantized(spark, indexPath,
+      readIvfCodebook(spark, indexPath), queries, k, nprobe)
 
   /** Scored candidates against a WRITTEN index ([[writeIvfIndex]]):
     * identical semantics to [[ivfScoredCandidates]] (same probes, same
@@ -367,6 +476,7 @@ object VectorPipeline {
     * id pull is ≤ ncentroids values — constant-size, never corpus-bound. */
   def ivfScoredCandidatesFromIndex(spark: SparkSession, indexPath: String,
       book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
+    requireCodebookMatch(spark, indexPath, book)
     val probes = centroidProbes(book, queries, maxProbe)
     // probes is computed twice (id pull here + the join below) — it is
     // |queries|·maxProbe rows against a broadcast codebook, so the
@@ -379,17 +489,75 @@ object VectorPipeline {
     scoreProbedLists(probes, lists)
   }
 
+  /** Same, routing with the index's OWN persisted codebook — the read
+    * path needs no codebook argument at all (and cannot be handed a
+    * stale one). */
+  def ivfScoredCandidatesFromIndex(spark: SparkSession, indexPath: String,
+      queries: DataFrame, maxProbe: Int): DataFrame =
+    ivfScoredCandidatesFromIndex(spark, indexPath,
+      readIvfCodebook(spark, indexPath), queries, maxProbe)
+
   /** Top-k against a written index with partition-pruned scans. */
   def ivfTopKFromIndex(spark: SparkSession, indexPath: String, book: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame =
     topKFromScored(
       ivfScoredCandidatesFromIndex(spark, indexPath, book, queries, nprobe), k)
 
+  /** Same, routing with the index's own persisted codebook. */
+  def ivfTopKFromIndex(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    topKFromScored(ivfScoredCandidatesFromIndex(spark, indexPath, queries, nprobe), k)
+
   /** IVF top-k: probe the nprobe nearest centroids per query, scan only
     * those inverted lists. */
   def ivfTopK(assigned: DataFrame, book: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame =
     topKFromScored(ivfScoredCandidates(assigned, book, queries, nprobe), k)
+
+  // ------------------------------------------- two-stage quantized search
+  /** EXACT float re-rank of an int8-scored candidate relation — stage
+    * two of the standard quantized search: the 1 B/dim scan generates
+    * top-C candidates per query (C = `candidates`), then ONLY those C
+    * rows are re-scored with [[cosine]] on their float vectors and
+    * ranked to top-k. Restores the float path's recall (q44 gates ≥0.99
+    * vs 0.90 for the int8-only ranking) for negligible extra IO: the
+    * re-rank reads C·dim floats per query — at 10^9 vectors and C=40,
+    * five orders of magnitude below re-scanning the corpus in float.
+    *
+    * The candidate set (|queries|·C rows of ids) is broadcast against
+    * ONE (vec_id, embedding) projection of the float corpus — a
+    * broadcast semi-join at scan speed, with column pruning keeping
+    * everything but the two needed columns out of the read. */
+  def rerankTopK(scoredI8: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, candidates: Int): DataFrame = {
+    val cand = topKFromScored(scoredI8, candidates)
+      .select(col("q_id"), col("n_id"))
+    val qe = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rescored = corpus.select(col("vec_id").as("n_id"), col("embedding"))
+      .join(broadcast(cand), "n_id")
+      .join(broadcast(qe), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    topKFromScored(rescored, k)
+  }
+
+  /** Brute-force two-stage: int8 scan → top-(candMult·k) → float
+    * re-rank → top-k. */
+  def bruteForceTopKQuantizedReranked(corpus: DataFrame, queries: DataFrame,
+      k: Int, candMult: Int = 4): DataFrame =
+    rerankTopK(bruteForceScoredQuantized(corpus, queries), corpus, queries,
+      k, candMult * k)
+
+  /** IVF-SQ8 two-stage: pruned quantized lists generate candidates, the
+    * float corpus re-ranks them — the production 100 TB query shape
+    * (quantized index for the scan, primary float store for the tail). */
+  def ivfTopKFromIndexQuantizedReranked(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      candMult: Int = 4): DataFrame =
+    rerankTopK(
+      ivfScoredCandidatesFromIndexQuantized(spark, indexPath,
+        readIvfCodebook(spark, indexPath), queries, nprobe),
+      corpus, queries, k, candMult * k)
 
   /** Rank a scored candidate relation to per-query top-k. */
   def topKFromScored(scored: DataFrame, k: Int): DataFrame = {

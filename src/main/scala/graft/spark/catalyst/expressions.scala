@@ -171,15 +171,25 @@ case class BloomSketchAgg(
   *     caller supplies a cheap long CACHE KEY that functionally
   *     determines the blob (the shard id — one filter per shard by
   *     construction). Decode happens once per distinct key per task;
-  *     bounded, cleared wholesale (a shuffle join co-partitions big
-  *     shard tables, so a task sees few distinct keys).
+  *     bounded by decoded bytes with LRU eviction (a shuffle join
+  *     co-partitions big shard tables, so a task sees few distinct
+  *     keys; a working set slightly over budget evicts only its
+  *     coldest entries instead of thrashing the whole memo).
   */
-final class BloomProbeHelper(expectedHasherId: Byte = 0) extends Serializable {
+final class BloomProbeHelper(expectedHasherId: Byte = 0,
+    keyedBudgetBytes: Long = BloomProbeHelper.DefaultKeyedBudget) extends Serializable {
   @transient private[this] var cachedBlob: Array[Byte] = _
   @transient private[this] var cachedSketch: KMBloomSketch = _
-  @transient private[this] var keyed: java.util.HashMap[java.lang.Long, KMBloomSketch] = _
+  @transient private[this] var keyed: java.util.LinkedHashMap[java.lang.Long, BloomProbeHelper.Entry] = _
+
+  /** Decode invocations — test instrumentation for the eviction policy
+    * (a shard's blob must not be re-decoded per row batch when the
+    * working set is marginally over budget). */
+  @transient private[this] var decodeCount: Long = 0L
+  def decodes: Long = decodeCount
 
   private def decode(blob: Array[Byte]): KMBloomSketch = {
+    decodeCount += 1
     require(SketchCodec.bloomKeyMode(blob) == SketchCodec.KeyMode.RowHash,
       "sketch was built with byte keys; probe it with graft.spark.functions")
     val sk = SketchCodec.decodeBloom(blob).asInstanceOf[KMBloomSketch]
@@ -205,22 +215,35 @@ final class BloomProbeHelper(expectedHasherId: Byte = 0) extends Serializable {
   // orders of magnitude (a broadcastable shard table is hundreds of
   // ~KB filters — cache them ALL, an entry cap would thrash; a manually
   // broadcast big table could be hundreds of ~27 MB filters — bytes
-  // must bound it)
+  // must bound it). Eviction is LRU (access-ordered LinkedHashMap), one
+  // entry at a time: a working set 1.2× the budget re-decodes only the
+  // overflow tail per pass, where a wholesale clear re-decoded EVERY
+  // shard per row batch (KeyedLruSpec pins ≤2 decodes per shard there).
   @transient private[this] var keyedBytes: Long = 0L
-  private final val KeyedBudget = 256L << 20
 
   def probeKeyed(key: Long, blob: Array[Byte], h1: Long, h2: Long): Boolean = {
     if (blob == null) return false
-    if (keyed == null) keyed = new java.util.HashMap
-    var s = keyed.get(key)
-    if (s == null) {
-      s = decode(blob)
-      if (keyedBytes + blob.length > KeyedBudget) { keyed.clear(); keyedBytes = 0L }
-      keyed.put(key, s)
-      keyedBytes += blob.length
+    if (keyed == null) keyed = new java.util.LinkedHashMap(16, 0.75f, true)
+    var e = keyed.get(key)
+    if (e == null) {
+      e = new BloomProbeHelper.Entry(decode(blob), blob.length.toLong)
+      // evict coldest-first until the NEW entry fits (always admit it —
+      // a single blob over budget still has to be probed)
+      val it = keyed.entrySet().iterator()
+      while (keyedBytes + e.bytes > keyedBudgetBytes && it.hasNext) {
+        keyedBytes -= it.next().getValue.bytes
+        it.remove()
+      }
+      keyed.put(key, e)
+      keyedBytes += e.bytes
     }
-    s.mightContainHashes(h1, h2)
+    e.sketch.mightContainHashes(h1, h2)
   }
+}
+
+object BloomProbeHelper {
+  final val DefaultKeyedBudget: Long = 256L << 20
+  private[catalyst] final class Entry(val sketch: KMBloomSketch, val bytes: Long)
 }
 
 /** Shared codegen for the probe expressions: emit per-key hashing of the

@@ -87,4 +87,44 @@ class CheckpointSpec extends AnyFunSuite {
       "resumed CMS diverged from one-shot build")
     t.unpersist()
   }
+
+  test("shard count is a parameter: non-default count builds and probes; mismatch fails fast") {
+    val t = Transcripts.load(spark, sf).cache()
+    val n = t.count()
+    val cap = math.max(n, 1000L)
+
+    // build at TWO different shard counts — the final merged sketch is
+    // shard-count-independent (union associativity), and each checkpoint
+    // is self-describing
+    val blobs = Seq(16, 64).map { shards =>
+      val dir = Files.createTempDirectory("graft_ckpt_sc").toString + "/ckpt"
+      val (_, total) = CheckpointedBuild.run(spark, t, dir, cap, 0.001, "r", shards)
+      assert(total <= shards, s"more shard rows than shards at $shards")
+      assert(CheckpointedBuild.checkpointNumShards(spark, dir) == shards)
+
+      // probe routing reads the recorded count: zero false negatives
+      val fin = CheckpointedBuild.probeShards(spark, dir, t,
+        col("conv_id"), col("turn_idx")).count()
+      assert(fin == n, s"probeShards lost keys at numShards=$shards")
+
+      // resuming with a DIFFERENT shard count must fail fast, not
+      // silently mis-route the skip filter
+      val ex = intercept[IllegalArgumentException] {
+        CheckpointedBuild.run(spark, t, dir, cap, 0.001, "r2", shards * 2)
+      }
+      assert(ex.getMessage.contains("num_shards"))
+
+      SketchCodec.encodeBloom(CheckpointedBuild.finalSketch(spark, dir),
+        SketchCodec.KeyMode.RowHash)
+    }
+    // same capacity, same keys ⇒ per-shard configs derive from capacity/
+    // numShards, so the GLOBAL merged filters differ in m — but both must
+    // contain every key (the invariant that matters across resharding)
+    blobs.foreach { b =>
+      val contains = t.filter(bloomMightContainNative(lit(b),
+        col("conv_id"), col("turn_idx"))).count()
+      assert(contains == n)
+    }
+    t.unpersist()
+  }
 }
