@@ -119,23 +119,22 @@ object TextPipeline {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"), col("nb"))
 
   // ------------------------------------------------------------- MinHash
-  val MinhashRows = 3 // rows per band
-  val MinhashBands = 42 // bands → 126 hashes; P(candidate | j=0.5) ≈ 0.996
+  val MinhashRows: Int = graft.spark.catalyst.MinhashBandKernel.Rows
+  val MinhashBands: Int = graft.spark.catalyst.MinhashBandKernel.Bands
 
   /** One pass per doc: 126 minhash minima folded straight into 42 band
-    * keys — no signature column ever leaves the map side. The hash family
+    * keys — no signature column ever leaves the map side. Production
+    * path is the NATIVE MinhashBandKeys expression (UTF8String bytes in,
+    * primitive longs out, inside whole-stage codegen); this per-row
+    * Scala reference stays as the INDEPENDENT implementation the parity
+    * spec pins the expression against (java.lang.String decode path —
+    * shares no Catalyst plumbing with the expression). The hash family
     * is Kirsch–Mitzenmacher style (the same trick that sizes the Bloom
     * probes): g_i = h1 + i·h2 over (xxHash64, Murmur3-128 low64), so each
     * shingle costs two real hashes + 126 multiply-adds instead of 126
     * full hash passes (~4x on the sf0.1 corpus; h2 forced odd so i ↦ g_i
     * is a bijection mod 2^64 and the minima stay well distributed). */
-  private val bandKeysUdf = udf { (sh: Seq[String]) =>
-    if (sh == null || sh.isEmpty) null // no shingles ⇒ no minima: emitting
-    // keys would bucket every short doc with every other one in all bands
-    else bandKeysOf(sh)
-  }
-
-  private def bandKeysOf(sh: Seq[String]): Array[Long] = {
+  private[graft] def bandKeysOf(sh: Seq[String]): Array[Long] = {
     val mins = new Array[Long](MinhashRows * MinhashBands)
     java.util.Arrays.fill(mins, Long.MaxValue)
     sh.foreach { s =>
@@ -173,7 +172,8 @@ object TextPipeline {
     * work is the dominant map-side cost on both). */
   def minhashCandidatesFromShingled(shingled: DataFrame): DataFrame = {
     val bands = shingled
-      .select(col("doc_id"), posexplode_outer(bandKeysUdf(col("__sh"))).as(Seq("band", "bkey")))
+      .select(col("doc_id"),
+        posexplode_outer(graft.spark.catalyst.minhashBandKeys(col("__sh"))).as(Seq("band", "bkey")))
       .filter(col("bkey").isNotNull)
       // shuffle-hash, not broadcast: identical children make the second
       // Exchange a ReusedExchange, so the shingle+minhash pipeline runs

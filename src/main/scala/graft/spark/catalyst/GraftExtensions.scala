@@ -12,7 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *
   * SQL forms (sizing arguments are foldable literals):
   *   graft_bloom_agg(capacity, fpp, key...)            → binary sketch
+  *   graft_bloom_agg_pair(pair, capacity, fpp, key...) → binary sketch
+  *     (pair = registered hash-pair name or id: 'xx64+murmur3_64',
+  *      'xx64+fnv1a64', 'fnv1a64+murmur3_64', 'xx64(0)+xx64(seeded)')
   *   graft_bloom_might_contain(sketch, key...)         → boolean
+  *   graft_bloom_might_contain_pair(pair, sketch, key...) → boolean
   *   graft_hll_agg(key...)                             → binary sketch
   *   graft_cms_agg(eps, delta, key...)                 → binary sketch
   *   graft_cms_estimate(sketch, key...)                → bigint
@@ -57,12 +61,47 @@ object GraftExtensions {
     }
   }
 
+  /** Resolve a registered KM hash pair from a SQL literal: its name
+    * (string) or stable id (integer) — the SQL twin of the Scala-side
+    * `bloomAggNativePair(…, pair)` injection. */
+  private def lit2Pair(e: Expression, what: String): graft.core.RegisteredKMHashPair = {
+    require(e.foldable, s"$what must be a literal hash-pair name or id")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val name = s.toString
+        graft.core.KMHashPair.registered.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"$what: unknown hash pair '$name' — " +
+            s"registered: ${graft.core.KMHashPair.registered.map(_.name).mkString(", ")}"))
+      case v: Int => graft.core.KMHashPair.byId(v.toByte)
+      case v: Long => graft.core.KMHashPair.byId(v.toByte)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal hash-pair name or id, got $other")
+    }
+  }
+
   private[catalyst] val builders: Seq[(String, (String, Seq[Expression] => Expression))] = Seq(
     "graft_bloom_agg" -> ("graft_bloom_agg(capacity, fpp, key...) - mergeable KM Bloom sketch",
       (args: Seq[Expression]) => {
         require(args.length >= 3, "graft_bloom_agg(capacity, fpp, key...)")
         BloomSketchAgg(args.drop(2), lit2Long(args(0), "capacity"), lit2Double(args(1), "fpp"))
           .toAggregateExpression()
+      }),
+    "graft_bloom_agg_pair" ->
+      ("graft_bloom_agg_pair(pair, capacity, fpp, key...) - KM Bloom sketch with an " +
+        "injected registered hash pair (the reference's KMBloomFilter<H1,H2> genericity in SQL)",
+      (args: Seq[Expression]) => {
+        require(args.length >= 4, "graft_bloom_agg_pair(pair, capacity, fpp, key...)")
+        BloomSketchAgg(args.drop(3), lit2Long(args(1), "capacity"),
+          lit2Double(args(2), "fpp"), lit2Pair(args(0), "graft_bloom_agg_pair pair").id)
+          .toAggregateExpression()
+      }),
+    "graft_bloom_might_contain_pair" ->
+      ("graft_bloom_might_contain_pair(pair, sketch, key...) - pair-aware membership probe " +
+        "(the blob's pair id is verified at decode; a mismatched probe fails fast)",
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "graft_bloom_might_contain_pair(pair, sketch, key...)")
+        BloomMightContain(args(1), args.drop(2),
+          lit2Pair(args(0), "graft_bloom_might_contain_pair pair").id)
       }),
     "graft_bloom_might_contain" -> ("graft_bloom_might_contain(sketch, key...) - membership probe",
       (args: Seq[Expression]) => {

@@ -64,6 +64,11 @@ package object catalyst {
   def cosineI8(a: Column, b: Column): Column =
     B.column(CosineSimI8(B.expression(a), B.expression(b)))
 
+  /** 42 MinHash band keys of a shingle array (codegen'd; the map-side
+    * signature step of LSH near-dup — see MinhashBandKeys). */
+  def minhashBandKeys(shingles: Column): Column =
+    B.column(MinhashBandKeys(B.expression(shingles)))
+
   private def registeredId(pair: graft.core.KMHashPair): Byte = {
     require(pair.id >= 0,
       s"hash pair '$pair' is not registered — only KMHashPair.registered " +

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.core.{KMBloomSketch, SketchCodec}
 import graft.spark.catalyst._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
@@ -24,12 +24,23 @@ import org.apache.spark.sql.Row
   */
 object StreamingSketch {
 
-  /** Windowed per-tool HLL + Bloom + theta over a transcript stream.
+  /** Per-window MG keeps few entries so the state row stays small; k=4
+    * over conv_id forces real decrements at test scale, making the
+    * theorem gates non-trivial. */
+  val WindowedMgK = 4
+
+  /** Windowed per-tool sketch family over a transcript stream: HLL +
+    * Bloom + theta (bit-exact merges) AND t-digest + KLL + Misra–Gries
+    * (order-dependent merges, gated bound-level per window in q33) —
+    * a user gets per-window p50/p95s and heavy conversations straight
+    * from the state store.
     * NOTE: the aggregation buffer schema is part of the streaming state
     * schema — adding/removing a sketch column here is NOT
     * checkpoint-compatible with queries started on an older version
     * (Spark fails the restart with StateSchemaNotCompatible; plan a
-    * fresh checkpoint dir when changing the column set). */
+    * fresh checkpoint dir when changing the column set — the round-4
+    * quantile/MG additions are exactly such a break vs round-3
+    * checkpoints). */
   def windowedSketches(stream: DataFrame, watermark: String = "1 hour",
       window_ : String = "6 hours", capacity: Long = 100000L): DataFrame = {
     stream
@@ -43,6 +54,9 @@ object StreamingSketch {
         // downstream with thetaIntersect/thetaDifference ("convs active
         // in BOTH windows / NEW this window"), which HLL state cannot
         thetaAggNative(col("conv_id")).as("theta_convs"),
+        tdigestAggNative(col("turn_idx").cast("double")).as("tdigest_turns"),
+        kllAggNative(col("turn_idx").cast("double")).as("kll_turns"),
+        mgAgg(WindowedMgK)(col("conv_id")).as("mg_convs"),
         count(lit(1)).as("n_turns"))
   }
 
@@ -236,13 +250,96 @@ object StreamingSketch {
         blobEq(col("b.theta_convs"), col("s.theta_convs")), 1L).otherwise(0L)),
         lit(0L)).as("n_equal")).head
     val windowedEq = winRow.getLong(0) > 0 && winRow.getLong(0) == winRow.getLong(1)
-    spark.catalog.dropTempView(sinkName) // memory sink hygiene (winRow is materialized)
+
+    // ---- per-window bound-level gates for the ORDER-DEPENDENT state
+    // columns (t-digest/KLL/MG merge trees differ between batch and
+    // stream, so bit-equality is the wrong gate; the published bounds
+    // are the contract). The stream state's per-(window, tool) summaries
+    // decode on the driver — bounded: windows × tools is small by the
+    // gate's construction — then ONE broadcast join + grouped
+    // conditional aggregation verifies every group against the exact
+    // distribution (join-shaped, no per-group driver loops).
+    val stateRows = streamWin.select(col("window.start").as("ws"), col("tool"),
+      col("tdigest_turns"), col("kll_turns"), col("mg_convs")).collect()
+    val qEst = stateRows.toSeq.map { r =>
+      val td = SketchCodec.decodeTDigest(r.getAs[Array[Byte]]("tdigest_turns"))
+      val kll = SketchCodec.decodeKll(r.getAs[Array[Byte]]("kll_turns"))
+      (r.getTimestamp(0), r.getString(1), td.quantile(0.5), td.quantile(0.95),
+        kll.quantile(0.5), kll.quantile(0.95), 3 * kll.normalizedRankError)
+    }.toDF("ws", "tool", "td50", "td95", "k50", "k95", "keps")
+    val base = transcripts
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
+      .withColumn("ws", window(col("ts_utc"), "6 hours").getField("start"))
+      .withColumn("x", col("turn_idx").cast("double"))
+    // tie-aware rank interval per estimate: rank(< v)/n ≤ q + ε and
+    // rank(≤ v)/n ≥ q − ε (same criterion as the global gate above).
+    // t-digest additionally INTERPOLATES between adjacent centroid
+    // means, and turn_idx is an integer column whose per-(window, tool)
+    // group spans only ~15 distinct values — each tie block is ~6% of
+    // the group's mass, so an interpolated 4.97 sits a whole tie block
+    // below the exact median 5. The honest tie-aware form for an
+    // integral column rank-checks the estimate's enclosing integer
+    // bracket [floor(v), ceil(v)] (what a user of integer data reads
+    // off the estimate); KLL returns a retained DATA value, so it gets
+    // the plain check.
+    def ranks(v: String, lo: Column => Column, hi: Column => Column) = Seq(
+      sum(when(col("x") < lo(col(v)), 1L).otherwise(0L)).as(s"lt_$v"),
+      sum(when(col("x") <= hi(col(v)), 1L).otherwise(0L)).as(s"le_$v"))
+    val perWin = base.join(broadcast(qEst), Seq("ws", "tool"))
+      .groupBy(col("ws"), col("tool"))
+      .agg(count(lit(1)).as("wn"),
+        (Seq("td50", "td95").flatMap(ranks(_, floor, ceil)) ++
+          Seq("k50", "k95").flatMap(ranks(_, identity, identity)) :+
+          first(col("keps")).as("keps")): _*)
+    def rankOkCol(v: String, q: Double, eps: Column) =
+      (col(s"lt_$v") / col("wn") <= lit(q) + eps) &&
+        (col(s"le_$v") / col("wn") >= lit(q) - eps)
+    // ...and one rank position (1/n) of slack: on a 14-row group ranks
+    // quantize in steps of 0.071, so no estimate can pin q=0.95 within
+    // a fixed 2% — interpolation is accurate to one order statistic
+    val tdEps = lit(0.02) + lit(1.0) / col("wn")
+    val qBad = perWin.filter(!(
+      rankOkCol("td50", 0.5, tdEps) && rankOkCol("td95", 0.95, tdEps) &&
+      rankOkCol("k50", 0.5, col("keps")) && rankOkCol("k95", 0.95, col("keps")))).count()
+    val winQuantilesOk = stateRows.nonEmpty && qBad == 0
+
+    // per-window MG: all three theorems vs the exact (window, tool,
+    // conv_id) counts — undercount-only, error ≤ decrementTotal ≤
+    // N/(k+1), total recall of every conv with frequency > N/(k+1)
+    val mgDecoded = stateRows.toSeq.map { r =>
+      (r.getTimestamp(0), r.getString(1), SketchCodec.decodeMg(r.getAs[Array[Byte]]("mg_convs")))
+    }
+    val mgMeta = mgDecoded.map { case (ws, tool, mg) =>
+      (ws, tool, mg.decrementTotal, mg.k)
+    }.toDF("ws", "tool", "bound", "mgk")
+    val mgEnt = mgDecoded.flatMap { case (ws, tool, mg) =>
+      mg.entries.map(e =>
+        (ws, tool, new String(e._1, java.nio.charset.StandardCharsets.UTF_8), e._2))
+    }.toDF("ws", "tool", "conv_id", "est")
+    val exactCnt = base.groupBy(col("ws"), col("tool"), col("conv_id"))
+      .agg(count(lit(1)).as("f"))
+    val ng = exactCnt.groupBy(col("ws"), col("tool")).agg(sum(col("f")).as("ng"))
+    val mgViol = exactCnt
+      .join(broadcast(mgEnt), Seq("ws", "tool", "conv_id"), "full_outer")
+      .join(broadcast(mgMeta), Seq("ws", "tool"))
+      .join(ng, Seq("ws", "tool"))
+      .withColumn("f0", coalesce(col("f"), lit(0L)))
+      .withColumn("e0", coalesce(col("est"), lit(0L)))
+      .filter(col("e0") > col("f0") || // overcount — MG never overcounts
+        col("f0") - col("e0") > col("bound") || // error beyond the realized bound
+        col("bound") > col("ng") / (col("mgk") + 1) || // bound beyond N/(k+1)
+        (col("f0") > col("ng") / (col("mgk") + 1) && col("est").isNull)) // heavy conv missed
+      .count()
+    val winMgOk = mgDecoded.nonEmpty && mgViol == 0
+
+    spark.catalog.dropTempView(sinkName) // memory sink hygiene (all uses materialized)
 
     Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"),
-        eq(thetaState, "th"), eq(bkState, "bk"), tdOk, kllOk, mgOk, windowedEq))
+        eq(thetaState, "th"), eq(bkState, "bk"), tdOk, kllOk, mgOk, windowedEq,
+        winQuantilesOk, winMgOk))
       .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq",
         "inc_theta_eq", "inc_bottomk_eq", "inc_tdigest_ok", "inc_kll_ok",
-        "inc_mg_ok", "windowed_eq")
+        "inc_mg_ok", "windowed_eq", "win_quantiles_ok", "win_mg_ok")
   }
 
   /** Input row for the per-conversation stateful operator. */

@@ -182,6 +182,57 @@ class SparkAggSpec extends AnyFunSuite {
     assert(fps <= 10L, s"disjoint keys matched $fps times at fpp=0.001 over 4000 probes")
   }
 
+  test("graft_bloom_agg_pair on the SQL surface: q34's three pairs end-to-end") {
+    import spark.implicits._
+    import graft.spark.catalyst.GraftExtensions
+    GraftExtensions.register(spark)
+    val n = 4000L
+    (0 until n.toInt).map(i => (s"c-${i % 97}", i))
+      .toDF("conv_id", "turn_idx").createOrReplaceTempView("pair_rows")
+    // the same three non-default pairs q34 runs through the Scala
+    // surface (reference KMBloomFilter<H1,H2> sweep, integration.rs)
+    val pairNames = Seq("xx64+fnv1a64", "fnv1a64+murmur3_64", "xx64(0)+xx64(seeded)")
+    pairNames.foreach { p =>
+      spark.sql(
+        s"""SELECT graft_bloom_agg_pair('$p', 4000, CAST(0.001 AS DOUBLE),
+           |  conv_id, turn_idx) AS sk FROM pair_rows""".stripMargin)
+        .createOrReplaceTempView("pair_sk")
+      val hits = spark.sql(
+        s"""SELECT COUNT(*) FROM pair_rows
+           |WHERE graft_bloom_might_contain_pair('$p',
+           |  (SELECT sk FROM pair_sk), conv_id, turn_idx)""".stripMargin)
+        .head.getLong(0)
+      assert(hits === n, s"pair '$p' lost inserted keys via SQL — false negative!")
+      val fps = spark.sql(
+        s"""SELECT COUNT(*) FROM pair_rows
+           |WHERE graft_bloom_might_contain_pair('$p',
+           |  (SELECT sk FROM pair_sk), conv_id, turn_idx + 1000000)""".stripMargin)
+        .head.getLong(0)
+      assert(fps <= 10L, s"pair '$p': $fps disjoint-key FPs at fpp=0.001 over $n probes")
+      // probing with the WRONG pair must fail fast at the decode boundary
+      val ex = intercept[Exception](spark.sql(
+        s"""SELECT COUNT(*) FROM pair_rows
+           |WHERE graft_bloom_might_contain_pair('xx64+murmur3_64',
+           |  (SELECT sk FROM pair_sk), conv_id, turn_idx)""".stripMargin).head)
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("hash pair")),
+        s"cross-pair SQL probe should fail on the pair id, got: ${messages(ex)}")
+    }
+    // pair-by-id form resolves the same registered pair as the name
+    val byId = spark.sql(
+      """SELECT COUNT(*) FROM pair_rows
+        |WHERE graft_bloom_might_contain_pair(1,
+        |  (SELECT graft_bloom_agg_pair(1, 4000, CAST(0.001 AS DOUBLE), conv_id, turn_idx)
+        |   FROM pair_rows), conv_id, turn_idx)""".stripMargin).head.getLong(0)
+    assert(byId === n)
+    // an unregistered name fails at ANALYSIS time with the registry list
+    val bad = intercept[Exception](spark.sql(
+      "SELECT graft_bloom_agg_pair('nope', 10, CAST(0.001 AS DOUBLE), conv_id) FROM pair_rows"))
+    assert(bad.getMessage.contains("unknown hash pair") ||
+      Option(bad.getCause).exists(_.getMessage.contains("unknown hash pair")))
+  }
+
   test("bloomProbe as filter predicate: semi-join reduction keeps exactly the hits") {
     import spark.implicits._
     val build = (0 until 5000).map(i => s"id-$i").toDF("k")
