@@ -386,6 +386,48 @@ object PipelineEntries {
       } finally deleteTmpDir(s, ixPath)
     }),
 
+    // DISTRIBUTED codebook training (round 4): spherical k-means whose
+    // sample never reaches the driver and whose float-addition order is
+    // pinned (fixed internal layout + ordered partial fold), so the
+    // result is bit-deterministic at ANY parallelism — trainedCodebook's
+    // driver-Lloyd guarantee without its sampleN ≈ 2048 ceiling. Gates:
+    // (a) bit-determinism across a reshuffled input; (b) k=64 routing
+    // recall well above the probed fraction at two depths (random
+    // pruning ⇒ recall ≈ nprobe/64; floors from BENCH.md's measured
+    // 0.755/0.905); (c) the codebook drives the persisted-index path
+    // end-to-end (write → sidecar → book-free probe).
+    "q46_codebook_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      val queries = emb.filter(col("vec_id") < 20)
+      val nq = queries.count()
+      val book = VectorPipeline.trainedCodebookDistributed(emb, 64,
+        sampleN = 1 << 15, iters = 10).cache()
+      val book2 = VectorPipeline.trainedCodebookDistributed(
+        emb.repartition(7, col("vec_id") % 3), 64, sampleN = 1 << 15, iters = 10)
+      val deterministic = VectorPipeline.codebookFingerprint(book) ==
+        VectorPipeline.codebookFingerprint(book2)
+      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+        .select(col("q_id"), col("n_id")).cache()
+      val ixPath = s"/tmp/graft_q46_ivf_index_${java.util.UUID.randomUUID()}"
+      try {
+        VectorPipeline.writeIvfIndex(emb, book, ixPath)
+        val scored = VectorPipeline
+          .ivfScoredCandidatesFromIndex(s, ixPath, queries, 32).cache()
+        def recallAt(nprobe: Int): Double = {
+          val ivf = VectorPipeline
+            .topKFromScored(scored.filter(col("probe_rank") <= nprobe), 10)
+            .select(col("q_id"), col("n_id"))
+          bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+        }
+        val r16 = recallAt(16)
+        val r32 = recallAt(32)
+        scored.unpersist(); bf.unpersist(); book.unpersist(); emb.unpersist()
+        Seq((nq, deterministic, r16 >= 0.65, r32 >= 0.85))
+          .toDF("n_queries", "deterministic", "recall16_ok", "recall32_ok")
+      } finally deleteTmpDir(s, ixPath)
+    }),
+
     // INT8-quantized ANN: the 100 TB storage/IO path — embeddings stored
     // as 1-byte-per-dimension QuantizeI8 blobs (per-vector scale cancels
     // in cosine, so no scale column exists at all). Gates: recall@10 of
@@ -779,6 +821,9 @@ object PipelineEntries {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok, " +
         "true AS recall_rerank_ok, true AS storage_4x_ok " +
         "FROM embeddings WHERE vec_id < 20"),
+    "q46_codebook_distributed" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS deterministic, " +
+        "true AS recall16_ok, true AS recall32_ok FROM embeddings WHERE vec_id < 20"),
     "q18_lang_id" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_classified " +
         "FROM documents GROUP BY lang ORDER BY lang"),

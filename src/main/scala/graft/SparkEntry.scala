@@ -526,6 +526,11 @@ object SparkEntry {
     // frequency > N/(k+1). The sketch state crosses Spark's partial/final
     // merge (PODS 2012 mergeable-summaries rule), so the gates also prove
     // the distributed merge. n_heavy is DuckDB-recomputed exactly.
+    // JOIN-SHAPED gate (round 4): only the ≤ k sketch ENTRIES reach the
+    // driver (they are the query's deliverable); the exact per-tool
+    // counts stay distributed and meet the entries in one broadcast
+    // full-outer join + boolean aggregation — the same pattern as q36's
+    // rank gate, so the gate survives a high-cardinality key column.
     "q45_mg_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       import graft.spark.catalyst.mgAgg
@@ -534,19 +539,28 @@ object SparkEntry {
       val k = 8
       val blob = t.agg(mgAgg(k)(col("tool"))).head.getAs[Array[Byte]](0)
       val mg = SketchCodec.decodeMg(blob)
-      val exact = t.groupBy(col("tool")).agg(count(lit(1)).as("cnt")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      t.unpersist()
       val thresh = n / (k + 1)
-      val est = mg.entries
-        .map(e => new String(e._1, java.nio.charset.StandardCharsets.UTF_8) -> e._2)
-        .toMap
-      val heavy = exact.filter(_._2 > thresh)
-      val recallOk = heavy.keys.forall(est.contains)
-      val underOk = est.forall { case (key, e) => e <= exact.getOrElse(key, 0L) }
-      val errOk = mg.decrementTotal <= thresh &&
-        exact.forall { case (key, f) => f - est.getOrElse(key, 0L) <= mg.decrementTotal }
-      Seq((n, heavy.size.toLong, recallOk, underOk, errOk))
+      val entries = mg.entries
+        .map(e => (new String(e._1, java.nio.charset.StandardCharsets.UTF_8), e._2))
+        .toSeq.toDF("tool", "est")
+      val gates = t.groupBy(col("tool")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(entries), Seq("tool"), "full_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("f"),
+          col("est"), coalesce(col("est"), lit(0L)).as("e0"))
+        .agg(
+          coalesce(sum(when(col("f") > thresh, 1L).otherwise(0L)), lit(0L)).as("n_heavy"),
+          coalesce(sum(when(col("f") > thresh && col("est").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("heavy_missed"),
+          coalesce(sum(when(col("e0") > col("f"), 1L).otherwise(0L)), lit(0L))
+            .as("overcounts"),
+          coalesce(sum(when(col("f") - col("e0") > mg.decrementTotal, 1L).otherwise(0L)),
+            lit(0L)).as("err_violations"))
+        .head
+      t.unpersist()
+      Seq((n, gates.getAs[Long]("n_heavy"),
+          gates.getAs[Long]("heavy_missed") == 0L,
+          gates.getAs[Long]("overcounts") == 0L,
+          mg.decrementTotal <= thresh && gates.getAs[Long]("err_violations") == 0L))
         .toDF("n_turns", "n_heavy", "heavy_recall_ok", "undercount_ok", "err_bound_ok")
     }),
 

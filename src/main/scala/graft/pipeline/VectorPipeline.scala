@@ -138,6 +138,110 @@ object VectorPipeline {
       .toSeq.toDF("centroid_id", "c_emb")
   }
 
+  /** Per-partition partial of the distributed k-means update step:
+    * normalized-vector sums + counts for the centroids this partition
+    * touched. Declared at object level so the Product encoder resolves. */
+  private[pipeline] case class CbPartial(part: Int, cid: Long, cnt: Long,
+      sums: Array[Double])
+
+  /** DISTRIBUTED deterministic spherical k-means — the codebook path
+    * past toy k ([[trainedCodebook]]'s driver-side Lloyd is deliberate
+    * and exact but caps at sampleN ≈ 2048; at ncentroids ≈ √n =
+    * 10⁴–10⁵ the sample must outgrow the driver loop). Zero RNG, and
+    * DETERMINISTIC AT ANY PARALLELISM — the property the driver-side
+    * version bought by collecting — via pinned float-addition order:
+    *   - sample: the `sampleN` non-zero vectors with smallest
+    *     (xxHash64(vec_id), vec_id) — the same seeded order rule as
+    *     [[trainedCodebook]], computed as a distributed top-k;
+    *   - layout: the sample is hash-repartitioned into a FIXED `parts`
+    *     count by vec_id and sorted within partitions, so partition
+    *     membership and iteration order are pure functions of the data,
+    *     not of the cluster size;
+    *   - update: assignment is one codegen'd [[ivfAssign]]-style
+    *     CosineArgmax projection (no shuffle); each partition folds its
+    *     rows' normalized vectors into per-centroid partial sums
+    *     (mapPartitions, sorted order) and only (parts × touched-k ×
+    *     dim) doubles reach the driver, which folds partials in
+    *     (centroid, partition) order — every float addition happens in
+    *     a reproducible sequence;
+    *   - init / empty-cluster rule: first `ncentroids` sample vectors
+    *     in hash order; an empty cluster keeps its centroid (same
+    *     rules as [[trainedCodebook]]).
+    * Driver memory is O(parts · k · dim) per iteration — at k = 10⁵,
+    * dim = 10³, parts = 64 that is the fold buffer, not the corpus.
+    * Returns (centroid_id, c_emb). */
+  def trainedCodebookDistributed(corpus: DataFrame, ncentroids: Int,
+      sampleN: Int = 1 << 17, iters: Int = 10, parts: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(ncentroids >= 1 && sampleN >= ncentroids,
+      s"need sampleN >= ncentroids, got $sampleN < $ncentroids")
+    val hashOrder = Seq(xxhash64(col("vec_id")), col("vec_id"))
+    val sample = corpus
+      .select(col("vec_id"), col("embedding"))
+      .filter(exists(col("embedding"), x => x =!= 0f)) // zero vectors have no direction
+      .orderBy(hashOrder: _*)
+      .limit(sampleN)
+      .repartition(parts, col("vec_id"))
+      .sortWithinPartitions(hashOrder: _*)
+      .cache()
+    val initRows = sample.orderBy(hashOrder: _*).limit(ncentroids).collect()
+    require(initRows.nonEmpty, "cannot train a codebook on an empty/all-zero corpus")
+    val k = math.min(ncentroids, initRows.length)
+    val dim = initRows.head.getSeq[Float](1).length
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    var cents: Array[Array[Double]] =
+      initRows.take(k).map(r => normalized(r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val ids = (0 until k).map(_.toLong)
+    for (_ <- 0 until iters) {
+      val centsF = cents.toSeq.map(_.toSeq.map(_.toFloat))
+      val partials = sample
+        .select(col("embedding"),
+          graft.spark.catalyst.cosineArgmaxNative(col("embedding"), ids, centsF).as("cid"))
+        .filter(col("cid").isNotNull)
+        .as[(Seq[Float], Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val cnts = new Array[Long](k)
+          it.foreach { case (emb, cid) =>
+            val c = cid.toInt
+            var nrm = 0.0d
+            var i = 0
+            while (i < dim) { val x = emb(i).toDouble; nrm += x * x; i += 1 }
+            nrm = math.sqrt(nrm)
+            i = 0
+            while (i < dim) { sums(c)(i) += emb(i).toDouble / nrm; i += 1 }
+            cnts(c) += 1
+          }
+          (0 until k).iterator.filter(cnts(_) > 0)
+            .map(c => CbPartial(pid, c.toLong, cnts(c), sums(c)))
+        }
+        .collect()
+      val byCid = partials.groupBy(_.cid)
+      cents = Array.tabulate(k) { c =>
+        byCid.get(c.toLong) match {
+          case Some(ps) =>
+            val acc = new Array[Double](dim)
+            ps.sortBy(_.part).foreach { p =>
+              var i = 0
+              while (i < dim) { acc(i) += p.sums(i); i += 1 }
+            }
+            val n = math.sqrt(acc.map(x => x * x).sum)
+            if (n > 0) acc.map(_ / n) else cents(c)
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    sample.unpersist()
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "c_emb")
+  }
+
   /** Assign every vector to its nearest centroid (write-time step).
     *
     * SHUFFLE-FREE: the codebook is by construction tiny (trainedCodebook

@@ -182,6 +182,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine_i8(a, b)")
         CosineSimI8(args(0), args(1))
+      }),
+    "graft_minhash_band_keys" ->
+      ("graft_minhash_band_keys(shingles) - 42 MinHash band keys of an array<string> " +
+        "(LSH near-dup signature step; null for empty input)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_minhash_band_keys(shingles)")
+        MinhashBandKeys(args.head)
       }))
 
   /** Runtime registration into an existing session (same builders the

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** trainedCodebookDistributed — the codebook path past toy k. Pins the
+  * three properties that justify it:
+  *   1. DETERMINISM at any parallelism: bit-identical output across
+  *      runs AND across input partitionings (the fold order is pinned
+  *      by the fixed internal layout, not inherited from the input);
+  *   2. routing quality at k = 64: recall@10 well above the probed
+  *      fraction (random pruning would give recall ≈ nprobe/k) — floors
+  *      set from the measured curve in BENCH.md (0.755 @ nprobe 16,
+  *      0.905 @ nprobe 32 on sf0.01);
+  *   3. invariants: ≤ k rows, unit-norm centroids, ids 0..k−1. */
+class CodebookSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-codebook-test")
+    .getOrCreate()
+
+  private def collectBook(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
+    df.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+
+  test("bit-deterministic across runs and input partitionings") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val a = collectBook(VectorPipeline.trainedCodebookDistributed(emb, 32,
+      sampleN = 1 << 12, iters = 5))
+    val b = collectBook(VectorPipeline.trainedCodebookDistributed(emb, 32,
+      sampleN = 1 << 12, iters = 5))
+    assert(a == b, "two identical runs diverged")
+    // a DIFFERENT input partitioning must not change a single bit: the
+    // internal repartition-by-vec_id + sortWithinPartitions pins every
+    // float addition's order regardless of how the corpus arrives
+    val c = collectBook(VectorPipeline.trainedCodebookDistributed(
+      emb.repartition(7, col("vec_id") % 3), 32, sampleN = 1 << 12, iters = 5))
+    assert(a == c, "input partitioning changed the codebook")
+    emb.unpersist()
+  }
+
+  test("invariants: <= k unit-norm centroids with ids 0..k-1") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001")
+    val book = collectBook(VectorPipeline.trainedCodebookDistributed(emb, 16,
+      sampleN = 1 << 10, iters = 5))
+    assert(book.length <= 16 && book.nonEmpty)
+    assert(book.map(_._1) == book.indices.map(_.toLong))
+    book.foreach { case (id, c) =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid $id norm $n")
+    }
+  }
+
+  test("k=64 routing: recall well above the probed fraction (floors from BENCH.md)") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val nq = queries.count()
+    val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+      .select(col("q_id"), col("n_id")).cache()
+    val book = VectorPipeline.trainedCodebookDistributed(emb, 64,
+      sampleN = 1 << 15, iters = 10).cache()
+    val assigned = VectorPipeline.ivfAssign(emb, book).cache()
+    val scored = VectorPipeline.ivfScoredCandidates(assigned, book, queries, 32).cache()
+    def recallAt(nprobe: Int): Double = {
+      val ivf = VectorPipeline
+        .topKFromScored(scored.filter(col("probe_rank") <= nprobe), 10)
+        .select(col("q_id"), col("n_id"))
+      bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+    }
+    val r16 = recallAt(16) // 25% of lists probed; random pruning ⇒ ~0.25
+    val r32 = recallAt(32) // 50% probed; random ⇒ ~0.50
+    assert(r16 >= 0.65, s"recall@10(nprobe=16, k=64) = $r16 — codebook is not routing")
+    assert(r32 >= 0.85, s"recall@10(nprobe=32, k=64) = $r32")
+    scored.unpersist(); assigned.unpersist(); book.unpersist(); bf.unpersist(); emb.unpersist()
+  }
+}

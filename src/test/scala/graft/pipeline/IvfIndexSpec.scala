@@ -210,7 +210,23 @@ class IvfIndexSpec extends AnyFunSuite {
       .select(col("q_id"), col("n_id")))
     assert(twoStage >= oneStage,
       s"two-stage recall $twoStage below one-stage $oneStage")
-    scoredI8.unpersist(); emb.unpersist()
+    scoredI8.unpersist()
+
+    // INDEX-path two-stage (IVF-SQ8 scan → float re-rank from the
+    // primary store): at equal nprobe the re-ranked result's recall is
+    // >= the int8-only ranking's — the production 100 TB query shape
+    val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+    val qPath = "/tmp/graft_test_ivf_rerank_q8"
+    VectorPipeline.writeIvfIndexQuantized(emb, book, qPath)
+    val i8Only = recallOf(
+      VectorPipeline.ivfTopKFromIndexQuantized(spark, qPath, queries, 10, 12)
+        .select(col("q_id"), col("n_id")))
+    val reranked = recallOf(
+      VectorPipeline.ivfTopKFromIndexQuantizedReranked(spark, qPath, emb, queries, 10, 12)
+        .select(col("q_id"), col("n_id")))
+    assert(reranked >= i8Only,
+      s"index-path re-rank recall $reranked below int8-only $i8Only")
+    book.unpersist(); emb.unpersist()
   }
 
   test("probed scan is partition-pruned: only probed lists' files are read") {
