@@ -528,9 +528,12 @@ object SparkEntry {
     // the distributed merge. n_heavy is DuckDB-recomputed exactly.
     // JOIN-SHAPED gate (round 4): only the ≤ k sketch ENTRIES reach the
     // driver (they are the query's deliverable); the exact per-tool
-    // counts stay distributed and meet the entries in one broadcast
-    // full-outer join + boolean aggregation — the same pattern as q36's
-    // rank gate, so the gate survives a high-cardinality key column.
+    // counts stay distributed and meet the entries in one full-outer
+    // join (full outer so an est-only key — an overcount bug — would
+    // surface; Spark cannot broadcast full-outer equi-joins, so it is
+    // a shuffle join whose small side is the ≤ k entry rows) + boolean
+    // aggregation — the gate survives a high-cardinality key column
+    // because the driver only ever sees the entries and four counters.
     "q45_mg_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       import graft.spark.catalyst.mgAgg
@@ -544,7 +547,7 @@ object SparkEntry {
         .map(e => (new String(e._1, java.nio.charset.StandardCharsets.UTF_8), e._2))
         .toSeq.toDF("tool", "est")
       val gates = t.groupBy(col("tool")).agg(count(lit(1)).as("cnt"))
-        .join(broadcast(entries), Seq("tool"), "full_outer")
+        .join(entries, Seq("tool"), "full_outer")
         .select(coalesce(col("cnt"), lit(0L)).as("f"),
           col("est"), coalesce(col("est"), lit(0L)).as("e0"))
         .agg(

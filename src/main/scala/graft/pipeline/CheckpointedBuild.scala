@@ -42,13 +42,17 @@ object CheckpointedBuild {
   /** The shard count the checkpoint was built with (its routing
     * contract). Fails fast on a pre-contract checkpoint or a dir mixing
     * shard counts (parquet Append cannot reject the latter itself). */
-  def checkpointNumShards(spark: SparkSession, checkpointDir: String): Int = {
-    val schema = spark.read.parquet(checkpointDir).schema
-    require(schema.fieldNames.contains("num_shards"),
+  def checkpointNumShards(spark: SparkSession, checkpointDir: String): Int =
+    numShardsOf(spark.read.parquet(checkpointDir), checkpointDir)
+
+  /** Same check over an already-opened checkpoint frame (callers that
+    * just read the dir must not pay a second footer/listing pass — the
+    * checkpointDir is HDFS/S3 in deployment). */
+  private def numShardsOf(ck: DataFrame, checkpointDir: String): Int = {
+    require(ck.schema.fieldNames.contains("num_shards"),
       s"checkpoint at $checkpointDir predates the recorded-shard-count " +
         "contract (no num_shards column) — start a fresh checkpointDir")
-    val counts = spark.read.parquet(checkpointDir)
-      .select(col("num_shards")).distinct().collect().map(_.getInt(0)).sorted
+    val counts = ck.select(col("num_shards")).distinct().collect().map(_.getInt(0)).sorted
     require(counts.length == 1,
       s"checkpoint at $checkpointDir mixes shard counts ${counts.mkString(",")} " +
         "— it was appended to with different num_shards values and cannot be trusted")
@@ -78,11 +82,12 @@ object CheckpointedBuild {
     // count differing from the one the checkpoint was built with (resume
     // would then skip/probe the WRONG shards with no error anywhere)
     if (checkpointExists(spark, checkpointDir)) {
-      val existing = spark.read.parquet(checkpointDir).schema.fieldNames.toSet
+      val ck = spark.read.parquet(checkpointDir) // ONE footer/listing pass for both guards
+      val existing = ck.schema.fieldNames.toSet
       require(Seq("hll", "cms", "theta").forall(existing.contains),
         s"checkpoint at $checkpointDir predates the per-shard sketch family " +
           "(no hll/cms/theta columns) — start a fresh checkpointDir")
-      val recorded = checkpointNumShards(spark, checkpointDir)
+      val recorded = numShardsOf(ck, checkpointDir)
       require(recorded == numShards,
         s"checkpoint at $checkpointDir was built with num_shards=$recorded " +
           s"but this run requested $numShards — resume with the recorded " +

@@ -205,10 +205,16 @@ object VectorPipeline {
         .as[(Seq[Float], Long)]
         .mapPartitions { it =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val sums = Array.fill(k)(new Array[Double](dim))
+          // per-centroid buffers allocated ON FIRST TOUCH: a partition
+          // holds ≤ sampleN/parts rows and can touch at most that many
+          // centroids, so task memory is O(touched·dim), never O(k·dim)
+          // — at k = 10⁵, dim = 10³ an eager dense table would be
+          // 800 MB of zeroed doubles per task
+          val sums = new Array[Array[Double]](k)
           val cnts = new Array[Long](k)
           it.foreach { case (emb, cid) =>
             val c = cid.toInt
+            if (sums(c) == null) sums(c) = new Array[Double](dim)
             var nrm = 0.0d
             var i = 0
             while (i < dim) { val x = emb(i).toDouble; nrm += x * x; i += 1 }
@@ -412,9 +418,9 @@ object VectorPipeline {
       .write.mode("overwrite").parquet(s"$indexPath/_codebook")
   }
 
-  /** Read (and integrity-verify) the codebook an index was built with —
-    * the read path needs NO separate codebook argument. */
-  def readIvfCodebook(spark: SparkSession, indexPath: String): DataFrame = {
+  /** ONE sidecar parquet read, shared by both verification shapes:
+    * returns (book, stored fingerprint). */
+  private def readSidecar(spark: SparkSession, indexPath: String): (DataFrame, Long) = {
     val sidecar = new org.apache.hadoop.fs.Path(s"$indexPath/_codebook")
     require(sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sidecar),
       s"no _codebook sidecar at $indexPath — either the index write did not " +
@@ -427,8 +433,14 @@ object VectorPipeline {
     val stored = raw.select(col("__fingerprint")).distinct().collect().map(_.getLong(0))
     require(stored.length == 1, s"codebook sidecar at $indexPath carries " +
       s"${stored.length} fingerprints — corrupt sidecar")
-    val book = raw.select(col("centroid_id"), col("c_emb"))
-    require(codebookFingerprint(book) == stored.head,
+    (raw.select(col("centroid_id"), col("c_emb")), stored.head)
+  }
+
+  /** Read (and integrity-verify) the codebook an index was built with —
+    * the read path needs NO separate codebook argument. */
+  def readIvfCodebook(spark: SparkSession, indexPath: String): DataFrame = {
+    val (book, stored) = readSidecar(spark, indexPath)
+    require(codebookFingerprint(book) == stored,
       s"codebook sidecar at $indexPath fails its own fingerprint — corrupt sidecar")
     book
   }
@@ -437,11 +449,14 @@ object VectorPipeline {
     * appending rows assigned under a retrained codebook (or probing with
     * one) silently mis-routes — recall degrades with no error anywhere.
     * This was the one silent-corruption path in the library; now it
-    * throws at the door like every other config mismatch. */
+    * throws at the door like every other config mismatch. One sidecar
+    * read, one fingerprint pass over the supplied book (the stored
+    * fingerprint IS the identity — sidecar corruption surfaces as a
+    * mismatch here too). */
   private def requireCodebookMatch(spark: SparkSession, indexPath: String,
       book: DataFrame): Unit = {
-    val stored = readIvfCodebook(spark, indexPath)
-    require(codebookFingerprint(book) == codebookFingerprint(stored),
+    val (_, stored) = readSidecar(spark, indexPath)
+    require(codebookFingerprint(book) == stored,
       s"codebook mismatch against index at $indexPath: the supplied codebook " +
         "is not the one the index was built with — re-training the codebook " +
         "requires a REBUILD (mixing codebooks mixes routing). Probe without " +
@@ -504,27 +519,30 @@ object VectorPipeline {
     * LAYOUTS (float vs quantized) is likewise rejected up front. */
   def appendToIvfIndex(batch: DataFrame, book: DataFrame, path: String): Unit = {
     requireCodebookMatch(batch.sparkSession, path, book)
-    val rows = floatIndexRows(batch, book)
-    requireSameIndexLayout(batch.sparkSession, path, rows)
-    rows.write.partitionBy("centroid_id").mode("append").parquet(path)
+    appendCore(batch, book, path, quantized = false)
   }
 
   /** Append a batch using the index's OWN persisted codebook — the
     * incremental-ingest shape with no codebook to pass (and nothing to
-    * get wrong). */
+    * get wrong; the sidecar's self-verify stands in for the match). */
   def appendToIvfIndex(batch: DataFrame, path: String): Unit =
-    appendToIvfIndex(batch, readIvfCodebook(batch.sparkSession, path), path)
+    appendCore(batch, readIvfCodebook(batch.sparkSession, path), path, quantized = false)
 
   /** Quantized twin of [[appendToIvfIndex]] (IVF-SQ8 layout). */
   def appendToIvfIndexQuantized(batch: DataFrame, book: DataFrame, path: String): Unit = {
     requireCodebookMatch(batch.sparkSession, path, book)
-    val rows = quantizedIndexRows(batch, book)
-    requireSameIndexLayout(batch.sparkSession, path, rows)
-    rows.write.partitionBy("centroid_id").mode("append").parquet(path)
+    appendCore(batch, book, path, quantized = true)
   }
 
   def appendToIvfIndexQuantized(batch: DataFrame, path: String): Unit =
-    appendToIvfIndexQuantized(batch, readIvfCodebook(batch.sparkSession, path), path)
+    appendCore(batch, readIvfCodebook(batch.sparkSession, path), path, quantized = true)
+
+  private def appendCore(batch: DataFrame, book: DataFrame, path: String,
+      quantized: Boolean): Unit = {
+    val rows = if (quantized) quantizedIndexRows(batch, book) else floatIndexRows(batch, book)
+    requireSameIndexLayout(batch.sparkSession, path, rows)
+    rows.write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
 
   /** The IVF-SQ8 composition — the production index shape at corpus
     * scale: inverted-list layout (partition pruning reads only probed
@@ -547,8 +565,13 @@ object VectorPipeline {
     * lists. Returns (q_id, n_id, cos, probe_rank). */
   def ivfScoredCandidatesFromIndexQuantized(spark: SparkSession, indexPath: String,
       book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
-    import graft.spark.catalyst.{cosineI8, quantizeI8}
     requireCodebookMatch(spark, indexPath, book)
+    scoredFromIndexQuantizedCore(spark, indexPath, book, queries, maxProbe)
+  }
+
+  private def scoredFromIndexQuantizedCore(spark: SparkSession, indexPath: String,
+      book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
+    import graft.spark.catalyst.{cosineI8, quantizeI8}
     val probes = centroidProbes(book, queries, maxProbe)
       .withColumn("q_qe", quantizeI8(col("q_emb"))).drop("q_emb")
     val probedIds = probes.select(col("centroid_id")).distinct()
@@ -567,11 +590,13 @@ object VectorPipeline {
     topKFromScored(
       ivfScoredCandidatesFromIndexQuantized(spark, indexPath, book, queries, nprobe), k)
 
-  /** Same, routing with the index's OWN persisted codebook. */
+  /** Same, routing with the index's OWN persisted codebook (the
+    * sidecar's self-verify makes a separate match redundant — one
+    * sidecar read total). */
   def ivfTopKFromIndexQuantized(spark: SparkSession, indexPath: String,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame =
-    ivfTopKFromIndexQuantized(spark, indexPath,
-      readIvfCodebook(spark, indexPath), queries, k, nprobe)
+    topKFromScored(scoredFromIndexQuantizedCore(spark, indexPath,
+      readIvfCodebook(spark, indexPath), queries, nprobe), k)
 
   /** Scored candidates against a WRITTEN index ([[writeIvfIndex]]):
     * identical semantics to [[ivfScoredCandidates]] (same probes, same
@@ -581,6 +606,11 @@ object VectorPipeline {
   def ivfScoredCandidatesFromIndex(spark: SparkSession, indexPath: String,
       book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
     requireCodebookMatch(spark, indexPath, book)
+    scoredFromIndexCore(spark, indexPath, book, queries, maxProbe)
+  }
+
+  private def scoredFromIndexCore(spark: SparkSession, indexPath: String,
+      book: DataFrame, queries: DataFrame, maxProbe: Int): DataFrame = {
     val probes = centroidProbes(book, queries, maxProbe)
     // probes is computed twice (id pull here + the join below) — it is
     // |queries|·maxProbe rows against a broadcast codebook, so the
@@ -595,10 +625,10 @@ object VectorPipeline {
 
   /** Same, routing with the index's OWN persisted codebook — the read
     * path needs no codebook argument at all (and cannot be handed a
-    * stale one). */
+    * stale one; one sidecar read, self-verified). */
   def ivfScoredCandidatesFromIndex(spark: SparkSession, indexPath: String,
       queries: DataFrame, maxProbe: Int): DataFrame =
-    ivfScoredCandidatesFromIndex(spark, indexPath,
+    scoredFromIndexCore(spark, indexPath,
       readIvfCodebook(spark, indexPath), queries, maxProbe)
 
   /** Top-k against a written index with partition-pruned scans. */
@@ -659,7 +689,7 @@ object VectorPipeline {
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       candMult: Int = 4): DataFrame =
     rerankTopK(
-      ivfScoredCandidatesFromIndexQuantized(spark, indexPath,
+      scoredFromIndexQuantizedCore(spark, indexPath,
         readIvfCodebook(spark, indexPath), queries, nprobe),
       corpus, queries, k, candMult * k)
 

@@ -72,11 +72,21 @@ object GraftExtensions {
         graft.core.KMHashPair.registered.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"$what: unknown hash pair '$name' — " +
             s"registered: ${graft.core.KMHashPair.registered.map(_.name).mkString(", ")}"))
-      case v: Int => graft.core.KMHashPair.byId(v.toByte)
-      case v: Long => graft.core.KMHashPair.byId(v.toByte)
+      case v: Int => byCheckedId(v.toLong, what)
+      case v: Long => byCheckedId(v, what)
       case other => throw new IllegalArgumentException(
         s"$what must be a literal hash-pair name or id, got $other")
     }
+  }
+
+  /** Pair-id lookup with an explicit range check: a bare `toByte` would
+    * WRAP an out-of-range id (256 → 0, 257 → 1) and silently resolve a
+    * typo to the wrong registered pair. */
+  private def byCheckedId(v: Long, what: String): graft.core.RegisteredKMHashPair = {
+    require(v >= Byte.MinValue && v <= Byte.MaxValue,
+      s"$what: hash-pair id $v out of byte range — registered ids: " +
+        graft.core.KMHashPair.registered.map(_.id).mkString(", "))
+    graft.core.KMHashPair.byId(v.toByte)
   }
 
   private[catalyst] val builders: Seq[(String, (String, Seq[Expression] => Expression))] = Seq(

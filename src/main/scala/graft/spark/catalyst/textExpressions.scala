@@ -28,9 +28,12 @@ object MinhashBandKernel {
 
   /** 42 band keys for a shingle array; null for an empty array (no
     * shingles ⇒ no minima: emitting keys would bucket every short doc
-    * with every other one in all bands) or an array with a null
-    * element. Reads UTF8String bytes straight out of the ArrayData —
-    * no java.lang.String decode, no Seq boxing (the UDF this replaced
+    * with every other one in all bands). A NULL ELEMENT throws — it
+    * means corrupt upstream data, and silently nulling the keys would
+    * drop the doc out of near-dup candidate generation with no error
+    * anywhere (the retired UDF failed loudly here too). Reads
+    * UTF8String bytes straight out of the ArrayData — no
+    * java.lang.String decode, no Seq boxing (the UDF this replaced
     * paid both per row on the dominant map side of q13/q29/q43). */
   def bandKeys(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -39,7 +42,10 @@ object MinhashBandKernel {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var idx = 0
     while (idx < n) {
-      if (a.isNullAt(idx)) return null
+      if (a.isNullAt(idx))
+        throw new IllegalArgumentException(
+          s"null shingle at index $idx — corrupt shingle array; a doc must " +
+            "not silently drop out of near-dup candidate generation")
       val bytes = a.getUTF8String(idx).getBytes
       var g = Hashing.xxHash64(bytes, 0L)
       val step = Hashing.murmur3_64(bytes, 0L) | 1L
@@ -71,7 +77,8 @@ object MinhashBandKernel {
   * (UTF8String bytes in, primitive long array out) and the enclosing
   * projection keeps its whole-stage-codegen span — the same
   * HOF/UDF→native move that bought 14.6–25.4× on CosineSim. Null or
-  * empty input (and a null element) ⇒ null. */
+  * empty input ⇒ null; a null ELEMENT throws (corrupt data must not
+  * silently skip dedup). */
 case class MinhashBandKeys(child: org.apache.spark.sql.catalyst.expressions.Expression)
   extends UnaryExpression {
 

@@ -301,7 +301,12 @@ object StreamingSketch {
     val qBad = perWin.filter(!(
       rankOkCol("td50", 0.5, tdEps) && rankOkCol("td95", 0.95, tdEps) &&
       rankOkCol("k50", 0.5, col("keps")) && rankOkCol("k95", 0.95, col("keps")))).count()
-    val winQuantilesOk = stateRows.nonEmpty && qBad == 0
+    // COVERAGE, not just absence of violations: every state row must
+    // have found its exact-side group (an inner-join drift — e.g. a
+    // changed window default on either side — would otherwise verify
+    // zero estimates and report vacuous success)
+    val stateGroups = stateRows.map(r => (r.getTimestamp(0), r.getString(1))).toSet.size
+    val winQuantilesOk = stateRows.nonEmpty && perWin.count() == stateGroups && qBad == 0
 
     // per-window MG: all three theorems vs the exact (window, tool,
     // conv_id) counts — undercount-only, error ≤ decrementTotal ≤
@@ -319,8 +324,13 @@ object StreamingSketch {
     val exactCnt = base.groupBy(col("ws"), col("tool"), col("conv_id"))
       .agg(count(lit(1)).as("f"))
     val ng = exactCnt.groupBy(col("ws"), col("tool")).agg(sum(col("f")).as("ng"))
+    // FULL OUTER so an entry key absent from the exact counts (an
+    // overcount bug) surfaces; Spark cannot broadcast a full-outer
+    // equi-join, so this is a shuffle join whose small side is the ≤
+    // windows·k entry rows — the scale property is that only those
+    // entries and four counters ever reach the driver
     val mgViol = exactCnt
-      .join(broadcast(mgEnt), Seq("ws", "tool", "conv_id"), "full_outer")
+      .join(mgEnt, Seq("ws", "tool", "conv_id"), "full_outer")
       .join(broadcast(mgMeta), Seq("ws", "tool"))
       .join(ng, Seq("ws", "tool"))
       .withColumn("f0", coalesce(col("f"), lit(0L)))

@@ -74,6 +74,15 @@ class BandKeysExprSpec extends AnyFunSuite {
       .select(graft.spark.catalyst.minhashBandKeys(col("__sh"))).collect()
     assert(!got(0).isNullAt(0) && got(0).getSeq[Long](0).length == TextPipeline.MinhashBands)
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+
+    // a null ELEMENT is corrupt data and must FAIL LOUDLY, not silently
+    // drop the doc out of candidate generation (the retired UDF NPE'd)
+    val corrupt = Seq((1L, Seq("a b c", null))).toDF("doc_id", "__sh")
+    val ex = intercept[Exception](
+      corrupt.select(graft.spark.catalyst.minhashBandKeys(col("__sh"))).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null shingle")))
   }
 
   test("LSH candidate pairs unchanged vs a UDF twin of the reference") {
