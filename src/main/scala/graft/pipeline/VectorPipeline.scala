@@ -273,6 +273,32 @@ object VectorPipeline {
         cents.map(_._1).toSeq, cents.map(_._2).toSeq).as("centroid_id"))
   }
 
+  /** Two-level (coarse → fine) assignment — [[ivfAssign]]'s successor
+    * once ncentroids outgrows the flat O(k·dim) per-row scan (~10³;
+    * BENCH.md's measured curve is linear in k). A coarse codebook of
+    * `coarseK ≈ √k` centroids is trained over the FINE CENTROIDS
+    * (driver-side, deterministic, k rows — never the corpus); each row
+    * scores the coarse book, then runs the exact fine argmax over only
+    * the `probes` best coarse buckets: O((coarseK + probes·k/coarseK)
+    * ·dim) per row. Approximate routing — agreement with the flat
+    * argmax is measured and gated in TwoLevelAssignSpec (≥ 0.97 at
+    * probes=4 on this corpus), and `probes = coarseK` reproduces the
+    * flat assignment exactly (bit-level, same spec). An IVF built on
+    * two-level assignments keeps its recall: a mis-assignment moves a
+    * vector to a nearly-tied neighboring list, the same kind of
+    * boundary error nprobe > 1 already absorbs on the query side. */
+  def ivfAssignTwoLevel(corpus: DataFrame, book: DataFrame,
+      coarseK: Int, probes: Int): DataFrame = {
+    val cents: Array[(Long, Seq[Float])] = book
+      .select(col("centroid_id"), col("c_emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "cannot assign against an empty codebook")
+    corpus.select(col("vec_id"), col("embedding"),
+      graft.spark.catalyst.cosineArgmaxTwoLevelNative(col("embedding"),
+        cents.map(_._1).toSeq, cents.map(_._2).toSeq, coarseK, probes).as("centroid_id"))
+  }
+
   // -------------------------------------------- embedding-cosine near-dup
   /** SRP (signed-random-projection) LSH for DENSE embeddings at high
     * cosine thresholds. Per-bit collision probability is p = 1 − θ/π, so

@@ -1,0 +1,251 @@
+package graft.spark.catalyst
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Two-level (coarse → fine) nearest-centroid assignment — the
+  * documented successor to [[CosineArgmax]]'s flat O(k·dim) per-row
+  * scan once ncentroids outgrows ~10³ (BENCH.md "Codebook machinery
+  * past toy k": the flat curve is linear in k, 20k vecs/s at k=1024).
+  *
+  * Construction (all driver-side, deterministic, over the FINE
+  * centroids only — k rows, never the corpus):
+  *   - a coarse codebook of `coarseK` centroids is trained by
+  *     spherical k-means over the fine centroids (init = first coarseK
+  *     in id order, fixed iteration count, zero RNG);
+  *   - every fine centroid is bucketed under its nearest coarse
+  *     centroid (ties to the smaller coarse id).
+  * Per row: score the `coarseK` coarse centroids, take the `probes`
+  * best coarse buckets (ties to the smaller coarse id), then run the
+  * exact fine argmax over ONLY those buckets' fine centroids. Cost is
+  * O((coarseK + probes·k/coarseK)·dim) — at k = 1024, coarseK = 32,
+  * probes = 4 that is ~160 dims-dot-products vs 1024, ~6×.
+  *
+  * APPROXIMATE BY DESIGN: the true nearest fine centroid can live in a
+  * coarse bucket outside the probed set. Two recoveries make it safe:
+  * `probes = coarseK` degenerates to the EXACT flat argmax (every
+  * bucket scanned — pinned bit-level in TwoLevelAssignSpec), and the
+  * per-centroid arithmetic is EXACTLY CosineArgmax's (float multiply,
+  * double accumulate, √·√, 1e-12 floor) with an order-independent
+  * tie-break (strictly-greater, or equal-and-smaller-id), so agreement
+  * with the flat scan is purely a routing property, measured and gated
+  * — not a numerics artifact.
+  */
+final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
+    coarseK: Int, probes: Int, trainIters: Int = 10) extends Serializable {
+
+  require(coarseK >= 1 && probes >= 1, "coarseK and probes must be >= 1")
+  private val k = mat.length
+  private val dim = mat(0).length
+  private val kc = math.min(coarseK, k)
+  private val w = math.min(probes, kc)
+
+  /** √Σc² per fine centroid — CosineSim's fold (float multiply, double
+    * accumulate). */
+  private val fineNorms: Array[Double] = mat.map { c =>
+    var s = 0.0d
+    var i = 0
+    while (i < c.length) { s += (c(i) * c(i)).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Deterministic spherical k-means over the NORMALIZED fine
+    * centroids (double precision internally; coarse centroids held
+    * unit-norm, so the coarse scoring below can skip their norms). */
+  private val coarse: Array[Array[Double]] = {
+    val unit = Array.tabulate(k) { c =>
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { v(i) = mat(c)(i).toDouble; i += 1 }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    var cents = Array.tabulate(kc)(i => unit(i).clone())
+    for (_ <- 0 until trainIters) {
+      val sums = Array.fill(kc)(new Array[Double](dim))
+      val counts = new Array[Int](kc)
+      unit.foreach { v =>
+        var best = 0
+        var bestDot = Double.MinValue
+        var c = 0
+        while (c < kc) {
+          var dot = 0.0d
+          var d = 0
+          while (d < dim) { dot += cents(c)(d) * v(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kc) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val n = math.sqrt(sums(c).map(x => x * x).sum)
+          if (n > 0) sums(c).map(_ / n) else cents(c)
+        }
+      }
+    }
+    cents
+  }
+
+  /** bucket(b) = fine-centroid indices routed under coarse b (ascending
+    * index order — preserves the smaller-id tie-break inside a
+    * bucket). */
+  private val buckets: Array[Array[Int]] = {
+    val bs = Array.fill(kc)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var c = 0
+    while (c < k) {
+      val cv = mat(c)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var b = 0
+      while (b < kc) {
+        var dot = 0.0d
+        var d = 0
+        while (d < dim) { dot += cv(d).toDouble * coarse(b)(d); d += 1 }
+        val cos = dot / math.max(fineNorms(c), 1e-12d) // coarse is unit-norm
+        if (cos > bestCos) { bestCos = cos; best = b }
+        b += 1
+      }
+      bs(best) += c
+      c += 1
+    }
+    bs.map(_.toArray)
+  }
+
+  /** Nearest fine-centroid id for an embedding, probing the `probes`
+    * best coarse buckets; java.lang.Long so the expression can emit
+    * null (null element / dim mismatch). */
+  def assign(x: ArrayData): java.lang.Long = {
+    if (x.numElements() != dim) return null
+    val xv = new Array[Float](dim)
+    var nx = 0.0d
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return null
+      val f = x.getFloat(i)
+      xv(i) = f
+      nx += (f * f).toDouble
+      i += 1
+    }
+    val sx = math.sqrt(nx)
+
+    // coarse scores (coarse is unit-norm: cos = dot/max(sx,floor))
+    val cScore = new Array[Double](kc)
+    var b = 0
+    while (b < kc) {
+      val cb = coarse(b)
+      var dot = 0.0d
+      var d = 0
+      while (d < dim) { dot += xv(d).toDouble * cb(d); d += 1 }
+      cScore(b) = dot / math.max(sx, 1e-12d)
+      b += 1
+    }
+    // top-w coarse buckets by (score desc, id asc): w is tiny, so a
+    // simple selection pass per slot stays allocation-free
+    val chosen = new Array[Int](w)
+    val used = new Array[Boolean](kc)
+    var s = 0
+    while (s < w) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < kc) {
+        if (!used(c) && cScore(c) > bestScore) { bestScore = cScore(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      chosen(s) = best
+      s += 1
+    }
+    // exact fine argmax over the probed buckets — CosineArgmax's exact
+    // arithmetic, ORDER-INDEPENDENT tie-break (buckets visit fine
+    // centroids out of id order)
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    s = 0
+    while (s < w) {
+      val bucket = buckets(chosen(s))
+      var j = 0
+      while (j < bucket.length) {
+        val c = bucket(j)
+        val cv = mat(c)
+        var dot = 0.0d
+        var d = 0
+        while (d < dim) { dot += (xv(d) * cv(d)).toDouble; d += 1 }
+        val cos = dot / math.max(sx * fineNorms(c), 1e-12d)
+        if (cos > bestCos || (cos == bestCos && ids(c) < bestId)) {
+          bestCos = cos
+          bestId = ids(c)
+        }
+        j += 1
+      }
+      s += 1
+    }
+    if (bestId < 0) null else java.lang.Long.valueOf(bestId)
+  }
+}
+
+/** Column expression over [[TwoLevelAssigner]]: same contract as
+  * [[CosineArgmax]] (array<float> in, centroid id out, null for
+  * null/dim-mismatch/null-element input), approximate routing unless
+  * probes = coarseK. The assigner (with its trained coarse book and
+  * buckets) ships to executors inside the expression like a broadcast
+  * closure; codegen calls it through a reference object, keeping the
+  * enclosing projection inside whole-stage codegen. */
+case class CosineArgmaxTwoLevel(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroidIds: Seq[Long], centroids: Seq[Seq[Float]], coarseK: Int, probes: Int)
+  extends UnaryExpression {
+
+  require(centroids.nonEmpty && centroids.length == centroidIds.length,
+    "CosineArgmaxTwoLevel needs one id per centroid and at least one centroid")
+  require(centroidIds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "CosineArgmaxTwoLevel centroidIds must be strictly ascending")
+  require(centroids.forall(_.length == centroids.head.length),
+    "CosineArgmaxTwoLevel centroids must all have the same dimension")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine_argmax_2l"
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"ncentroids=${centroidIds.length}",
+      s"dim=${centroids.head.length}", s"coarseK=$coarseK", s"probes=$probes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes an array<float> column, got ${other.catalogString}")
+  }
+
+  @transient private lazy val assigner = new TwoLevelAssigner(
+    centroidIds.toArray, centroids.map(_.toArray).toArray, coarseK, probes)
+
+  override def nullSafeEval(a: Any): Any =
+    assigner.assign(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftTwoLevelAssigner", assigner,
+      classOf[TwoLevelAssigner].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("assigned")
+      s"""
+        java.lang.Long $r = $ref.assign($a);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r.longValue();
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): CosineArgmaxTwoLevel =
+    copy(child = c)
+}

@@ -69,6 +69,15 @@ package object catalyst {
   def minhashBandKeys(shingles: Column): Column =
     B.column(MinhashBandKeys(B.expression(shingles)))
 
+  /** Two-level (coarse → fine) nearest-centroid assignment — the flat
+    * argmax's successor past k ≈ 10³ centroids (see
+    * CosineArgmaxTwoLevel; probes = coarseK degenerates to the exact
+    * flat scan). */
+  def cosineArgmaxTwoLevelNative(embedding: Column, centroidIds: Seq[Long],
+      centroids: Seq[Seq[Float]], coarseK: Int, probes: Int): Column =
+    B.column(CosineArgmaxTwoLevel(B.expression(embedding), centroidIds,
+      centroids, coarseK, probes))
+
   private def registeredId(pair: graft.core.KMHashPair): Byte = {
     require(pair.id >= 0,
       s"hash pair '$pair' is not registered — only KMHashPair.registered " +

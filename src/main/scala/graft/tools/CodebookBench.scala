@@ -52,6 +52,42 @@ object CodebookBench {
       book.unpersist()
     }
 
+    // two-level (coarse→fine) assignment vs the flat argmax at k=1024:
+    // wall time over the 1M corpus + agreement fraction (the routing
+    // approximation the probes parameter buys back)
+    {
+      val k = 1024
+      val book = VectorPipeline.trainedCodebookDistributed(emb, k,
+        sampleN = 1 << 15, iters = 10).cache()
+      book.count()
+      val coarseK = 32
+      def onceFlat(): Double = {
+        val t = System.nanoTime()
+        VectorPipeline.ivfAssign(big, book).agg(sum(col("centroid_id"))).collect()
+        (System.nanoTime() - t) / 1e9
+      }
+      def once2l(p: Int): Double = {
+        val t = System.nanoTime()
+        VectorPipeline.ivfAssignTwoLevel(big, book, coarseK, p)
+          .agg(sum(col("centroid_id"))).collect()
+        (System.nanoTime() - t) / 1e9
+      }
+      onceFlat(); once2l(4) // warm
+      val tFlat = (1 to 3).map(_ => onceFlat()).min
+      println("bench2l,variant,probes,secs,vecs_per_sec,agreement")
+      println(f"bench2l,flat,-,$tFlat%.2f,${n / tFlat}%.0f,1.000")
+      for (p <- Seq(2, 4, 8)) {
+        val t2l = (1 to 3).map(_ => once2l(p)).min
+        val agree = VectorPipeline.ivfAssign(emb, book).as("f")
+          .join(VectorPipeline.ivfAssignTwoLevel(emb, book, coarseK, p)
+            .select(col("vec_id"), col("centroid_id").as("c2")), "vec_id")
+          .agg(avg(when(col("centroid_id") === col("c2"), 1.0).otherwise(0.0)))
+          .head.getDouble(0)
+        println(f"bench2l,two_level,$p,$t2l%.2f,${n / t2l}%.0f,$agree%.4f")
+      }
+      book.unpersist()
+    }
+
     // recall of the k=64 distributed codebook at proportional depths
     println("sf,k,nprobe,recall_at_10")
     for (sf <- Seq("sf0.01", "sf0.1")) {

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two-level (coarse → fine) assignment — the flat argmax's successor
+  * past k ≈ 10³ centroids. Pins:
+  *   1. EXACTNESS AT FULL PROBE DEPTH: probes = coarseK scans every
+  *      bucket, so the assignment must equal the flat CosineArgmax
+  *      bit-for-bit (the order-independent tie-break is what makes
+  *      this hold — buckets visit centroids out of id order);
+  *   2. agreement at the production probe depth (floors from the
+  *      measured CodebookBench curve in BENCH.md);
+  *   3. null contract parity with the flat expression. */
+class TwoLevelAssignSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-two-level-test")
+    .getOrCreate()
+
+  test("probes = coarseK reproduces the flat argmax exactly") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val book = VectorPipeline.trainedCodebookDistributed(emb, 64,
+      sampleN = 1 << 14, iters = 5).cache()
+    val flat = VectorPipeline.ivfAssign(emb, book)
+      .select(col("vec_id"), col("centroid_id"))
+    val full = VectorPipeline.ivfAssignTwoLevel(emb, book, coarseK = 8, probes = 8)
+      .select(col("vec_id"), col("centroid_id"))
+    assert(flat.exceptAll(full).isEmpty && full.exceptAll(flat).isEmpty,
+      "full-probe two-level assignment must equal the flat argmax")
+    book.unpersist(); emb.unpersist()
+  }
+
+  test("agreement at the production probe depth meets the measured floor") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val book = VectorPipeline.trainedCodebookDistributed(emb, 64,
+      sampleN = 1 << 14, iters = 5).cache()
+    val agree = VectorPipeline.ivfAssign(emb, book)
+      .join(VectorPipeline.ivfAssignTwoLevel(emb, book, coarseK = 8, probes = 2)
+        .select(col("vec_id"), col("centroid_id").as("c2")), "vec_id")
+      .agg(avg(when(col("centroid_id") === col("c2"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    // probes=2 of 8 coarse buckets (25% of the fine book scanned);
+    // floor set under the measured curve (BENCH.md round-4 two-level
+    // section) — random bucketing would agree ~25% of the time
+    assert(agree >= 0.80, s"two-level agreement $agree at probes=2/8")
+    book.unpersist(); emb.unpersist()
+  }
+
+  test("null contract parity with the flat expression") {
+    import spark.implicits._
+    val book = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("centroid_id", "c_emb")
+    val rows = Seq(
+      (1L, Some(Seq(Option(1f), Option(2f)))),
+      (2L, None), // null embedding
+      (3L, Some(Seq(Option(1f), None))), // null element
+      (4L, Some(Seq(Option(1f), Option(2f), Option(3f))))) // dim mismatch
+      .toDF("vec_id", "embedding")
+    val got = VectorPipeline.ivfAssignTwoLevel(rows, book, coarseK = 2, probes = 1)
+      .orderBy(col("vec_id")).select(col("centroid_id")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0).contains(1L)) // (1,2) is closer to (0,1)
+    assert(got(1).isEmpty && got(2).isEmpty && got(3).isEmpty)
+  }
+}
