@@ -429,24 +429,36 @@ object VectorPipeline {
     h
   }
 
+  /** Flat exact assignment — the default index routing mode. */
+  private val AssignFlat = "flat"
+  private def assignMode2l(coarseK: Int, probes: Int) = s"2l:$coarseK:$probes"
+
   /** The codebook sidecar lives INSIDE the index directory (`_codebook`
     * — the underscore prefix keeps every Spark read of the index data
     * from listing it), so index + routing config move/replicate as one
     * unit and can never drift apart. Written LAST: a half-finished index
     * write leaves no sidecar, so probes fail fast instead of reading a
-    * torn index. Rows carry the fingerprint as a column; readers verify
-    * recomputed-vs-stored to catch a corrupt or hand-edited sidecar. */
-  private def writeCodebookSidecar(book: DataFrame, indexPath: String): Unit = {
+    * torn index. Rows carry the fingerprint AND the assignment mode as
+    * columns (the mode is routing config too: an append that assigned
+    * with a different algorithm than the build would scatter
+    * nearly-tied vectors differently — appends read the mode from the
+    * sidecar and reproduce it); readers verify recomputed-vs-stored to
+    * catch a corrupt or hand-edited sidecar. */
+  private def writeCodebookSidecar(book: DataFrame, indexPath: String,
+      mode: String): Unit = {
     val fp = codebookFingerprint(book)
     book.select(col("centroid_id"), col("c_emb"))
       .withColumn("__fingerprint", lit(fp))
+      .withColumn("__assign", lit(mode))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/_codebook")
   }
 
-  /** ONE sidecar parquet read, shared by both verification shapes:
-    * returns (book, stored fingerprint). */
-  private def readSidecar(spark: SparkSession, indexPath: String): (DataFrame, Long) = {
+  /** ONE sidecar parquet read, shared by every verification shape:
+    * returns (book, stored fingerprint, assignment mode). Sidecars
+    * written before the mode column default to flat. */
+  private def readSidecar(spark: SparkSession, indexPath: String)
+      : (DataFrame, Long, String) = {
     val sidecar = new org.apache.hadoop.fs.Path(s"$indexPath/_codebook")
     require(sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sidecar),
       s"no _codebook sidecar at $indexPath — either the index write did not " +
@@ -456,19 +468,28 @@ object VectorPipeline {
     // "All paths were ignored" WARN — expected, same trick as
     // _spark_metadata/_delta_log
     val raw = spark.read.parquet(s"$indexPath/_codebook")
-    val stored = raw.select(col("__fingerprint")).distinct().collect().map(_.getLong(0))
-    require(stored.length == 1, s"codebook sidecar at $indexPath carries " +
-      s"${stored.length} fingerprints — corrupt sidecar")
-    (raw.select(col("centroid_id"), col("c_emb")), stored.head)
+    val meta =
+      if (raw.schema.fieldNames.contains("__assign"))
+        raw.select(col("__fingerprint"), col("__assign")).distinct().collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+      else raw.select(col("__fingerprint")).distinct().collect()
+        .map(r => (r.getLong(0), AssignFlat))
+    require(meta.length == 1, s"codebook sidecar at $indexPath carries " +
+      s"${meta.length} (fingerprint, mode) pairs — corrupt sidecar")
+    (raw.select(col("centroid_id"), col("c_emb")), meta.head._1, meta.head._2)
   }
 
   /** Read (and integrity-verify) the codebook an index was built with —
     * the read path needs NO separate codebook argument. */
-  def readIvfCodebook(spark: SparkSession, indexPath: String): DataFrame = {
-    val (book, stored) = readSidecar(spark, indexPath)
+  def readIvfCodebook(spark: SparkSession, indexPath: String): DataFrame =
+    readVerifiedSidecar(spark, indexPath)._1
+
+  private def readVerifiedSidecar(spark: SparkSession, indexPath: String)
+      : (DataFrame, String) = {
+    val (book, stored, mode) = readSidecar(spark, indexPath)
     require(codebookFingerprint(book) == stored,
       s"codebook sidecar at $indexPath fails its own fingerprint — corrupt sidecar")
-    book
+    (book, mode)
   }
 
   /** Refuse a codebook that is not the one the index was built with:
@@ -478,16 +499,28 @@ object VectorPipeline {
     * throws at the door like every other config mismatch. One sidecar
     * read, one fingerprint pass over the supplied book (the stored
     * fingerprint IS the identity — sidecar corruption surfaces as a
-    * mismatch here too). */
+    * mismatch here too). Returns the index's assignment mode. */
   private def requireCodebookMatch(spark: SparkSession, indexPath: String,
-      book: DataFrame): Unit = {
-    val (_, stored) = readSidecar(spark, indexPath)
+      book: DataFrame): String = {
+    val (_, stored, mode) = readSidecar(spark, indexPath)
     require(codebookFingerprint(book) == stored,
       s"codebook mismatch against index at $indexPath: the supplied codebook " +
         "is not the one the index was built with — re-training the codebook " +
         "requires a REBUILD (mixing codebooks mixes routing). Probe without " +
         "a codebook argument to use the index's own persisted codebook.")
+    mode
   }
+
+  /** Assignment dispatcher for a persisted mode string. */
+  private def assignWithMode(corpus: DataFrame, book: DataFrame, mode: String): DataFrame =
+    mode match {
+      case AssignFlat => ivfAssign(corpus, book)
+      case s if s.startsWith("2l:") =>
+        val parts = s.stripPrefix("2l:").split(":")
+        ivfAssignTwoLevel(corpus, book, parts(0).toInt, parts(1).toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unknown index assignment mode '$other'")
+    }
 
   /** Write the IVF index in the INVERTED-LIST layout: the assigned corpus
     * partitioned by centroid_id on storage. This is what makes "scan only
@@ -499,18 +532,36 @@ object VectorPipeline {
     * filter. Write path is the shuffle-free [[ivfAssign]] projection +
     * one partitioned write, then the `_codebook` sidecar (the routing
     * config travels inside the index). */
-  def writeIvfIndex(corpus: DataFrame, book: DataFrame, path: String): Unit = {
-    floatIndexRows(corpus, book).write.partitionBy("centroid_id")
-      .mode("overwrite").parquet(path)
-    writeCodebookSidecar(book, path)
+  def writeIvfIndex(corpus: DataFrame, book: DataFrame, path: String): Unit =
+    writeIndexCore(corpus, book, path, quantized = false, AssignFlat)
+
+  /** Index built with the TWO-LEVEL assignment — the write path once
+    * ncentroids outgrows the flat scan (6.9× at k=1024/probes=2,
+    * BENCH.md). The mode is recorded in the sidecar, so APPENDS
+    * reproduce the same routing automatically. */
+  def writeIvfIndexTwoLevel(corpus: DataFrame, book: DataFrame, path: String,
+      coarseK: Int, probes: Int): Unit =
+    writeIndexCore(corpus, book, path, quantized = false, assignMode2l(coarseK, probes))
+
+  /** Quantized twin of [[writeIvfIndexTwoLevel]]. */
+  def writeIvfIndexQuantizedTwoLevel(corpus: DataFrame, book: DataFrame, path: String,
+      coarseK: Int, probes: Int): Unit =
+    writeIndexCore(corpus, book, path, quantized = true, assignMode2l(coarseK, probes))
+
+  private def writeIndexCore(corpus: DataFrame, book: DataFrame, path: String,
+      quantized: Boolean, mode: String): Unit = {
+    val rows = if (quantized) quantizedIndexRows(corpus, book, mode)
+      else floatIndexRows(corpus, book, mode)
+    rows.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    writeCodebookSidecar(book, path, mode)
   }
 
   /** The two index payload layouts share ONE projection definition each,
     * so write and append can never drift apart. */
-  private def floatIndexRows(corpus: DataFrame, book: DataFrame): DataFrame =
-    ivfAssign(corpus, book)
-  private def quantizedIndexRows(corpus: DataFrame, book: DataFrame): DataFrame =
-    ivfAssign(corpus, book)
+  private def floatIndexRows(corpus: DataFrame, book: DataFrame, mode: String): DataFrame =
+    assignWithMode(corpus, book, mode)
+  private def quantizedIndexRows(corpus: DataFrame, book: DataFrame, mode: String): DataFrame =
+    assignWithMode(corpus, book, mode)
       .select(col("vec_id"), graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"),
         col("centroid_id"))
 
@@ -544,28 +595,34 @@ object VectorPipeline {
     * append THROWS instead of silently corrupting routing; mixing
     * LAYOUTS (float vs quantized) is likewise rejected up front. */
   def appendToIvfIndex(batch: DataFrame, book: DataFrame, path: String): Unit = {
-    requireCodebookMatch(batch.sparkSession, path, book)
-    appendCore(batch, book, path, quantized = false)
+    val mode = requireCodebookMatch(batch.sparkSession, path, book)
+    appendCore(batch, book, path, quantized = false, mode)
   }
 
-  /** Append a batch using the index's OWN persisted codebook — the
-    * incremental-ingest shape with no codebook to pass (and nothing to
-    * get wrong; the sidecar's self-verify stands in for the match). */
-  def appendToIvfIndex(batch: DataFrame, path: String): Unit =
-    appendCore(batch, readIvfCodebook(batch.sparkSession, path), path, quantized = false)
+  /** Append a batch using the index's OWN persisted codebook AND its
+    * recorded assignment mode — the incremental-ingest shape with no
+    * routing config to pass (and nothing to get wrong; the sidecar's
+    * self-verify stands in for the match). */
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit = {
+    val (book, mode) = readVerifiedSidecar(batch.sparkSession, path)
+    appendCore(batch, book, path, quantized = false, mode)
+  }
 
   /** Quantized twin of [[appendToIvfIndex]] (IVF-SQ8 layout). */
   def appendToIvfIndexQuantized(batch: DataFrame, book: DataFrame, path: String): Unit = {
-    requireCodebookMatch(batch.sparkSession, path, book)
-    appendCore(batch, book, path, quantized = true)
+    val mode = requireCodebookMatch(batch.sparkSession, path, book)
+    appendCore(batch, book, path, quantized = true, mode)
   }
 
-  def appendToIvfIndexQuantized(batch: DataFrame, path: String): Unit =
-    appendCore(batch, readIvfCodebook(batch.sparkSession, path), path, quantized = true)
+  def appendToIvfIndexQuantized(batch: DataFrame, path: String): Unit = {
+    val (book, mode) = readVerifiedSidecar(batch.sparkSession, path)
+    appendCore(batch, book, path, quantized = true, mode)
+  }
 
   private def appendCore(batch: DataFrame, book: DataFrame, path: String,
-      quantized: Boolean): Unit = {
-    val rows = if (quantized) quantizedIndexRows(batch, book) else floatIndexRows(batch, book)
+      quantized: Boolean, mode: String): Unit = {
+    val rows = if (quantized) quantizedIndexRows(batch, book, mode)
+      else floatIndexRows(batch, book, mode)
     requireSameIndexLayout(batch.sparkSession, path, rows)
     rows.write.partitionBy("centroid_id").mode("append").parquet(path)
   }
@@ -576,13 +633,10 @@ object VectorPipeline {
     * and in the scoring scan). Assignment happens on the FLOAT vectors
     * (bit-identical routing to [[writeIvfIndex]]); only the stored
     * payload is quantized. */
-  def writeIvfIndexQuantized(corpus: DataFrame, book: DataFrame, path: String): Unit = {
-    quantizedIndexRows(corpus, book).write.partitionBy("centroid_id")
-      .mode("overwrite").parquet(path)
+  def writeIvfIndexQuantized(corpus: DataFrame, book: DataFrame, path: String): Unit =
     // the sidecar stores the FLOAT codebook — routing always runs on
     // float centroids regardless of the list payload layout
-    writeCodebookSidecar(book, path)
-  }
+    writeIndexCore(corpus, book, path, quantized = true, AssignFlat)
 
   /** Scored int8 candidates against a quantized index: centroid routing
     * on the float query against the float codebook (same probes as every

@@ -52,6 +52,39 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     book.unpersist(); emb.unpersist()
   }
 
+  test("two-level-built index: recall preserved, appends reproduce the recorded mode") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val nq = queries.count()
+    val book = VectorPipeline.trainedCodebookDistributed(emb, 64,
+      sampleN = 1 << 14, iters = 5).cache()
+    val path = "/tmp/graft_test_ivf_2l"
+    VectorPipeline.writeIvfIndexTwoLevel(emb, book, path, coarseK = 8, probes = 4)
+
+    // book-free probes route with the persisted codebook; recall floor
+    // = the flat-built index's gate (mis-assignments are nearly-tied
+    // boundary lists, absorbed by nprobe > 1 on the query side)
+    val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+      .select(col("q_id"), col("n_id")).cache()
+    val ivf = VectorPipeline.ivfTopKFromIndex(spark, path, queries, 10, 16)
+      .select(col("q_id"), col("n_id"))
+    val recall = bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+    assert(recall >= 0.65, s"two-level-built index recall@10(nprobe=16/64) = $recall")
+
+    // accretion identity UNDER THE RECORDED MODE: a book-free append
+    // must reproduce the build's two-level routing (mode travels in the
+    // sidecar), so accreted rows == one-pass rows exactly
+    val accr = "/tmp/graft_test_ivf_2l_accr"
+    VectorPipeline.writeIvfIndexTwoLevel(
+      emb.filter(col("vec_id") % 2 === 0), book, accr, coarseK = 8, probes = 4)
+    VectorPipeline.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), accr)
+    val once = spark.read.parquet(path).select(col("vec_id"), col("centroid_id"))
+    val acc = spark.read.parquet(accr).select(col("vec_id"), col("centroid_id"))
+    assert(once.exceptAll(acc).isEmpty && acc.exceptAll(once).isEmpty,
+      "book-free append did not reproduce the index's recorded two-level mode")
+    bf.unpersist(); book.unpersist(); emb.unpersist()
+  }
+
   test("null contract parity with the flat expression") {
     import spark.implicits._
     val book = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("centroid_id", "c_emb")
