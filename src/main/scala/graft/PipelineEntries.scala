@@ -493,6 +493,51 @@ object PipelineEntries {
         .orderBy(col("lang"))
     }),
 
+    // REPETITION signals per source (round 4 — the Gopher-style quality
+    // filters a curation pipeline runs before dedup): every output is an
+    // INTEGER sum (word totals, distinct words, bigram totals, the most
+    // repeated bigram's count, and a 5%-top-bigram-mass flag count), so
+    // DuckDB recomputes the whole relation exactly — no float fraction
+    // ever crosses the engine boundary.
+    "q47_repetition_signals" -> ((s, dir) => {
+      TextPipeline.repetitionSignals(docs(s, dir))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("bigint").as("total_words"),
+          sum(col("n_distinct_words")).cast("bigint").as("total_distinct_words"),
+          sum(col("n_bigrams")).cast("bigint").as("total_bigrams"),
+          sum(col("max_bigram_count")).cast("bigint").as("total_max_bigram"),
+          sum(when(col("max_bigram_count") * 20 >= col("n_bigrams") &&
+            col("n_bigrams") >= 20, 1L).otherwise(0L)).cast("bigint").as("n_repetitive"))
+        .orderBy(col("source"))
+    }),
+
+    // PII scrub (round 4): the corpus carries no PII, so the gate
+    // INJECTS deterministic emails + IPv4s (the same expression on both
+    // engines), scrubs with TextPipeline.scrubPii, and counts matches
+    // before/after — found counts are exact integers, residual-zero is
+    // the scrub guarantee. Patterns live in Java-regex ∩ RE2 so Spark
+    // and DuckDB agree byte-for-byte.
+    "q48_pii_scrub" -> ((s, dir) => {
+      val injected = docs(s, dir).withColumn("__t",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or "), lit("10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+      val scrubbed = injected.withColumn("__s", TextPipeline.scrubPii(col("__t")))
+      scrubbed.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("__t"), lit(TextPipeline.EmailRe))).cast("bigint")
+            .as("n_emails_found"),
+          sum(regexp_count(col("__t"), lit(TextPipeline.Ipv4Re))).cast("bigint")
+            .as("n_ips_found"),
+          (sum(regexp_count(col("__s"), lit(TextPipeline.EmailRe))) +
+            sum(regexp_count(col("__s"), lit(TextPipeline.Ipv4Re))) === 0)
+            .as("residual_zero"))
+        .orderBy(col("source"))
+    }),
+
     // Quality scoring per source: exact char totals + score-range boolean.
     "q19_quality_score" -> ((s, dir) => {
       docs(s, dir).groupBy(col("source"))
@@ -824,6 +869,38 @@ object PipelineEntries {
     "q46_codebook_distributed" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS deterministic, " +
         "true AS recall16_ok, true AS recall32_ok FROM embeddings WHERE vec_id < 20"),
+    "q47_repetition_signals" ->
+      ("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, source, len(ws) AS n_words,
+         |  len(list_distinct(ws)) AS n_distinct,
+         |  GREATEST(len(ws) - 1, 0) AS n_bigrams FROM d),
+         |bg AS (SELECT doc_id, UNNEST([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS b FROM d),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |mb AS (SELECT doc_id, MAX(c) AS maxc FROM bc GROUP BY 1)
+         |SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(s.n_words) AS BIGINT) AS total_words,
+         |  CAST(SUM(s.n_distinct) AS BIGINT) AS total_distinct_words,
+         |  CAST(SUM(s.n_bigrams) AS BIGINT) AS total_bigrams,
+         |  CAST(SUM(COALESCE(mb.maxc, 0)) AS BIGINT) AS total_max_bigram,
+         |  CAST(SUM(CASE WHEN COALESCE(mb.maxc, 0) * 20 >= s.n_bigrams
+         |    AND s.n_bigrams >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         |FROM s LEFT JOIN mb USING (doc_id) GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
+    "q48_pii_scrub" ->
+      ("""WITH inj AS (SELECT source,
+         |  text || ' contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256) || '.7' AS t
+         |  FROM documents),
+         |scr AS (SELECT source, t,
+         |  regexp_replace(regexp_replace(t,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS sc FROM inj)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails_found,
+         |  CAST(SUM(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ips_found,
+         |  SUM(len(regexp_extract_all(sc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+         |    + SUM(len(regexp_extract_all(sc, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) = 0 AS residual_zero
+         |FROM scr GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replace("\n", " ")),
     "q18_lang_id" ->
       ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, true AS all_classified " +
         "FROM documents GROUP BY lang ORDER BY lang"),

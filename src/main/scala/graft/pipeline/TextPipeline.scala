@@ -498,4 +498,49 @@ object TextPipeline {
     * (regexp built-ins; the contract is determinism, not a real BPE). */
   def bpeIshTokenCount(text: Column): Column =
     size(filter(split(text, "(?=[ .,;:!?])|(?<=[ .,;:!?])"), s => length(trim(s)) > 0))
+
+  // ---------------------------------------------- repetition signals
+  /** Per-document REPETITION signals (the Gopher-style quality filters
+    * a training-data pipeline runs before dedup): word totals, distinct
+    * words, bigram totals and the count of the single most repeated
+    * bigram — all integers, so the DuckDB oracle reproduces every value
+    * bit-for-bit (no float fractions cross the engine boundary; callers
+    * derive ratios downstream). 100 TB shape: the word/distinct columns
+    * are map-only (one split per row, its own projection); the
+    * max-bigram column is one explode → two-level aggregation on
+    * (doc_id, bigram) — inverted-index shuffle bounded by corpus token
+    * count, never by pairs. Word semantics match wsTokenCount's
+    * split-on-space exactly (empty tokens included — DuckDB
+    * string_split parity). Returns the input columns plus (n_words,
+    * n_distinct_words, n_bigrams, max_bigram_count). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("__ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("__ws")))
+      .withColumn("n_distinct_words", size(array_distinct(col("__ws"))))
+      .withColumn("n_bigrams", greatest(col("n_words") - 1, lit(0)))
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("__ws")) >= 2,
+        expr("transform(sequence(1, size(__ws) - 1), " +
+          "i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val maxBg = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id")).agg(max(col("__c")).as("max_bigram_count"))
+    base.drop("__ws")
+      .join(maxBg, Seq("doc_id"), "left")
+      .withColumn("max_bigram_count", coalesce(col("max_bigram_count"), lit(0L)))
+  }
+
+  // ---------------------------------------------------------- PII scrub
+  /** Conservative PII patterns shared verbatim by the Spark scrub and
+    * the DuckDB oracle (Java regex ∩ RE2 — no lookarounds, no
+    * backrefs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails then IPv4s (order matters only for auditability —
+    * the patterns cannot overlap: an email match requires '@'). All
+    * codegen'd built-ins, map-only at any scale. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
 }

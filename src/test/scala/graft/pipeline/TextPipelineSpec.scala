@@ -193,6 +193,36 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionSignals: hand-computed signals on edge-shaped docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 words, 2 distinct, 4 bigrams, 'a b' ×2
+      (2L, "solo"), // single word: no bigrams
+      (3L, ""), // split('') = [""]: 1 word, 1 distinct, 0 bigrams
+      (4L, "x x x x")) // 'x x' ×3 of 3 bigrams — maximal repetition
+      .toDF("doc_id", "text")
+    val got = TextPipeline.repetitionSignals(docs).orderBy($"doc_id")
+      .select($"n_words", $"n_distinct_words", $"n_bigrams", $"max_bigram_count")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got === Seq((5, 2, 4, 2L), (1, 1, 0, 0L), (1, 1, 0, 0L), (4, 1, 3, 3L)))
+  }
+
+  test("scrubPii: redacts emails and IPv4s, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail me at jo.doe+x@sub.example.org please",
+      "server 192.168.10.255 and 10.0.0.1 up",
+      "version 1.2 is not an ip and neither is 1.2.3", // too few octets
+      "plain text stays untouched")
+      .toDF("text")
+    val got = rows.select(TextPipeline.scrubPii($"text")).collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "mail me at <EMAIL> please",
+      "server <IP> and <IP> up",
+      "version 1.2 is not an ip and neither is 1.2.3",
+      "plain text stays untouched"))
+  }
+
   test("langIdUdf is deterministic across repeated evaluation") {
     // the determinism gate q18 used to pay for per-row (double UDF
     // evaluation in the query) lives here now: two independent passes
