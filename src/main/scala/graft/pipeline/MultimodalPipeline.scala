@@ -223,14 +223,56 @@ object MultimodalPipeline extends Serializable {
     }
   }
 
-  /** Frame-sample stub: emit every k-th byte window as a "frame" record —
-    * the 1:N explode shape of video frame sampling. */
+  /** REAL frame/pixel sampling (round 4 — replaces the byte-stride
+    * placeholder): the 1:N explode shape of media sampling, with every
+    * offset computed from the PARSED container layout rather than raw
+    * byte position:
+    *   - wav: every `stride`-th PCM FRAME; value = channel-0 signed
+    *     16-bit sample read little-endian at 44 + frame·blockAlign;
+    *   - ppm: every `stride`-th PIXEL in row-major order; value = the
+    *     RED byte at headerLen + 3·pixel (headerLen from the parsed
+    *     ASCII header);
+    *   - bmp: every `stride`-th pixel in TOP-LEFT row-major order;
+    *     value = the RED byte — BMP stores BOTTOM-UP BGR rows padded to
+    *     4-byte boundaries, so logical pixel (x, y) reads
+    *     54 + (h−1−y)·rowBytes + 3x + 2. Identical logical semantics
+    *     ("k-th pixel's red value") across both image formats even
+    *     though their byte layouts differ — that is the point.
+    * Malformed payloads yield zero frames rather than killing the job
+    * (the same per-asset isolation as [[decode]]; the bad asset still
+    * surfaces through extractFeatures' ok=false row). */
   def sampleFrames(assets: Dataset[Asset], stride: Int): DataFrame = {
     import assets.sparkSession.implicits._
+    val k = math.max(1, stride)
     assets.flatMap { a =>
-      a.payload.indices.by(math.max(1, stride)).map { off =>
-        (a.asset_id, off, a.payload(off).toInt & 0xff)
-      }
-    }.toDF("asset_id", "frame_offset", "sample_value")
+      try {
+        a.kind match {
+          case "wav" =>
+            val (n, _, ch, _) = decodeWav(a.payload)
+            val block = ch * 2
+            (0 until n by k).map { f =>
+              val off = 44 + f * block
+              val v = (((a.payload(off) & 0xff) | (a.payload(off + 1) << 8)).toShort).toInt
+              (a.asset_id, a.kind, f, v)
+            }
+          case "ppm" =>
+            val (w, h, _, _) = decodePpm(a.payload)
+            val headerLen = a.payload.length - w * h * 3
+            (0 until w * h by k).map { p =>
+              (a.asset_id, a.kind, p, a.payload(headerLen + 3 * p).toInt & 0xff)
+            }
+          case "bmp" =>
+            val (w, h, _, _) = decodeBmp(a.payload)
+            val rowBytes = (w * 3 + 3) / 4 * 4
+            (0 until w * h by k).map { p =>
+              val x = p % w
+              val y = p / w
+              val off = 54 + (h - 1 - y) * rowBytes + 3 * x + 2
+              (a.asset_id, a.kind, p, a.payload(off).toInt & 0xff)
+            }
+          case _ => Seq.empty
+        }
+      } catch { case _: Exception => Seq.empty }
+    }.toDF("asset_id", "kind", "frame_idx", "sample_value")
   }
 }

@@ -53,18 +53,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling: 1:N explode with stride, offsets in range") {
+  test("frame sampling: header-aware offsets, values match the generator exactly") {
+    import graft.core.Hashing
     val a = mm.assets(spark, sf)
-    val frames = mm.sampleFrames(a, stride = 16)
-    val byAsset = frames.groupBy(col("asset_id"))
-      .agg(count(lit(1)).as("n"), max(col("frame_offset")).as("maxo")).collect()
-    val sizes = mm.extractFeatures(a).collect()
-      .map(f => f.asset_id -> f.n_bytes).toMap
-    byAsset.foreach { r =>
-      val id = r.getLong(0)
-      val expect = (sizes(id) + 15) / 16
-      assert(r.getLong(1) === expect, s"asset $id frame count")
-      assert(r.getInt(2) < sizes(id))
+    val frames = mm.sampleFrames(a, stride = 16).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(frames.nonEmpty)
+    assert(Set("ppm", "bmp", "wav").subsetOf(frames.map(_._2).toSet))
+
+    // the generator fills payload bytes as pix(id, i) at data offset i —
+    // recompute the EXPECTED sampled value per format from the logical
+    // (frame/pixel) index through the container's real layout
+    def pix(id: Long, i: Int): Int =
+      (Hashing.xxHash64Long(id * 0x10001L + i, 0x4D4DL) & 0xff).toInt
+    val counts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    frames.foreach { case (id, kind, idx, value) =>
+      counts(id) += 1
+      kind match {
+        case "wav" =>
+          val block = mm.channelsOf(id) * 2
+          val lo = pix(id, idx * block)
+          val hi = pix(id, idx * block + 1)
+          val expect = ((lo | (hi << 8)).toShort).toInt
+          assert(value === expect, s"wav $id frame $idx")
+        case "ppm" =>
+          assert(value === pix(id, 3 * idx), s"ppm $id pixel $idx")
+        case "bmp" =>
+          val (w, h) = (mm.widthOf(id), mm.heightOf(id))
+          val rowBytes = (w * 3 + 3) / 4 * 4
+          val x = idx % w
+          val y = idx / w
+          // generator fills the BOTTOM-UP padded pixel array; RED is the
+          // third byte of a BGR pixel
+          val expect = pix(id, (h - 1 - y) * rowBytes + 3 * x + 2)
+          assert(value === expect, s"bmp $id pixel $idx")
+      }
+    }
+    // 1:N explode counts: ceil(frames-or-pixels / stride) per asset
+    counts.foreach { case (id, n) =>
+      val units = mm.kindOf(id) match {
+        case "wav" => mm.sampleCountOf(id)
+        case _ => mm.widthOf(id) * mm.heightOf(id)
+      }
+      assert(n === (units + 15) / 16, s"asset $id sampled-frame count")
     }
   }
 }
