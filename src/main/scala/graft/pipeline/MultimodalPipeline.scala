@@ -264,10 +264,14 @@ object MultimodalPipeline extends Serializable {
           case "bmp" =>
             val (w, h, _, _) = decodeBmp(a.payload)
             val rowBytes = (w * 3 + 3) / 4 * 4
+            // pixel array starts at the PARSED bfOffBits, not a
+            // hardcoded 54: decodeBmp accepts any header gap whose
+            // offset + rowBytes·h matches the payload length
+            val offBits = readIntLE(a.payload, 10)
             (0 until w * h by k).map { p =>
               val x = p % w
               val y = p / w
-              val off = 54 + (h - 1 - y) * rowBytes + 3 * x + 2
+              val off = offBits + (h - 1 - y) * rowBytes + 3 * x + 2
               (a.asset_id, a.kind, p, a.payload(off).toInt & 0xff)
             }
           case _ => Seq.empty

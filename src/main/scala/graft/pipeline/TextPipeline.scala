@@ -505,31 +505,37 @@ object TextPipeline {
     * words, bigram totals and the count of the single most repeated
     * bigram — all integers, so the DuckDB oracle reproduces every value
     * bit-for-bit (no float fractions cross the engine boundary; callers
-    * derive ratios downstream). 100 TB shape: the word/distinct columns
-    * are map-only (one split per row, its own projection); the
-    * max-bigram column is one explode → two-level aggregation on
-    * (doc_id, bigram) — inverted-index shuffle bounded by corpus token
-    * count, never by pairs. Word semantics match wsTokenCount's
-    * split-on-space exactly (empty tokens included — DuckDB
-    * string_split parity). Returns the input columns plus (n_words,
-    * n_distinct_words, n_bigrams, max_bigram_count). */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val base = docs
+    * derive ratios downstream). 100 TB shape: ENTIRELY MAP-ONLY — every
+    * signal, including max_bigram_count, depends only on the row's own
+    * word array, so the most-repeated-bigram count is computed per row
+    * as the longest equal run of the SORTED bigram array (array_sort +
+    * aggregate fold), with zero shuffle anywhere (an earlier draft
+    * exploded bigrams through two hash aggregations and a join — two
+    * corpus-token-count shuffles for a per-row quantity). Word
+    * semantics match wsTokenCount's split-on-space exactly (empty
+    * tokens included — DuckDB string_split parity). Returns the input
+    * columns plus (n_words, n_distinct_words, n_bigrams,
+    * max_bigram_count). */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
       .withColumn("__ws", split(col("text"), " "))
       .withColumn("n_words", size(col("__ws")))
       .withColumn("n_distinct_words", size(array_distinct(col("__ws"))))
       .withColumn("n_bigrams", greatest(col("n_words") - 1, lit(0)))
-    val bigrams = base.select(col("doc_id"),
-      explode(when(size(col("__ws")) >= 2,
-        expr("transform(sequence(1, size(__ws) - 1), " +
-          "i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"))
-        .otherwise(array().cast("array<string>"))).as("bg"))
-    val maxBg = bigrams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id")).agg(max(col("__c")).as("max_bigram_count"))
-    base.drop("__ws")
-      .join(maxBg, Seq("doc_id"), "left")
-      .withColumn("max_bigram_count", coalesce(col("max_bigram_count"), lit(0L)))
-  }
+      .withColumn("max_bigram_count", expr(
+        """aggregate(
+          |  array_sort(CASE WHEN size(__ws) >= 2
+          |    THEN transform(sequence(1, size(__ws) - 1),
+          |      i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))
+          |    ELSE CAST(array() AS array<string>) END),
+          |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+          |    CAST(0 AS BIGINT) AS best),
+          |  (acc, x) -> struct(x AS prev,
+          |    CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END AS run,
+          |    GREATEST(acc.best,
+          |      CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) AS best),
+          |  acc -> acc.best)""".stripMargin))
+      .drop("__ws")
 
   // ---------------------------------------------------------- PII scrub
   /** Conservative PII patterns shared verbatim by the Spark scrub and

@@ -263,14 +263,20 @@ object VectorPipeline {
     * 1.6·10^10-row shuffle for a per-row reduction, on the write-time
     * critical path of the index. */
   def ivfAssign(corpus: DataFrame, book: DataFrame): DataFrame = {
-    val cents: Array[(Long, Seq[Float])] = book
-      .select(col("centroid_id"), col("c_emb")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "cannot assign against an empty codebook")
+    val cents = collectBook(book)
     corpus.select(col("vec_id"), col("embedding"),
       graft.spark.catalyst.cosineArgmaxNative(col("embedding"),
         cents.map(_._1).toSeq, cents.map(_._2).toSeq).as("centroid_id"))
+  }
+
+  /** Driver-side codebook materialization shared by every assignment
+    * path (one definition, so the paths cannot drift). */
+  private def collectBook(book: DataFrame): Array[(Long, Seq[Float])] = {
+    val cents = book.select(col("centroid_id"), col("c_emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "cannot assign against an empty codebook")
+    cents
   }
 
   /** Two-level (coarse → fine) assignment — [[ivfAssign]]'s successor
@@ -280,20 +286,17 @@ object VectorPipeline {
     * (driver-side, deterministic, k rows — never the corpus); each row
     * scores the coarse book, then runs the exact fine argmax over only
     * the `probes` best coarse buckets: O((coarseK + probes·k/coarseK)
-    * ·dim) per row. Approximate routing — agreement with the flat
-    * argmax is measured and gated in TwoLevelAssignSpec (≥ 0.97 at
-    * probes=4 on this corpus), and `probes = coarseK` reproduces the
+    * ·dim) per row. Approximate routing — measured agreement with the
+    * flat argmax: 0.83 / 0.92 / 0.98 at probes 2/4/8 with coarseK=32,
+    * k=1024 (BENCH.md two-level table; TwoLevelAssignSpec gates ≥ 0.80
+    * at probes=2/coarseK=8), and `probes = coarseK` reproduces the
     * flat assignment exactly (bit-level, same spec). An IVF built on
     * two-level assignments keeps its recall: a mis-assignment moves a
     * vector to a nearly-tied neighboring list, the same kind of
     * boundary error nprobe > 1 already absorbs on the query side. */
   def ivfAssignTwoLevel(corpus: DataFrame, book: DataFrame,
       coarseK: Int, probes: Int): DataFrame = {
-    val cents: Array[(Long, Seq[Float])] = book
-      .select(col("centroid_id"), col("c_emb")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "cannot assign against an empty codebook")
+    val cents = collectBook(book)
     corpus.select(col("vec_id"), col("embedding"),
       graft.spark.catalyst.cosineArgmaxTwoLevelNative(col("embedding"),
         cents.map(_._1).toSeq, cents.map(_._2).toSeq, coarseK, probes).as("centroid_id"))
@@ -431,7 +434,16 @@ object VectorPipeline {
 
   /** Flat exact assignment — the default index routing mode. */
   private val AssignFlat = "flat"
-  private def assignMode2l(coarseK: Int, probes: Int) = s"2l:$coarseK:$probes"
+
+  /** Two-level mode string, VERSIONED like a codec byte: `v1` pins the
+    * whole coarse-training scheme (spherical k-means, init = first
+    * coarseK fine centroids in id order, 10 iterations, the tie rules)
+    * — not just the (coarseK, probes) numbers — because a book-free
+    * append retrains the coarse book from the mode string alone, and a
+    * silently changed trainer would scatter nearly-tied vectors
+    * differently than the build did. Changing ANY of that scheme means
+    * writing `2l:v2:...` and teaching the parser both. */
+  private def assignMode2l(coarseK: Int, probes: Int) = s"2l:v1:$coarseK:$probes"
 
   /** The codebook sidecar lives INSIDE the index directory (`_codebook`
     * — the underscore prefix keeps every Spark read of the index data
@@ -511,15 +523,19 @@ object VectorPipeline {
     mode
   }
 
-  /** Assignment dispatcher for a persisted mode string. */
+  /** Assignment dispatcher for a persisted mode string. Unknown modes
+    * AND unknown two-level trainer versions throw — an append must
+    * never guess at routing it cannot reproduce. */
   private def assignWithMode(corpus: DataFrame, book: DataFrame, mode: String): DataFrame =
     mode match {
       case AssignFlat => ivfAssign(corpus, book)
-      case s if s.startsWith("2l:") =>
-        val parts = s.stripPrefix("2l:").split(":")
+      case s if s.startsWith("2l:v1:") =>
+        val parts = s.stripPrefix("2l:v1:").split(":")
         ivfAssignTwoLevel(corpus, book, parts(0).toInt, parts(1).toInt)
       case other =>
-        throw new IllegalArgumentException(s"unknown index assignment mode '$other'")
+        throw new IllegalArgumentException(
+          s"unknown index assignment mode '$other' — this build cannot " +
+            "reproduce that routing; rebuild the index or upgrade")
     }
 
   /** Write the IVF index in the INVERTED-LIST layout: the assigned corpus

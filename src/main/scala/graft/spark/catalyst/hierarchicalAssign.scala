@@ -146,30 +146,51 @@ final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
       cScore(b) = dot / math.max(sx, 1e-12d)
       b += 1
     }
-    // top-w coarse buckets by (score desc, id asc): w is tiny, so a
-    // simple selection pass per slot stays allocation-free
+    // top-w NON-EMPTY coarse buckets by (score desc, id asc): k-means
+    // over the fine centroids routinely leaves a coarse centroid with
+    // zero members — probing its empty bucket would waste a slot and,
+    // at probes=1, could leave a valid vector with NO candidates (a
+    // null assignment that partitionBy would write to the default
+    // partition: silent, query-invisible data loss). w is tiny, so a
+    // selection pass per slot stays allocation-free. `best == -1`
+    // doubles as the all-NaN fallback: a NaN embedding scores NaN
+    // everywhere, every comparison is false, and the first unused
+    // non-empty bucket wins — mirroring the flat argmax, which
+    // TOLERATES NaN input (returns its first centroid) instead of
+    // crashing the job on one bad row.
     val chosen = new Array[Int](w)
     val used = new Array[Boolean](kc)
+    var nChosen = 0
     var s = 0
     while (s < w) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var c = 0
       while (c < kc) {
-        if (!used(c) && cScore(c) > bestScore) { bestScore = cScore(c); best = c }
+        if (!used(c) && buckets(c).length > 0 &&
+          (best == -1 || cScore(c) > bestScore)) {
+          bestScore = cScore(c)
+          best = c
+        }
         c += 1
       }
-      used(best) = true
-      chosen(s) = best
+      if (best >= 0) {
+        used(best) = true
+        chosen(nChosen) = best
+        nChosen += 1
+      }
       s += 1
     }
     // exact fine argmax over the probed buckets — CosineArgmax's exact
     // arithmetic, ORDER-INDEPENDENT tie-break (buckets visit fine
-    // centroids out of id order)
+    // centroids out of id order). `bestId == -1` admits the first
+    // scanned candidate even under NaN scores (flat-argmax parity:
+    // never null for a valid-shaped vector — k >= 1 fine centroids
+    // guarantee >= 1 non-empty bucket).
     var bestId = -1L
     var bestCos = Double.NegativeInfinity
     s = 0
-    while (s < w) {
+    while (s < nChosen) {
       val bucket = buckets(chosen(s))
       var j = 0
       while (j < bucket.length) {
@@ -179,7 +200,7 @@ final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
         var d = 0
         while (d < dim) { dot += (xv(d) * cv(d)).toDouble; d += 1 }
         val cos = dot / math.max(sx * fineNorms(c), 1e-12d)
-        if (cos > bestCos || (cos == bestCos && ids(c) < bestId)) {
+        if (bestId == -1L || cos > bestCos || (cos == bestCos && ids(c) < bestId)) {
           bestCos = cos
           bestId = ids(c)
         }
