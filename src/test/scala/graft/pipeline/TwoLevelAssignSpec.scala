@@ -85,6 +85,48 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     bf.unpersist(); book.unpersist(); emb.unpersist()
   }
 
+  test("empty coarse buckets never produce a null assignment (probes=1)") {
+    import spark.implicits._
+    // a codebook engineered so coarse k-means leaves empty clusters:
+    // all fine centroids point the same way, so every fine centroid
+    // lands in ONE coarse bucket and the other coarse slots stay empty
+    // (stale-centroid rule). probes=1 must still assign every vector —
+    // the pre-fix code could pick an empty bucket and emit null, which
+    // partitionBy would write to the default partition: silent,
+    // query-invisible data loss.
+    val dim = 8
+    val book = (0L until 16L).map { i =>
+      (i, Seq.tabulate(dim)(d => if (d == 0) 1f else 0.001f * i))
+    }.toDF("centroid_id", "c_emb")
+    val vecs = (0L until 200L).map { i =>
+      (i, Seq.tabulate(dim)(d => if (d == 0) 1f else 0.0005f * (i % 7)))
+    }.toDF("vec_id", "embedding")
+    val assigned = VectorPipeline.ivfAssignTwoLevel(vecs, book, coarseK = 4, probes = 1)
+    assert(assigned.filter(col("centroid_id").isNull).count() === 0L,
+      "a valid vector received a null assignment")
+    assert(assigned.count() === 200L)
+  }
+
+  test("NaN embeddings are tolerated like the flat argmax, not a task crash") {
+    import spark.implicits._
+    val book = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("centroid_id", "c_emb")
+    val rows = Seq(
+      (1L, Seq(Float.NaN, 1f)),
+      (2L, Seq(Float.PositiveInfinity, 1f)),
+      (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    // must not throw; NaN rows get SOME deterministic centroid (the
+    // flat argmax returns its first centroid under NaN — the contract
+    // is tolerate-and-route, never null, never AIOOBE)
+    val flat = VectorPipeline.ivfAssign(rows, book)
+      .orderBy(col("vec_id")).select(col("centroid_id")).collect().map(_.getLong(0))
+    val twoL = VectorPipeline.ivfAssignTwoLevel(rows, book, coarseK = 2, probes = 1)
+      .orderBy(col("vec_id")).select(col("centroid_id")).collect()
+    assert(twoL.forall(!_.isNullAt(0)), "NaN/Inf row got a null assignment")
+    // the clean row must agree with the flat argmax
+    assert(twoL(2).getLong(0) === flat(2))
+  }
+
   test("null contract parity with the flat expression") {
     import spark.implicits._
     val book = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("centroid_id", "c_emb")

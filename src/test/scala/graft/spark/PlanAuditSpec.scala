@@ -123,4 +123,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "SELECT graft_cms_estimate(graft_cms_agg(CAST(0.01 AS DOUBLE), CAST(0.01 AS DOUBLE), event_type), 'error') FROM ev")
     assert(q.head.getLong(0) >= 0L)
   }
+
+  test("repetitionSignals is exchange-free: per-row signals never shuffle") {
+    // every signal (incl. max_bigram_count via sorted-run fold) depends
+    // only on the row's own word array — the plan must contain NO
+    // Exchange (an earlier draft paid two corpus-token-count shuffles
+    // and a join for the max-bigram column)
+    val docs = graft.pipeline.TextPipeline.documents(spark, sf)
+    val rep = graft.pipeline.TextPipeline.repetitionSignals(docs)
+    rep.collect()
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionSignals plan contains a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"repetitionSignals plan contains a join:\n$plan")
+  }
 }
