@@ -208,14 +208,17 @@ object CheckpointedBuild {
 
 /** spark-submit entry:
   *   spark-submit --class graft.pipeline.SketchBuildJob <jar> \
-  *     <sfDir> <checkpointDir> <capacity> <fpp> [runId]
-  * Re-running after a failure resumes from the checkpoint. */
+  *     <sfDir> <checkpointDir> <capacity> <fpp> [runId] [numShards]
+  * Re-running after a failure resumes from the checkpoint; a resume
+  * with a numShards differing from the checkpoint's recorded count
+  * fails fast (the count is part of the routing contract). */
 object SketchBuildJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: SketchBuildJob <sfDir> <checkpointDir> <capacity> <fpp> [runId]")
+      "usage: SketchBuildJob <sfDir> <checkpointDir> <capacity> <fpp> [runId] [numShards]")
     val Array(sfDir, ckpt, capS, fppS) = args.take(4)
     val runId = if (args.length > 4) args(4) else java.util.UUID.randomUUID().toString
+    val numShards = if (args.length > 5) args(5).toInt else CheckpointedBuild.NumShards
     val builder = SparkSession.builder()
       .appName("graft-sketch-build")
       .config("spark.sql.adaptive.enabled", "true")
@@ -233,7 +236,8 @@ object SketchBuildJob {
         .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = graft.spark.Transcripts.load(spark, sfDir)
-    val (newly, total) = CheckpointedBuild.run(spark, t, ckpt, capS.toLong, fppS.toDouble, runId)
+    val (newly, total) = CheckpointedBuild.run(spark, t, ckpt, capS.toLong,
+      fppS.toDouble, runId, numShards)
     // ONE lineage pass for all four global sketches, merged executor-side
     val (sketch, hll, cms, theta) = CheckpointedBuild.finalSketches(spark, ckpt)
     // Locale.ROOT: the JSON stdout contract must not follow the JVM's
