@@ -789,6 +789,28 @@ object VectorPipeline {
         readIvfCodebook(spark, indexPath), queries, nprobe),
       corpus, queries, k, candMult * k)
 
+  /** Index observability: per-inverted-list row/file counts straight
+    * from the partitioned layout, plus the list's share of the corpus.
+    * List imbalance here is query-latency skew (a hot list dominates
+    * every probe that touches it — the signal that says "re-train the
+    * codebook" or "split the hot list"), and file counts surface
+    * append-driven fragmentation (many small files per list ⇒ compact).
+    * One scan of the index's (centroid_id) column — column pruning
+    * keeps payloads out of the read. */
+  def ivfIndexStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val rows = spark.read.parquet(indexPath)
+      // input_file_name() is non-deterministic and must be PROJECTED
+      // before it can feed an aggregate
+      .select(col("centroid_id"), input_file_name().as("__file"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("__file")).as("n_files"))
+    rows.crossJoin(broadcast(rows.agg(sum(col("n_vectors")).as("__total"))))
+      .select(col("centroid_id"), col("n_vectors"), col("n_files"),
+        (col("n_vectors") * 10000L / col("__total")).cast("long").as("share_bp"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Rank a scored candidate relation to per-query top-k. */
   def topKFromScored(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -229,6 +229,24 @@ class IvfIndexSpec extends AnyFunSuite {
     book.unpersist(); emb.unpersist()
   }
 
+  test("ivfIndexStats: per-list rows sum to the corpus, appends raise file counts") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val n = emb.count()
+    val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+    val path = "/tmp/graft_test_ivf_stats"
+    VectorPipeline.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), book, path)
+    VectorPipeline.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), path)
+    val stats = VectorPipeline.ivfIndexStats(spark, path).collect()
+    assert(stats.nonEmpty && stats.length <= 16)
+    assert(stats.map(_.getLong(1)).sum === n, "per-list rows must sum to the corpus")
+    // build + append ⇒ at least one list carries files from both writes
+    assert(stats.exists(_.getLong(2) >= 2L), "appends should fragment some list")
+    // shares in basis points sum to ~10000 (integer division truncates)
+    val shares = stats.map(_.getLong(3)).sum
+    assert(shares >= 10000L - 16L && shares <= 10000L)
+    book.unpersist(); emb.unpersist()
+  }
+
   test("probed scan is partition-pruned: only probed lists' files are read") {
     val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001").cache()
     val book = VectorPipeline.trainedCodebook(emb, 16).cache()
