@@ -394,8 +394,11 @@ object PipelineEntries {
     // (a) bit-determinism across a reshuffled input; (b) k=64 routing
     // recall well above the probed fraction at two depths (random
     // pruning ⇒ recall ≈ nprobe/64; floors from BENCH.md's measured
-    // 0.755/0.905); (c) the codebook drives the persisted-index path
-    // end-to-end (write → sidecar → book-free probe).
+    // 0.755/0.905 with ~0.92+ two-level agreement on top); (c) the
+    // codebook drives the persisted-index path end-to-end — and the
+    // index is built with the TWO-LEVEL assignment (coarseK=8,
+    // probes=4), so the large-k write path (mode sidecar, book-free
+    // probes, recall preservation) is oracle-gated, not just spec'd.
     "q46_codebook_distributed" -> ((s, dir) => {
       import s.implicits._
       val emb = VectorPipeline.embeddings(s, dir).cache()
@@ -411,7 +414,7 @@ object PipelineEntries {
         .select(col("q_id"), col("n_id")).cache()
       val ixPath = s"/tmp/graft_q46_ivf_index_${java.util.UUID.randomUUID()}"
       try {
-        VectorPipeline.writeIvfIndex(emb, book, ixPath)
+        VectorPipeline.writeIvfIndexTwoLevel(emb, book, ixPath, coarseK = 8, probes = 4)
         val scored = VectorPipeline
           .ivfScoredCandidatesFromIndex(s, ixPath, queries, 32).cache()
         def recallAt(nprobe: Int): Double = {
