@@ -798,6 +798,7 @@ object VectorPipeline {
     * One scan of the index's (centroid_id) column — column pruning
     * keeps payloads out of the read. */
   def ivfIndexStats(spark: SparkSession, indexPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rows = spark.read.parquet(indexPath)
       // input_file_name() is non-deterministic and must be PROJECTED
       // before it can feed an aggregate
@@ -805,9 +806,12 @@ object VectorPipeline {
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("__file")).as("n_files"))
-    rows.crossJoin(broadcast(rows.agg(sum(col("n_vectors")).as("__total"))))
-      .select(col("centroid_id"), col("n_vectors"), col("n_files"),
-        (col("n_vectors") * 10000L / col("__total")).cast("long").as("share_bp"))
+    // corpus total as an unpartitioned window sum over the ALREADY
+    // AGGREGATED ≤ ncentroids rows — a crossJoin against rows.agg(...)
+    // would re-run the whole per-centroid aggregation on its branch
+    rows
+      .withColumn("share_bp", (col("n_vectors") * 10000L /
+        sum(col("n_vectors")).over(Window.partitionBy())).cast("long"))
       .orderBy(col("centroid_id"))
   }
 

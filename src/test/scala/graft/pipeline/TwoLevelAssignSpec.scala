@@ -113,7 +113,10 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, Seq(Float.NaN, 1f)),
       (2L, Seq(Float.PositiveInfinity, 1f)),
-      (3L, Seq(0.5f, 0.5f)))
+      // NOT (0.5, 0.5): that is an exact tie between the two centroids
+      // and would ride on both implementations breaking a float tie
+      // identically rather than testing agreement on a clean vector
+      (3L, Seq(0.9f, 0.1f)))
       .toDF("vec_id", "embedding")
     // must not throw; NaN rows get SOME deterministic centroid (the
     // flat argmax returns its first centroid under NaN — the contract
