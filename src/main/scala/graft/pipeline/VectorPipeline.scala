@@ -815,6 +815,23 @@ object VectorPipeline {
       .orderBy(col("centroid_id"))
   }
 
+  /** Compact a fragmented index into `destPath`: appends accrete small
+    * files per inverted list ([[ivfIndexStats]]' n_files is the
+    * signal); compaction shuffles each list onto one task and rewrites
+    * it as coalesced files, then reinstalls the SAME codebook sidecar
+    * (fingerprint and assignment mode travel unchanged — compaction is
+    * a physical rewrite, never a re-route). Writes to a NEW path on
+    * purpose: an in-place delete-and-rename is not atomic on object
+    * stores, so the swap is the caller's metadata flip (point readers
+    * at destPath, then retire srcPath). destPath must not exist. */
+  def compactIvfIndex(spark: SparkSession, srcPath: String, destPath: String): Unit = {
+    val (book, mode) = readVerifiedSidecar(spark, srcPath)
+    spark.read.parquet(srcPath)
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("errorifexists").parquet(destPath)
+    writeCodebookSidecar(book, destPath, mode)
+  }
+
   /** Rank a scored candidate relation to per-query top-k. */
   def topKFromScored(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

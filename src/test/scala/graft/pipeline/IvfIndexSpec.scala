@@ -244,6 +244,28 @@ class IvfIndexSpec extends AnyFunSuite {
     // shares in basis points sum to ~10000 (integer division truncates)
     val shares = stats.map(_.getLong(3)).sum
     assert(shares >= 10000L - 16L && shares <= 10000L)
+
+    // COMPACTION: one task per list ⇒ one file per list at the dest,
+    // identical rows, identical probes, sidecar carried verbatim
+    val dest = "/tmp/graft_test_ivf_stats_compacted"
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    destP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(destP, true)
+    VectorPipeline.compactIvfIndex(spark, path, dest)
+    val cStats = VectorPipeline.ivfIndexStats(spark, dest).collect()
+    assert(cStats.forall(_.getLong(2) === 1L),
+      s"compacted lists must be one file each: ${cStats.map(_.getLong(2)).mkString(",")}")
+    assert(cStats.map(_.getLong(1)).sum === n)
+    val queries = emb.filter(col("vec_id") < 20)
+    val a = VectorPipeline.ivfTopKFromIndex(spark, path, queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    val b = VectorPipeline.ivfTopKFromIndex(spark, dest, queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compacted index must answer identically")
+    assert(VectorPipeline.codebookFingerprint(VectorPipeline.readIvfCodebook(spark, dest)) ===
+      VectorPipeline.codebookFingerprint(book))
+    // refuses to clobber an existing destination
+    intercept[Exception](VectorPipeline.compactIvfIndex(spark, path, dest))
     book.unpersist(); emb.unpersist()
   }
 
