@@ -130,6 +130,48 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     assert(twoL(2).getLong(0) === flat(2))
   }
 
+  test("kernel property sweep: full probes == reference argmax; partial probes always valid") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(421)
+    // independent reference argmax (same arithmetic contract, written
+    // here — shares no code with the assigner)
+    def refArgmax(ids: Array[Long], mat: Array[Array[Float]], x: Array[Float]): Long = {
+      val sx = math.sqrt(x.map(f => (f * f).toDouble).sum)
+      var bestId = ids(0)
+      var best = Double.NegativeInfinity
+      mat.indices.foreach { c =>
+        var dot = 0.0d
+        x.indices.foreach(d => dot += (x(d) * mat(c)(d)).toDouble)
+        val n = math.sqrt(mat(c).map(f => (f * f).toDouble).sum)
+        val cos = dot / math.max(sx * n, 1e-12d)
+        if (cos > best) { best = cos; bestId = ids(c) }
+      }
+      bestId
+    }
+    (0 until 200).foreach { case_ =>
+      val dim = 2 + rnd.nextInt(14)
+      val k = 1 + rnd.nextInt(20)
+      val coarseK = 1 + rnd.nextInt(6)
+      val ids = Array.tabulate(k)(_.toLong)
+      val mat = Array.fill(k)(Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4f))
+      val full = new graft.spark.catalyst.TwoLevelAssigner(ids, mat, coarseK,
+        probes = coarseK)
+      val partial = new graft.spark.catalyst.TwoLevelAssigner(ids, mat, coarseK,
+        probes = 1)
+      (0 until 10).foreach { _ =>
+        val x = Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4f)
+        val xa = new GenericArrayData(x.map(f => f: Any))
+        val got = full.assign(xa)
+        assert(got != null, s"case $case_: full-probe assign returned null")
+        assert(got.longValue() === refArgmax(ids, mat, x),
+          s"case $case_ (dim=$dim k=$k coarseK=$coarseK): full-probe != reference argmax")
+        val p = partial.assign(xa)
+        assert(p != null && ids.contains(p.longValue()),
+          s"case $case_: partial-probe assign invalid")
+      }
+    }
+  }
+
   test("null contract parity with the flat expression") {
     import spark.implicits._
     val book = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("centroid_id", "c_emb")
