@@ -140,11 +140,15 @@ object CheckpointedBuild {
   }
 
   /** Per-shard lineage table (latest record per shard wins on re-runs). */
-  def lineage(spark: SparkSession, checkpointDir: String): DataFrame = {
+  def lineage(spark: SparkSession, checkpointDir: String): DataFrame =
+    lineageOf(spark.read.parquet(checkpointDir))
+
+  /** Lineage over an already-opened checkpoint frame (one footer/
+    * listing pass — see numShardsOf). */
+  private def lineageOf(ck: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("built_at_ms").desc, col("run_id").desc)
-    spark.read.parquet(checkpointDir)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    ck.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
   /** Fold EVERY per-shard sketch into its global counterpart in ONE
@@ -181,22 +185,27 @@ object CheckpointedBuild {
     * exists as one object, probes route to their shard's blob. Returns
     * the (conv_id, turn_idx, …) probe rows that might be contained. */
   def probeShards(spark: SparkSession, checkpointDir: String, probes: DataFrame,
-      convId: org.apache.spark.sql.Column, turnIdx: org.apache.spark.sql.Column): DataFrame =
+      convId: org.apache.spark.sql.Column, turnIdx: org.apache.spark.sql.Column): DataFrame = {
     // shard count comes from the CHECKPOINT (its recorded routing
-    // contract), never from a caller argument that could drift from it
-    probeShardTable(lineage(spark, checkpointDir).select(col("shard"), col("sketch")),
-      "shard", "sketch", checkpointNumShards(spark, checkpointDir),
+    // contract), never from a caller argument that could drift from it;
+    // ONE open serves both the lineage and the count (the checkpointDir
+    // is remote in deployment — no second footer/listing pass)
+    val ck = spark.read.parquet(checkpointDir)
+    probeShardTable(lineageOf(ck).select(col("shard"), col("sketch")),
+      "shard", "sketch", numShardsOf(ck, checkpointDir),
       probes, convId, convId, turnIdx)
+  }
 
   /** Verify the checkpoint against current input: recompute per-shard
     * (rows, fingerprint) and flag shards whose input changed since build. */
   def staleShards(spark: SparkSession, transcripts: DataFrame, checkpointDir: String): DataFrame = {
+    val ck = spark.read.parquet(checkpointDir) // one open for count + lineage
     val current = transcripts
-      .withColumn("shard", shardExpr(checkpointNumShards(spark, checkpointDir)))
+      .withColumn("shard", shardExpr(numShardsOf(ck, checkpointDir)))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("rows_now"),
         expr("bit_xor(xxhash64(conv_id, turn_idx))").as("fp_now"))
-    lineage(spark, checkpointDir)
+    lineageOf(ck)
       .join(current, Seq("shard"), "full_outer")
       .filter(col("input_rows").isNull || col("rows_now").isNull ||
         col("input_rows") =!= col("rows_now") ||

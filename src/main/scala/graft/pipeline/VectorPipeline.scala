@@ -417,9 +417,10 @@ object VectorPipeline {
     * verified on every append and probe. Driver-side collect is fine:
     * the codebook is tiny by construction. */
   def codebookFingerprint(book: DataFrame): Long = {
-    val cents = book.select(col("centroid_id"), col("c_emb")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-    require(cents.nonEmpty, "cannot fingerprint an empty codebook")
+    // the SAME materialization as every assignment path (collectBook) —
+    // the fingerprint guards against routing drift, so it must not be
+    // able to drift from the thing it guards
+    val cents = collectBook(book)
     var h = 0x49564643L // 'IVFC'
     cents.foreach { case (id, emb) =>
       h = Hashing.xxHash64Long(id, h)

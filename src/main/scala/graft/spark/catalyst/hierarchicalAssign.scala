@@ -183,11 +183,13 @@ final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
     }
     // exact fine argmax over the probed buckets — CosineArgmax's exact
     // arithmetic, ORDER-INDEPENDENT tie-break (buckets visit fine
-    // centroids out of id order). `bestId == -1` admits the first
-    // scanned candidate even under NaN scores (flat-argmax parity:
-    // never null for a valid-shaped vector — k >= 1 fine centroids
-    // guarantee >= 1 non-empty bucket).
-    var bestId = -1L
+    // centroids out of id order). The unset sentinel is an ARRAY INDEX
+    // (-1), never an id value: centroid ids are caller data and may be
+    // negative (the flat argmax handles them — this path must too).
+    // `bestIdx == -1` admits the first scanned candidate even under NaN
+    // scores (flat-argmax parity: never null for a valid-shaped vector
+    // — k >= 1 fine centroids guarantee >= 1 non-empty bucket).
+    var bestIdx = -1
     var bestCos = Double.NegativeInfinity
     s = 0
     while (s < nChosen) {
@@ -200,15 +202,49 @@ final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
         var d = 0
         while (d < dim) { dot += (xv(d) * cv(d)).toDouble; d += 1 }
         val cos = dot / math.max(sx * fineNorms(c), 1e-12d)
-        if (bestId == -1L || cos > bestCos || (cos == bestCos && ids(c) < bestId)) {
+        if (bestIdx == -1 || cos > bestCos || (cos == bestCos && ids(c) < ids(bestIdx))) {
           bestCos = cos
-          bestId = ids(c)
+          bestIdx = c
         }
         j += 1
       }
       s += 1
     }
-    if (bestId < 0) null else java.lang.Long.valueOf(bestId)
+    if (bestIdx < 0) null else java.lang.Long.valueOf(ids(bestIdx))
+  }
+}
+
+object TwoLevelAssigner {
+  /** Executor-side construction memo keyed by a content hash of
+    * (ids, matrix, coarseK, probes): the INTERPRETED eval path
+    * deserializes a fresh expression per task, and a bare lazy val
+    * would re-run the coarse k-means (trainIters·k·coarseK·dim flops —
+    * at the large-k regime this expression targets, more setup per
+    * task than the assignment work it saves). The codegen path never
+    * needs this (doGenCode forces training once on the DRIVER and
+    * ships the finished assigner in the reference array), but
+    * FALLBACK/interpreted mode must not retrain per task. Bounded +
+    * cleared wholesale (live codebooks per executor JVM are few);
+    * 64-bit content-hash collisions are ignorable at that count. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, TwoLevelAssigner]()
+
+  def cached(ids: Array[Long], mat: Array[Array[Float]],
+      coarseK: Int, probes: Int): TwoLevelAssigner = {
+    var h = graft.core.Hashing.xxHash64Long(coarseK.toLong << 32 | (probes & 0xFFFFFFFFL), 0x324CL)
+    var i = 0
+    while (i < ids.length) {
+      h = graft.core.Hashing.xxHash64Long(ids(i), h)
+      val row = mat(i)
+      var d = 0
+      while (d < row.length) {
+        h = graft.core.Hashing.xxHash64Long(
+          java.lang.Float.floatToIntBits(row(d)).toLong & 0xFFFFFFFFL, h)
+        d += 1
+      }
+      i += 1
+    }
+    if (cache.size > 64) cache.clear()
+    cache.computeIfAbsent(h, _ => new TwoLevelAssigner(ids, mat, coarseK, probes))
   }
 }
 
@@ -217,8 +253,10 @@ final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
   * null/dim-mismatch/null-element input), approximate routing unless
   * probes = coarseK. The assigner (with its trained coarse book and
   * buckets) ships to executors inside the expression like a broadcast
-  * closure; codegen calls it through a reference object, keeping the
-  * enclosing projection inside whole-stage codegen. */
+  * closure on the codegen path, and is built at most once per executor
+  * JVM per codebook on the interpreted path (construction memo above);
+  * codegen calls it through a reference object, keeping the enclosing
+  * projection inside whole-stage codegen. */
 case class CosineArgmaxTwoLevel(child: org.apache.spark.sql.catalyst.expressions.Expression,
     centroidIds: Seq[Long], centroids: Seq[Seq[Float]], coarseK: Int, probes: Int)
   extends UnaryExpression {
@@ -244,7 +282,7 @@ case class CosineArgmaxTwoLevel(child: org.apache.spark.sql.catalyst.expressions
       s"$prettyName takes an array<float> column, got ${other.catalogString}")
   }
 
-  @transient private lazy val assigner = new TwoLevelAssigner(
+  @transient private lazy val assigner = TwoLevelAssigner.cached(
     centroidIds.toArray, centroids.map(_.toArray).toArray, coarseK, probes)
 
   override def nullSafeEval(a: Any): Any =
