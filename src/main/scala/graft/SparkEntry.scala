@@ -271,6 +271,73 @@ object SparkEntry {
       Seq((n, countOk, fppOk)).toDF("exact_n", "count_est_ok", "fpp_le_bound")
     }),
 
+    // Theta sketches COMPOSED ACROSS WINDOWS (round 4): the windowed
+    // streaming state carries one theta per window precisely so that
+    // "convs NEW this window / RETAINED from the previous one" is a
+    // sketch-level set expression — this query proves that composition
+    // end to end. Per 6h tumbling window: theta over conv_id;
+    // consecutive pairs meet through a window-start self-join
+    // (join-shaped — plan width independent of window count); per-window
+    // difference/intersect estimates are gated at the published KMV
+    // set-expression bound (θ=1 exact mode at these SFs makes the gates
+    // tight), and the exact flux totals are DuckDB-anchored integers
+    // (EXCEPT/INTERSECT on the distinct (window, conv) relation).
+    "q49_window_theta_flux" -> ((s, dir) => {
+      import s.implicits._
+      import graft.spark.catalyst._
+      val t = Transcripts.load(s, dir)
+      val wt = t.withColumn("ws",
+        window(col("ts").cast("timestamp"), "6 hours").getField("start")).cache()
+      val perWin = wt.groupBy(col("ws"))
+        .agg(thetaAggNative(col("conv_id")).as("th"))
+      val prevW = perWin.select((col("ws") + expr("INTERVAL 6 HOURS")).as("ws"),
+        col("th").as("th_prev"))
+      // exact flux on the distinct (window, conv) relation — anti/semi
+      // joins, no sketch on this side (it is the verifier)
+      val wc = wt.select(col("ws"), col("conv_id")).distinct().cache()
+      val prevC = wc.select((col("ws") + expr("INTERVAL 6 HOURS")).as("ws"), col("conv_id"))
+      val curEx = wc.groupBy(col("ws")).agg(count(lit(1)).as("n_cur"))
+      val prevEx = curEx.select((col("ws") + expr("INTERVAL 6 HOURS")).as("ws"),
+        col("n_cur").as("n_prev"))
+      val newEx = wc.join(prevC, Seq("ws", "conv_id"), "left_anti")
+        .groupBy(col("ws")).agg(count(lit(1)).as("n_new"))
+      val retEx = wc.join(prevC, Seq("ws", "conv_id"), "left_semi")
+        .groupBy(col("ws")).agg(count(lit(1)).as("n_ret"))
+      val estNewUdf = udf((cur: Array[Byte], prev: Array[Byte]) =>
+        if (prev == null) math.round(SketchCodec.decodeTheta(cur).estimate)
+        else math.round(SketchCodec.decodeTheta(cur)
+          .difference(SketchCodec.decodeTheta(prev)).estimate))
+      val estRetUdf = udf((cur: Array[Byte], prev: Array[Byte]) =>
+        if (prev == null) 0L
+        else math.round(SketchCodec.decodeTheta(cur)
+          .intersect(SketchCodec.decodeTheta(prev)).estimate))
+      val joined = perWin.join(prevW, Seq("ws"), "left")
+        .join(curEx, Seq("ws"))
+        .join(prevEx, Seq("ws"), "left")
+        .join(newEx, Seq("ws"), "left")
+        .join(retEx, Seq("ws"), "left")
+        .select(col("ws"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+          (col("n_cur") + coalesce(col("n_prev"), lit(0L))).as("n_union_ub"),
+          estNewUdf(col("th"), col("th_prev")).as("est_new"),
+          estRetUdf(col("th"), col("th_prev")).as("est_ret"))
+      // q31's KMV set-expression model: sd(X̂) ≤ √(|X|·|U|/k); 5σ + 1
+      // rounding slack per window (θ=1 exact mode here ⇒ est == exact)
+      val kTheta = ThetaSketch.DefaultK
+      def slackCol(x: org.apache.spark.sql.Column) =
+        sqrt(x.cast("double") * col("n_union_ub") / kTheta) * 5 + 1
+      val bad = joined.filter(
+        abs(col("est_new") - col("n_new")) > slackCol(col("n_new")) ||
+          abs(col("est_ret") - col("n_ret")) > slackCol(col("n_ret"))).count()
+      val agg = joined.agg(count(lit(1)).as("w"),
+        coalesce(sum(col("n_new")), lit(0L)).as("tn"),
+        coalesce(sum(col("n_ret")), lit(0L)).as("tr")).head
+      wt.unpersist(); wc.unpersist()
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), bad == 0L))
+        .toDF("n_windows", "total_new", "total_retained", "flux_within_bound")
+    }),
+
     // Theta (KMV) sketch: distinct counts under SET ALGEBRA — the
     // cardinality analogue of the reference's union/intersect pair
     // (km_bloom_filter.rs:184–263), plus difference (impossible on Bloom
@@ -659,6 +726,17 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN turn_idx % 2 = 0 AND turn_idx > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_even, " +
         "CAST(SUM(CASE WHEN turn_idx % 2 = 1 AND turn_idx <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_early, " +
         "true AS union_ok, true AS intersect_ok, true AS difference_ok FROM transcripts"),
+    "q49_window_theta_flux" ->
+      (s"""$C, wc AS (SELECT DISTINCT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS ws,
+         |  conv_id FROM transcripts),
+         |prev AS (SELECT ws + INTERVAL 6 HOUR AS ws, conv_id FROM wc)
+         |SELECT CAST((SELECT COUNT(DISTINCT ws) FROM wc) AS BIGINT) AS n_windows,
+         |CAST((SELECT COUNT(*) FROM (SELECT ws, conv_id FROM wc EXCEPT
+         |  SELECT ws, conv_id FROM prev) x) AS BIGINT) AS total_new,
+         |CAST((SELECT COUNT(*) FROM (SELECT ws, conv_id FROM wc INTERSECT
+         |  SELECT ws, conv_id FROM prev) y) AS BIGINT) AS total_retained,
+         |true AS flux_within_bound"""
+        .stripMargin.replace("\n", " ")),
     "q32_bottomk_sample" ->
       (s"$C SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conv, " +
         "CAST(LEAST(256, COUNT(DISTINCT conv_id)) AS BIGINT) AS sample_size, " +
