@@ -303,14 +303,17 @@ object SparkEntry {
         .groupBy(col("ws")).agg(count(lit(1)).as("n_new"))
       val retEx = wc.join(prevC, Seq("ws", "conv_id"), "left_semi")
         .groupBy(col("ws")).agg(count(lit(1)).as("n_ret"))
-      val estNewUdf = udf((cur: Array[Byte], prev: Array[Byte]) =>
-        if (prev == null) math.round(SketchCodec.decodeTheta(cur).estimate)
-        else math.round(SketchCodec.decodeTheta(cur)
-          .difference(SketchCodec.decodeTheta(prev)).estimate))
-      val estRetUdf = udf((cur: Array[Byte], prev: Array[Byte]) =>
-        if (prev == null) 0L
-        else math.round(SketchCodec.decodeTheta(cur)
-          .intersect(SketchCodec.decodeTheta(prev)).estimate))
+      // Set-expression estimates COMPOSED from the registered theta
+      // functions (round-5: the previous ad-hoc UDFs duplicated
+      // thetaDifference/thetaIntersect). Null th_prev (first window)
+      // propagates null through the set ops ⇒ coalesce to the
+      // "everything is new / nothing retained" base case.
+      def estNewCol(cur: Column, prev: Column): Column =
+        round(coalesce(gf.thetaEstimate(gf.thetaDifference(cur, prev)),
+          gf.thetaEstimate(cur))).cast("long")
+      def estRetCol(cur: Column, prev: Column): Column =
+        round(coalesce(gf.thetaEstimate(gf.thetaIntersect(cur, prev)),
+          lit(0.0))).cast("long")
       val joined = perWin.join(prevW, Seq("ws"), "left")
         .join(curEx, Seq("ws"))
         .join(prevEx, Seq("ws"), "left")
@@ -320,21 +323,25 @@ object SparkEntry {
           coalesce(col("n_new"), lit(0L)).as("n_new"),
           coalesce(col("n_ret"), lit(0L)).as("n_ret"),
           (col("n_cur") + coalesce(col("n_prev"), lit(0L))).as("n_union_ub"),
-          estNewUdf(col("th"), col("th_prev")).as("est_new"),
-          estRetUdf(col("th"), col("th_prev")).as("est_ret"))
+          estNewCol(col("th"), col("th_prev")).as("est_new"),
+          estRetCol(col("th"), col("th_prev")).as("est_ret"))
       // q31's KMV set-expression model: sd(X̂) ≤ √(|X|·|U|/k); 5σ + 1
       // rounding slack per window (θ=1 exact mode here ⇒ est == exact)
       val kTheta = ThetaSketch.DefaultK
       def slackCol(x: org.apache.spark.sql.Column) =
         sqrt(x.cast("double") * col("n_union_ub") / kTheta) * 5 + 1
-      val bad = joined.filter(
+      // ONE action over the five-join DAG: the bound-violation count is
+      // folded into the same aggregation as the totals (round-5 fix — the
+      // previous separate filter().count() re-evaluated the whole DAG).
+      val violates =
         abs(col("est_new") - col("n_new")) > slackCol(col("n_new")) ||
-          abs(col("est_ret") - col("n_ret")) > slackCol(col("n_ret"))).count()
+          abs(col("est_ret") - col("n_ret")) > slackCol(col("n_ret"))
       val agg = joined.agg(count(lit(1)).as("w"),
         coalesce(sum(col("n_new")), lit(0L)).as("tn"),
-        coalesce(sum(col("n_ret")), lit(0L)).as("tr")).head
+        coalesce(sum(col("n_ret")), lit(0L)).as("tr"),
+        coalesce(sum(when(violates, 1L).otherwise(0L)), lit(0L)).as("bad")).head
       wt.unpersist(); wc.unpersist()
-      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), bad == 0L))
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3) == 0L))
         .toDF("n_windows", "total_new", "total_retained", "flux_within_bound")
     }),
 
@@ -362,22 +369,20 @@ object SparkEntry {
         .groupBy(col("ga"), col("gb"))
         .agg(thetaAggNative(col("conv_id"), col("turn_idx")).as("s"),
           count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
-          (r.getAs[Array[Byte]]("s"), r.getLong(3))).toMap
-      def cellCount(k: (Int, Int)): Long = cells.get(k).map(_._2).getOrElse(0L)
-      val nBoth = cellCount((0, 0))
-      val nOnlyA = cellCount((0, 1))
-      val nOnlyB = cellCount((1, 0))
-      val nTurns = nBoth + nOnlyA + nOnlyB + cellCount((1, 1))
-      def union(blobKeys: Seq[(Int, Int)]): ThetaSketch =
-        blobKeys.flatMap(cells.get).map(c => SketchCodec.decodeTheta(c._1))
-          .foldLeft(ThetaSketch())((acc, x) => acc.mergeInPlace(x))
-      val a = union(Seq((0, 0), (0, 1)))      // A = even ∩ (≤30 ∪ >30)
-      val b = union(Seq((0, 0), (1, 0)))      // B = ≤30
-      val estU = union(Seq((0, 0), (0, 1), (1, 0))).estimate
-      val estI = a.intersect(b).estimate
-      val estAB = a.difference(b).estimate
-      val estBA = b.difference(a).estimate
+      // JOIN-SHAPED gate (round 5, the q45 pattern): the 2x2 cells never
+      // reach the driver. A second tiny aggregation pivots them into ONE
+      // row of blobs + counters (sketchMergeAgg skips the null branch of
+      // each when() mask), and the set algebra runs as the registered
+      // theta column functions over that row — the driver only ever sees
+      // the final booleans + counters, at ANY cell cardinality.
+      def cellBlob(a: Int, b: Int) =
+        sketchMergeAgg(when(col("ga") === a && col("gb") === b, col("s")))
+      def cellN(a: Int, b: Int) =
+        coalesce(sum(when(col("ga") === a && col("gb") === b, col("n"))), lit(0L))
+      val one = cells.agg(
+        cellBlob(0, 0).as("s00"), cellBlob(0, 1).as("s01"), cellBlob(1, 0).as("s10"),
+        cellN(0, 0).as("n_both"), cellN(0, 1).as("n_only_even"),
+        cellN(1, 0).as("n_only_early"), cellN(1, 1).as("n_neither"))
       // Published KMV/theta error model (Theta-Sketch Framework, Dasgupta
       // et al. 2016 — see PAPERS.md): the union estimate has
       // sd ≈ |U|/√k; a set-expression result X (intersection/difference)
@@ -386,16 +391,27 @@ object SparkEntry {
       // quantity's own bound (exact mode θ=1 ⇒ estimates exact, gates
       // trivially satisfied).
       val k = ThetaSketch.DefaultK
-      val nU = nBoth + nOnlyA + nOnlyB
-      def slack(x: Long): Double =
-        5 * math.sqrt(math.max(x, 1L).toDouble * math.max(nU, 1L).toDouble / k) + 1e-9
-      val slackU = 5 * math.max(nU, 1L).toDouble / math.sqrt(k.toDouble) + 1e-9
-      Seq((nTurns, nBoth, nOnlyA, nOnlyB,
-        math.abs(estU - nU) <= slackU,
-        math.abs(estI - nBoth) <= slack(nBoth),
-        math.abs(estAB - nOnlyA) <= slack(nOnlyA) && math.abs(estBA - nOnlyB) <= slack(nOnlyB)))
-        .toDF("n_turns", "n_both", "n_only_even", "n_only_early",
-          "union_ok", "intersect_ok", "difference_ok")
+      // unions of possibly-absent cells: thetaUnion null-propagates, so
+      // coalesce down to whichever side exists (empty cell ⇒ null blob)
+      def unionC(x: Column, y: Column) = coalesce(gf.thetaUnion(x, y), x, y)
+      val aCol = unionC(col("s00"), col("s01")) // A = even
+      val bCol = unionC(col("s00"), col("s10")) // B = ≤30
+      val nU = col("n_both") + col("n_only_even") + col("n_only_early")
+      def estOf(c: Column) = coalesce(gf.thetaEstimate(c), lit(0.0))
+      def slackC(x: Column) =
+        sqrt(greatest(x, lit(1L)).cast("double") *
+          greatest(nU, lit(1L)).cast("double") / k) * 5 + lit(1e-9)
+      val slackU = greatest(nU, lit(1L)).cast("double") * (5.0 / math.sqrt(k.toDouble)) + lit(1e-9)
+      one.select(
+        (nU + col("n_neither")).as("n_turns"),
+        col("n_both"), col("n_only_even"), col("n_only_early"),
+        (abs(estOf(unionC(aCol, col("s10"))) - nU.cast("double")) <= slackU).as("union_ok"),
+        (abs(estOf(gf.thetaIntersect(aCol, bCol)) - col("n_both").cast("double"))
+          <= slackC(col("n_both"))).as("intersect_ok"),
+        (abs(estOf(gf.thetaDifference(aCol, bCol)) - col("n_only_even").cast("double"))
+          <= slackC(col("n_only_even")) &&
+         abs(estOf(gf.thetaDifference(bCol, aCol)) - col("n_only_early").cast("double"))
+          <= slackC(col("n_only_early"))).as("difference_ok"))
     }),
 
     // Bottom-k distinct sample: deterministic uniform sampling of
@@ -502,35 +518,33 @@ object SparkEntry {
       val cells = t.rollup(col("role"), col("tool"))
         .agg(hllAggNative(col("conv_id")).as("sk"), count(lit(1)).as("n"),
           grouping_id().as("gid"))
-        .cache()
       val leaves = cells.filter(col("gid") === 0)
       val roleCells = cells.filter(col("gid") === 1)
       // parent ≡ merge of children, per role (executor-side fold)
       val mergedPerRole = leaves.groupBy(col("role"))
         .agg(sketchMergeAgg(col("sk")).as("msk"), sum(col("n")).as("mn"))
-      val blobEq = udf((a: Array[Byte], b: Array[Byte]) =>
-        a != null && b != null && java.util.Arrays.equals(a, b))
       val exact = t.groupBy(col("role"))
         .agg(countDistinct(col("conv_id")).as("exact_distinct"))
-      val estUdf = udf((b: Array[Byte]) => math.round(SketchCodec.decodeHll(b).estimate))
+      // JOIN-SHAPED gates (round 5, the q45 pattern): bit-identity is a
+      // native binary comparison inside the join, the estimate gate uses
+      // the registered hll_estimate column, and the grand-total identity
+      // is a 1×1 cross join — NOTHING is collected; the rollup shuffle
+      // is planned once and reused across the branches (ReusedExchange).
       val perRole = roleCells.join(mergedPerRole, "role").join(exact, "role")
         .select(col("role"), col("n").as("n_turns"),
-          (blobEq(col("sk"), col("msk")) && col("n") === col("mn"))
+          (col("sk") === col("msk") && col("n") === col("mn"))
             .as("rollup_identity_ok"),
-          (abs(estUdf(col("sk")) - col("exact_distinct"))
+          (abs(gf.hllEstimate(col("sk")) - col("exact_distinct"))
             <= lit(rse) * col("exact_distinct") + 1).as("hll_ok"))
-      // grand total cell ≡ merge of the role cells
-      val totalRow = cells.filter(col("gid") === 3).select(col("sk"), col("n")).head
+      // grand total cell ≡ merge of the role cells (one row × one row)
+      val grand = cells.filter(col("gid") === 3)
+        .select(col("sk").as("tsk"), col("n").as("tn"))
       val mergedAll = roleCells
-        .agg(sketchMergeAgg(col("sk")).as("m"), sum(col("n")).as("mn")).head
-      val grandOk = java.util.Arrays.equals(
-        totalRow.getAs[Array[Byte]]("sk"), mergedAll.getAs[Array[Byte]]("m")) &&
-        totalRow.getAs[Long]("n") == mergedAll.getAs[Long]("mn")
-      val rows = perRole.withColumn("grand_identity_ok", lit(grandOk))
-        .orderBy(col("role")).collect()
-      val schema = perRole.withColumn("grand_identity_ok", lit(grandOk)).schema
-      cells.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
+        .agg(sketchMergeAgg(col("sk")).as("mall"), sum(col("n")).as("mnall"))
+      val grandOkDf = grand.crossJoin(mergedAll)
+        .select((col("tsk") === col("mall") && col("tn") === col("mnall"))
+          .as("grand_identity_ok"))
+      perRole.crossJoin(grandOkDf).orderBy(col("role"))
     }),
 
     // §2.1 #3 genericity: the KM filter takes ANY registered hash pair
@@ -672,6 +686,52 @@ object SparkEntry {
           sum(length(col("csk"))) * 10 < count(lit(1)) * lit(cmsDense))
           .as("sparse_saves_10x"))
     }),
+
+    // GROUPED BLOOM TABLE under the sparse codec (round 5 — the last
+    // dense-only payload): the windowed-streaming-state shape, one
+    // FIXED-CAPACITY filter per group, each lightly filled. Dense, a
+    // capacity-100k p=.001 filter ships ~176 KiB per group REGARDLESS
+    // of fill; the v3 offset-list ships ~2 B per set bit. Gates: every
+    // per-conversation blob encodes sparse (version byte via codegen'd
+    // binary substring, no UDF), the whole sketch column is ≥5× smaller
+    // than dense, zero false negatives probing every row's own key
+    // through the keyed LRU-decoding probe (the q35 shard-probe path —
+    // the sparse decode feeds the SAME probe machinery), and disjoint
+    // keys hold the configured FPR bound. All counters DuckDB-exact.
+    "q50_bloom_grouped_sparse" -> ((s, dir) => {
+      import graft.spark.catalyst._
+      val t = Transcripts.load(s, dir)
+      val capacity = 100000L // the streaming-state sizing: global worst case
+      val m = BloomConfig(capacity, P).totalBits
+      val denseBytes = 6L + 3L + 16L + 4L + 8L + 8L * ((m + 63) / 64)
+      val groups = t.groupBy(col("conv_id"))
+        .agg(bloomAggNative(capacity, P)(col("conv_id"), col("turn_idx")).as("bsk"))
+      val gGates = groups.agg(
+        count(lit(1)).as("n_groups"),
+        (coalesce(sum(when(substring(col("bsk"), 6, 1) === lit(Array[Byte](3)), 0L)
+          .otherwise(1L)), lit(0L)) === 0).as("all_blobs_sparse"),
+        (sum(length(col("bsk"))) * 5 < count(lit(1)) * lit(denseBytes))
+          .as("sparse_saves_5x"))
+      // membership gates in ONE pass over the joined relation: the join
+      // co-locates each conversation's rows with its blob, so the keyed
+      // probe's decode memo hits on every row after the first per conv
+      val probed = t.join(groups, "conv_id")
+      val convKey = xxhash64(col("conv_id"))
+      val disjointIdx = (col("turn_idx") + 1000000).cast("int")
+      val pGates = probed.agg(
+        count(lit(1)).as("n_probes"),
+        coalesce(sum(when(bloomMightContainKeyed(convKey, col("bsk"),
+          col("conv_id"), col("turn_idx")), 0L).otherwise(1L)), lit(0L)).as("fn"),
+        coalesce(sum(when(bloomMightContainKeyed(convKey, col("bsk"),
+          col("conv_id"), disjointIdx), 1L).otherwise(0L)), lit(0L)).as("fp"))
+      gGates.crossJoin(pGates)
+        .select(col("n_groups"), col("n_probes"),
+          col("all_blobs_sparse"), col("sparse_saves_5x"),
+          (col("fn") === 0L).as("zero_fn"),
+          (col("fp").cast("double") <=
+            col("n_probes").cast("double") * P * 1.10 +
+            sqrt(col("n_probes").cast("double") * P) * 3 + 1).as("fpr_ok"))
+    }),
   )
 
   /** Exact ranks of three quantile estimates in ONE pass over the gaps
@@ -785,5 +845,9 @@ object SparkEntry {
         "  WHERE c > (SELECT COUNT(*) FROM transcripts) // 9) AS n_heavy, " +
         "true AS heavy_recall_ok, true AS undercount_ok, true AS err_bound_ok " +
         "FROM transcripts"),
+    "q50_bloom_grouped_sparse" ->
+      (s"$C SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_groups, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_probes, true AS all_blobs_sparse, " +
+        "true AS sparse_saves_5x, true AS zero_fn, true AS fpr_ok FROM transcripts"),
   )
 }

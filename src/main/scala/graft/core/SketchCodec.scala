@@ -37,8 +37,12 @@ object SketchCodec {
     val Mg: Byte = 8
   }
   // Versions are PER TYPE — and, for HLL/CMS, PER BLOB:
-  //   - Bloom: v2 (carries the KM hash-pair id, see KMHashPair); v1
-  //     blobs still decode (default pair), so old checkpoints resume.
+  //   - Bloom: DENSE blobs are v2 (carries the KM hash-pair id, see
+  //     KMHashPair); v1 blobs still decode (default pair), so old
+  //     checkpoints resume. A filter whose offset-list or word-RLE
+  //     layout is strictly smaller than dense is stamped v3 and encoded
+  //     sparse (round 5 — see encodeBloom; Bloom never emitted v3
+  //     before, so the byte is unambiguous).
   //   - HLL/CMS: DENSE blobs are written v1 (byte-identical layout to
   //     every earlier build); a blob whose occupied cells are few enough
   //     that the SPARSE layout is strictly smaller is stamped v3 and
@@ -111,24 +115,123 @@ object SketchCodec {
     }
 
   // -------------------------------------------------------------- Bloom
-  // payload: variant(1) keyMode(1) hasherId(1) capacity(8) fpp(8)
-  //          nWords(4) numBits(8) words(8*n)
+  // v1/v2 (dense): variant(1) keyMode(1) hasherId(1) capacity(8) fpp(8)
+  //                nWords(4) numBits(8) words(8*n)
+  // v3 (sparse, round 5): variant(1) keyMode(1) hasherId(1) capacity(8)
+  //                fpp(8) numBits(8) layout(1) body
+  //   layout 0 (offset-list): ones(4), then LEB128 varint DELTAS of the
+  //     ascending set-bit positions (first delta = first position) —
+  //     ~1–2 bytes per set bit at light fill (mean gap < 2^14);
+  //   layout 1 (word-RLE): maximal (zeroRun varint, litLen varint,
+  //     litWords 8·litLen) groups, trailing zero words implied.
+  //
+  // Why: a grouped Bloom table — or the windowed streaming state, which
+  // carries a capacity-100k filter (~175 KiB dense at p=.001) per
+  // (window, tool) — is dominated by lightly-filled filters; shipping
+  // the full m bits per group through every shuffle/state-store/
+  // sketch-table column was the one dense-only payload left after the
+  // round-3 HLL/CMS sparse codec. CANONICAL by the same rule: the
+  // encoding is a pure function of the BIT STATE (exact size of all
+  // three layouts computed, strictly-smallest wins; dense wins ties,
+  // offset beats RLE at equal size), so equal filters encode to equal
+  // bytes under any merge tree — every bit-identity gate (q03 union ≡
+  // bulk, q33 windowed_eq) is preserved. Older readers fail fast on the
+  // version byte instead of misreading; v1/v2 blobs keep decoding.
+  // Reference contrast: bitset.rs:3–6 is dense-only — it never holds
+  // thousands of filters at once.
   def encodeBloom(s: BloomSketch, keyMode: Byte = KeyMode.Bytes): Array[Byte] = {
     require(s.hasherId >= 0,
       "custom (unregistered) hash pairs cannot cross the codec — register " +
         "the pair with a stable id in KMHashPair to use it in Spark aggregation")
     val w = s.bits.words
-    val bb = writer(TypeId.Bloom, 1 + 1 + 1 + 8 + 8 + 4 + 8 + 8 * w.length, BloomVersion)
-    bb.put(s.variant)
-    bb.put(keyMode)
-    bb.put(s.hasherId)
-    bb.putLong(s.config.capacity)
-    bb.putDouble(s.config.fpp)
-    bb.putInt(w.length)
-    bb.putLong(s.bits.numBits)
-    var i = 0
-    while (i < w.length) { bb.putLong(w(i)); i += 1 }
-    bb.array()
+    val nW = w.length
+
+    // measure all three layouts (one pass each, O(words) + O(ones))
+    val densePayload = 3 + 16 + 4 + 8 + 8 * nW
+    var offsetBody = 4
+    var ones = 0
+    var prevPos = 0L
+    var wi = 0
+    while (wi < nW) {
+      var bits = w(wi)
+      while (bits != 0L) {
+        val pos = wi.toLong * 64 + java.lang.Long.numberOfTrailingZeros(bits)
+        offsetBody += varintSize(if (ones == 0) pos else pos - prevPos)
+        prevPos = pos
+        ones += 1
+        bits &= bits - 1
+      }
+      wi += 1
+    }
+    var rleBody = 0
+    wi = 0
+    while (wi < nW) {
+      var z = 0L
+      while (wi < nW && w(wi) == 0L) { z += 1; wi += 1 }
+      if (wi < nW) {
+        var lit = 0L
+        while (wi < nW && w(wi) != 0L) { lit += 1; wi += 1 }
+        rleBody += varintSize(z) + varintSize(lit) + 8 * lit.toInt
+      }
+    }
+    val sparseHeader = 3 + 16 + 8 + 1
+    val offsetPayload = sparseHeader + offsetBody
+    val rlePayload = sparseHeader + rleBody
+
+    def putSparseHeader(bb: ByteBuffer, layout: Byte): Unit = {
+      bb.put(s.variant); bb.put(keyMode); bb.put(s.hasherId)
+      bb.putLong(s.config.capacity); bb.putDouble(s.config.fpp)
+      bb.putLong(s.bits.numBits); bb.put(layout)
+    }
+    if (offsetPayload < densePayload && offsetPayload <= rlePayload) {
+      val bb = writer(TypeId.Bloom, offsetPayload, SparseVersion)
+      putSparseHeader(bb, 0)
+      bb.putInt(ones)
+      prevPos = 0L
+      var first = true
+      wi = 0
+      while (wi < nW) {
+        var bits = w(wi)
+        while (bits != 0L) {
+          val pos = wi.toLong * 64 + java.lang.Long.numberOfTrailingZeros(bits)
+          putVarint(bb, if (first) pos else pos - prevPos)
+          prevPos = pos
+          first = false
+          bits &= bits - 1
+        }
+        wi += 1
+      }
+      bb.array()
+    } else if (rlePayload < densePayload) {
+      val bb = writer(TypeId.Bloom, rlePayload, SparseVersion)
+      putSparseHeader(bb, 1)
+      wi = 0
+      while (wi < nW) {
+        var z = 0L
+        while (wi < nW && w(wi) == 0L) { z += 1; wi += 1 }
+        if (wi < nW) {
+          val litStart = wi
+          while (wi < nW && w(wi) != 0L) wi += 1
+          putVarint(bb, z)
+          putVarint(bb, (wi - litStart).toLong)
+          var j = litStart
+          while (j < wi) { bb.putLong(w(j)); j += 1 }
+        }
+      }
+      bb.array()
+    } else {
+      val bb = writer(TypeId.Bloom, densePayload, BloomVersion)
+      bb.put(s.variant)
+      bb.put(keyMode)
+      bb.put(s.hasherId)
+      bb.putLong(s.config.capacity)
+      bb.putDouble(s.config.fpp)
+      bb.putInt(nW)
+      bb.putLong(s.bits.numBits)
+      var i = 0
+      while (i < nW) { bb.putLong(w(i)); i += 1 }
+      bb.array()
+    }
   }
 
   def decodeBloom(bytes: Array[Byte]): BloomSketch = {
@@ -139,20 +242,71 @@ object SketchCodec {
     val hasherId = if (versionOf(bytes) >= 2) bb.get() else 0: Byte
     val capacity = bb.getLong()
     val fpp = bb.getDouble()
-    val nWords = bb.getInt()
-    val numBits = bb.getLong()
-    val words = new Array[Long](nWords)
-    var i = 0
-    while (i < nWords) { words(i) = bb.getLong(); i += 1 }
+    val bits =
+      if (versionOf(bytes) >= SparseVersion) {
+        val numBits = bb.getLong()
+        val nWords = ((numBits + 63) >>> 6).toInt
+        val words = new Array[Long](nWords)
+        bb.get() match {
+          case 0 => // offset-list
+            val ones = bb.getInt()
+            var pos = 0L
+            var i = 0
+            while (i < ones) {
+              pos += getVarint(bb)
+              require(pos >= 0 && pos < numBits, "corrupt sparse Bloom blob (offset)")
+              words((pos >>> 6).toInt) |= 1L << (pos & 63)
+              i += 1
+            }
+          case 1 => // word-RLE
+            var wp = 0L
+            while (bb.hasRemaining) {
+              wp += getVarint(bb)
+              val lit = getVarint(bb)
+              require(wp + lit <= nWords, "corrupt sparse Bloom blob (RLE)")
+              var j = 0L
+              while (j < lit) { words(wp.toInt) = bb.getLong(); wp += 1; j += 1 }
+            }
+          case l => throw new IllegalArgumentException(s"unknown sparse Bloom layout $l")
+        }
+        BitArray.fromWords(words, numBits)
+      } else {
+        val nWords = bb.getInt()
+        val numBits = bb.getLong()
+        val words = new Array[Long](nWords)
+        var i = 0
+        while (i < nWords) { words(i) = bb.getLong(); i += 1 }
+        BitArray.fromWords(words, numBits)
+      }
     val cfg = BloomConfig(capacity, fpp)
-    require(cfg.totalBits == numBits,
-      s"corrupt Bloom blob: config says ${cfg.totalBits} bits, payload has $numBits")
-    val bits = BitArray.fromWords(words, numBits)
+    require(cfg.totalBits == bits.numBits,
+      s"corrupt Bloom blob: config says ${cfg.totalBits} bits, payload has ${bits.numBits}")
     variant match {
       case BloomVariant.KM => new KMBloomSketch(cfg, bits, KMHashPair.byId(hasherId))
       case BloomVariant.Seeded => new SeededBloomSketch(cfg, bits)
       case v => throw new IllegalArgumentException(s"unknown Bloom variant $v")
     }
+  }
+
+  // LEB128 unsigned varints (sparse Bloom bodies)
+  private def varintSize(v: Long): Int = {
+    var x = v; var n = 1
+    while ((x & ~0x7fL) != 0L) { x >>>= 7; n += 1 }
+    n
+  }
+  private def putVarint(bb: ByteBuffer, v: Long): Unit = {
+    var x = v
+    while ((x & ~0x7fL) != 0L) { bb.put(((x & 0x7f) | 0x80).toByte); x >>>= 7 }
+    bb.put(x.toByte)
+  }
+  private def getVarint(bb: ByteBuffer): Long = {
+    var x = 0L; var shift = 0; var b = 0
+    do {
+      b = bb.get() & 0xff
+      x |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    x
   }
 
   /** Key convention of an encoded Bloom blob (header 6 + variant 1). */

@@ -158,7 +158,17 @@ object VectorPipeline {
     *     membership and iteration order are pure functions of the data,
     *     not of the cluster size;
     *   - update: assignment is one codegen'd [[ivfAssign]]-style
-    *     CosineArgmax projection (no shuffle); each partition folds its
+    *     CosineArgmax projection (no shuffle) — TWO-LEVEL routed once k
+    *     ≥ `twoLevelTrainK` (coarseK = ⌈√k⌉, probes = 8): per-iteration
+    *     assignment drops from O(k·dim) to O((√k + 8√k)·dim) per row,
+    *     which is what keeps training viable at the k = 10⁴–10⁵ design
+    *     point; Lloyd absorbs the boundary mis-assignments (a routed
+    *     vector lands in a nearly-tied neighboring cluster, the same
+    *     error class the iteration itself is converging away), and the
+    *     result stays BIT-DETERMINISTIC at any parallelism — the
+    *     assigner is a pure function of (centroids, coarseK, probes),
+    *     zero RNG, and the partial-fold order below is unchanged; each
+    *     partition folds its
     *     rows' normalized vectors into per-centroid partial sums
     *     (mapPartitions, sorted order) and only (parts × touched-k ×
     *     dim) doubles reach the driver, which folds partials in
@@ -171,7 +181,8 @@ object VectorPipeline {
     * dim = 10³, parts = 64 that is the fold buffer, not the corpus.
     * Returns (centroid_id, c_emb). */
   def trainedCodebookDistributed(corpus: DataFrame, ncentroids: Int,
-      sampleN: Int = 1 << 17, iters: Int = 10, parts: Int = 64): DataFrame = {
+      sampleN: Int = 1 << 17, iters: Int = 10, parts: Int = 64,
+      twoLevelTrainK: Int = 512): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(ncentroids >= 1 && sampleN >= ncentroids,
@@ -196,11 +207,19 @@ object VectorPipeline {
     var cents: Array[Array[Double]] =
       initRows.take(k).map(r => normalized(r.getSeq[Float](1).toArray.map(_.toDouble)))
     val ids = (0 until k).map(_.toLong)
+    // two-level routing above the threshold: coarseK = ⌈√k⌉ balances
+    // the coarse scan against the probed fine scans; probes = 8 is the
+    // measured 0.98-agreement point (BENCH.md two-level table)
+    def assignCol(centsF: Seq[Seq[Float]]): Column =
+      if (k >= twoLevelTrainK) {
+        val ck = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+        graft.spark.catalyst.cosineArgmaxTwoLevelNative(
+          col("embedding"), ids, centsF, ck, probes = 8)
+      } else graft.spark.catalyst.cosineArgmaxNative(col("embedding"), ids, centsF)
     for (_ <- 0 until iters) {
       val centsF = cents.toSeq.map(_.toSeq.map(_.toFloat))
       val partials = sample
-        .select(col("embedding"),
-          graft.spark.catalyst.cosineArgmaxNative(col("embedding"), ids, centsF).as("cid"))
+        .select(col("embedding"), assignCol(centsF).as("cid"))
         .filter(col("cid").isNotNull)
         .as[(Seq[Float], Long)]
         .mapPartitions { it =>
@@ -315,39 +334,31 @@ object VectorPipeline {
     * with TextPipeline.exactCosinePairs. A 4-bit-band SRP variant of q29
     * was measured: it "recalled" everything only because ~95% of all n²
     * pairs collided somewhere — no pruning at all. */
-  val SrpBandBits = 16 // band key space 65536 ≫ corpus bucket sizes
-  val SrpBands = 32 // 512 bits; P(miss | cos = 0.95) = (1−p¹⁶)³² ≈ 2e-5
+  val SrpBandBits: Int = graft.spark.catalyst.SrpBandKernel.BandBits
+  val SrpBands: Int = graft.spark.catalyst.SrpBandKernel.Bands
 
-  /** Deterministic ±1 projection matrix: row = projection bit, column =
-    * input dimension (extend Dim if embeddings grow). Seeded xxHash64, so
-    * every executor and every run derives the identical matrix. */
-  private val SrpMaxDim = 4096
-  private lazy val srpSigns: Array[Array[Byte]] =
-    Array.tabulate(SrpBands * SrpBandBits) { i =>
-      Array.tabulate(SrpMaxDim) { j =>
-        if ((Hashing.xxHash64Long(i.toLong * SrpMaxDim + j, 0x53525033L) & 1L) == 1L) 1.toByte
-        else (-1).toByte
-      }
-    }
-
-  /** 32 SRP band keys for a dense float embedding: 512 sign-of-projection
-    * bits packed 16 per band. Null for null/zero-norm vectors (a zero
-    * vector has no direction — and must not bucket together). */
-  private val srpBandKeysUdf = udf { (vec: Seq[Float]) =>
+  /** Reference Scala-UDF form of the band keys, kept ONLY as the parity
+    * oracle for the native expression (SrpLshSpec pins both directions
+    * on real embeddings + the null/empty/zero edge cases). The sign
+    * matrix, band geometry, and arithmetic are SrpBandKernel's. */
+  private[graft] val srpBandKeysUdf = udf { (vec: Seq[Float]) =>
+    import graft.spark.catalyst.SrpBandKernel.{BandBits, Bands, MaxDim}
     if (vec == null || vec.isEmpty || !vec.exists(_ != 0f)) null
     else {
-      require(vec.length <= SrpMaxDim,
-        s"embedding dim ${vec.length} exceeds SrpMaxDim=$SrpMaxDim — raise it in VectorPipeline")
-      val keys = new Array[Long](SrpBands)
+      require(vec.length <= MaxDim,
+        s"embedding dim ${vec.length} exceeds SrpBandKernel.MaxDim=$MaxDim — raise it")
+      val keys = new Array[Long](Bands)
       var b = 0
-      while (b < SrpBands) {
+      while (b < Bands) {
         var bits = 0L
         var j = 0
-        while (j < SrpBandBits) {
-          val signs = srpSigns(b * SrpBandBits + j)
+        while (j < BandBits) {
           var dot = 0.0
           var d = 0
-          while (d < vec.length) { dot += signs(d) * vec(d); d += 1 }
+          while (d < vec.length) {
+            dot += graft.spark.catalyst.SrpBandKernel.signAt(b * BandBits + j, d) * vec(d)
+            d += 1
+          }
           bits = (bits << 1) | (if (dot >= 0) 1L else 0L)
           j += 1
         }
@@ -361,11 +372,14 @@ object VectorPipeline {
   /** LSH candidate pairs (id_a < id_b) of likely cosine-near-dup dense
     * embeddings — the corpus-scale path when exact all-pairs is n². Same
     * shuffle shape as TextPipeline.minhashCandidates: only (id, band,
-    * 8-byte key) rows move; candidates then get exact-cosine verified. */
+    * 8-byte key) rows move; candidates then get exact-cosine verified.
+    * The map-side signature is the NATIVE codegen'd [[graft.spark.catalyst.SrpBandKeys]]
+    * (round 5 — the last near-dup map side running a boxed Scala UDF). */
   def srpCandidates(vecs: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val bands = vecs
-      .select(col(idCol).as("id"), posexplode_outer(srpBandKeysUdf(col(embCol))).as(Seq("band", "bkey")))
+      .select(col(idCol).as("id"),
+        posexplode_outer(graft.spark.catalyst.srpBandKeysNative(col(embCol))).as(Seq("band", "bkey")))
       .filter(col("bkey").isNotNull)
       // shuffle-hash, not broadcast: ReusedExchange evaluates the
       // projection pipeline once (see TextPipeline.minhashCandidates)
@@ -531,8 +545,21 @@ object VectorPipeline {
     mode match {
       case AssignFlat => ivfAssign(corpus, book)
       case s if s.startsWith("2l:v1:") =>
-        val parts = s.stripPrefix("2l:v1:").split(":")
-        ivfAssignTwoLevel(corpus, book, parts(0).toInt, parts(1).toInt)
+        // the sidecar fingerprint covers the codebook, not the mode
+        // string — a truncated/corrupted mode must land in the curated
+        // unknown-mode error, not a raw ArrayIndexOutOfBounds/
+        // NumberFormatException from an unchecked split
+        val parsed = s.stripPrefix("2l:v1:").split(":", -1) match {
+          case Array(ck, p) =>
+            try Some((ck.toInt, p.toInt)) catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+        parsed match {
+          case Some((ck, p)) if ck >= 1 && p >= 1 => ivfAssignTwoLevel(corpus, book, ck, p)
+          case _ => throw new IllegalArgumentException(
+            s"unknown index assignment mode '$s' — this build cannot " +
+              "reproduce that routing; rebuild the index or upgrade")
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unknown index assignment mode '$other' — this build cannot " +
@@ -831,6 +858,126 @@ object VectorPipeline {
       .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").mode("errorifexists").parquet(destPath)
     writeCodebookSidecar(book, destPath, mode)
+  }
+
+  // ------------------------------------------- versioned index lifecycle
+  /** GENERATIONAL index root — the metadata flip [[compactIvfIndex]]
+    * left to the caller, completed (round 5):
+    *
+    * {{{
+    * root/
+    *   _manifest/v00000001   (text: the current generation's dir name)
+    *   gen-00000001/         (a full index dir, _codebook inside)
+    *   gen-00000002/
+    * }}}
+    *
+    * The manifest is VERSIONED, not overwritten: installing a new
+    * generation creates ONE new file (`create(..., overwrite=false)` —
+    * a single atomic visibility event on HDFS-like stores, and a new
+    * key on object stores, where delete+rewrite of a single pointer
+    * file would have a read-nothing window). Readers list `_manifest`,
+    * take the HIGHEST version, and resolve its generation — a reader
+    * racing a swap sees either the old or the new index, never a torn
+    * one (the generation dir + its sidecar are fully written BEFORE the
+    * manifest entry exists). Old generations stay readable until
+    * [[retireIvfIndexGenerations]] deletes them — the swap and the
+    * retire are separate steps on purpose (in-flight queries resolved
+    * the old path; retire after their horizon). */
+  private val ManifestDir = "_manifest"
+  private val GenPrefix = "gen-"
+  private val VersionRe = "v(\\d{8})".r
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** (version, generation dir name) pairs present in the manifest,
+    * ascending; empty if the root has no manifest yet. */
+  private def manifestEntries(spark: SparkSession, rootPath: String)
+      : Seq[(Int, String)] = {
+    val (f, p) = fs(spark, s"$rootPath/$ManifestDir")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(v) =>
+          val in = f.open(st.getPath)
+          val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          Some((v.toInt, gen))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Current index DATA path under a versioned root — every existing
+    * probe/append entry point takes this resolved path. */
+  def currentIvfIndexPath(spark: SparkSession, rootPath: String): String = {
+    val entries = manifestEntries(spark, rootPath)
+    require(entries.nonEmpty,
+      s"no $ManifestDir at $rootPath — not a versioned index root " +
+        "(build one with writeIvfIndexVersioned)")
+    s"$rootPath/${entries.last._2}"
+  }
+
+  /** Install `genName` as the current generation: one no-overwrite
+    * create of the next manifest version file. Throws if a concurrent
+    * installer won the version (the caller's generation dir remains,
+    * unreferenced — safe to retry or retire). */
+  private def installGeneration(spark: SparkSession, rootPath: String,
+      genName: String): Unit = {
+    val next = manifestEntries(spark, rootPath).lastOption.map(_._1).getOrElse(0) + 1
+    val (f, p) = fs(spark, f"$rootPath/$ManifestDir/v$next%08d")
+    val out = f.create(p, false) // overwrite=false: the atomicity guarantee
+    try out.write(genName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def nextGenName(spark: SparkSession, rootPath: String): String = {
+    val (f, p) = fs(spark, rootPath)
+    val existing = if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(GenPrefix))
+      .map(_.stripPrefix(GenPrefix).toInt)
+    f"$GenPrefix${existing.maxOption.getOrElse(0) + 1}%08d"
+  }
+
+  /** Build generation 1 of a versioned index root: full index write
+    * (data + `_codebook` sidecar) into a fresh generation dir, THEN the
+    * manifest flip — a crash before the flip leaves no manifest entry,
+    * so readers never see the partial build. Returns the data path. */
+  def writeIvfIndexVersioned(corpus: DataFrame, book: DataFrame,
+      rootPath: String): String = {
+    val spark = corpus.sparkSession
+    val gen = nextGenName(spark, rootPath)
+    writeIvfIndex(corpus, book, s"$rootPath/$gen")
+    installGeneration(spark, rootPath, gen)
+    s"$rootPath/$gen"
+  }
+
+  /** Compact the CURRENT generation into a new one and flip the
+    * manifest — the complete defragmentation lifecycle ([[ivfIndexStats]]
+    * signals it, [[compactIvfIndex]] rewrites, this installs). The old
+    * generation is left on disk for in-flight readers; call
+    * [[retireIvfIndexGenerations]] once their horizon passes. Returns
+    * the new data path. */
+  def compactIvfIndexVersioned(spark: SparkSession, rootPath: String): String = {
+    val src = currentIvfIndexPath(spark, rootPath)
+    val gen = nextGenName(spark, rootPath)
+    compactIvfIndex(spark, src, s"$rootPath/$gen")
+    installGeneration(spark, rootPath, gen)
+    s"$rootPath/$gen"
+  }
+
+  /** Delete every NON-CURRENT generation dir under the root (the retire
+    * half of the swap). Returns the deleted paths. */
+  def retireIvfIndexGenerations(spark: SparkSession, rootPath: String): Seq[String] = {
+    val current = currentIvfIndexPath(spark, rootPath)
+    val (f, p) = fs(spark, rootPath)
+    f.listStatus(p).toSeq
+      .map(_.getPath)
+      .filter(gp => gp.getName.startsWith(GenPrefix) &&
+        s"$rootPath/${gp.getName}" != current)
+      .map { gp => f.delete(gp, true); s"$rootPath/${gp.getName}" }
   }
 
   /** Rank a scored candidate relation to per-query top-k. */

@@ -25,6 +25,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_cosine(a, b)                                → double
   *   graft_quantize_i8(embedding)                      → binary (1 B/dim)
   *   graft_cosine_i8(a, b)                             → double
+  *   graft_srp_band_keys(embedding)                    → array<bigint> (32 keys)
+  *   graft_cosine_argmax(emb, ids, cents)              → bigint centroid id
+  *   graft_cosine_argmax_2l(emb, ids, cents, ck, p)    → bigint centroid id
+  *     (ids/cents are literal arrays — the codebook ships inside the
+  *      expression exactly as the Scala column API injects it)
   * plus the blob-level estimators from graft.spark.functions
   * (bloom_fpp, hll_estimate, …) via functions.registerAll.
   */
@@ -58,6 +63,52 @@ object GraftExtensions {
       case v: Int => v.toDouble
       case v: Long => v.toDouble
       case other => throw new IllegalArgumentException(s"$what must be a literal number, got $other")
+    }
+  }
+
+  /** Foldable `array<bigint>` literal → Seq[Long] (codebook centroid ids
+    * in the SQL argmax forms; `array(0, 1, ...)` int literals widen). */
+  private def lit2LongSeq(e: Expression, what: String): Seq[Long] = {
+    require(e.foldable, s"$what must be a literal array of integers")
+    import org.apache.spark.sql.types.{ArrayType => AT}
+    (e.dataType, e.eval(null)) match {
+      case (AT(et, _), a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        a.toObjectArray(et).toSeq.map {
+          case v: java.lang.Long => v.longValue()
+          case v: java.lang.Integer => v.longValue()
+          case v: java.lang.Short => v.longValue()
+          case other => throw new IllegalArgumentException(
+            s"$what must contain integer literals, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of integers, got $other")
+    }
+  }
+
+  /** Foldable `array<array<float|double>>` literal → Seq[Seq[Float]] (the
+    * codebook matrix in the SQL argmax forms; SQL numeric literals are
+    * double, so doubles narrow to the expressions' float arithmetic). */
+  private def lit2FloatMatrix(e: Expression, what: String): Seq[Seq[Float]] = {
+    require(e.foldable, s"$what must be a literal array of float arrays")
+    import org.apache.spark.sql.types.{ArrayType => AT}
+    def num2Float(v: Any): Float = v match {
+      case f: Float => f
+      case d: Double => d.toFloat
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble.toFloat
+      case i: Int => i.toFloat
+      case l: Long => l.toFloat
+      case other => throw new IllegalArgumentException(
+        s"$what must contain numeric literals, got $other")
+    }
+    (e.dataType, e.eval(null)) match {
+      case (AT(AT(et, _), _), a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        (0 until a.numElements()).map { i =>
+          val row = a.getArray(i)
+          require(row != null, s"$what must not contain null rows")
+          row.toObjectArray(et).toSeq.map(num2Float)
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of float arrays, got $other")
     }
   }
 
@@ -199,6 +250,38 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_minhash_band_keys(shingles)")
         MinhashBandKeys(args.head)
+      }),
+    "graft_srp_band_keys" ->
+      ("graft_srp_band_keys(embedding) - 32 SRP band keys of an array<float> embedding " +
+        "(dense-vector LSH near-dup signature step; null for zero-norm/empty input)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_srp_band_keys(embedding)")
+        SrpBandKeys(args.head)
+      }),
+    "graft_cosine_argmax" ->
+      ("graft_cosine_argmax(embedding, ids, centroids) - nearest-centroid id by cosine " +
+        "against a LITERAL codebook (ids array<bigint> ascending, centroids array<array<float>>); " +
+        "the IVF write-time assignment in SQL",
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_cosine_argmax(embedding, ids, centroids)")
+        CosineArgmax(args(0), lit2LongSeq(args(1), "graft_cosine_argmax ids"),
+          lit2FloatMatrix(args(2), "graft_cosine_argmax centroids"))
+      }),
+    "graft_cosine_argmax_2l" ->
+      ("graft_cosine_argmax_2l(embedding, ids, centroids, coarseK, probes) - two-level " +
+        "coarse->fine nearest-centroid assignment against a LITERAL codebook; " +
+        "probes = coarseK degenerates to the exact flat argmax",
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_cosine_argmax_2l(embedding, ids, centroids, coarseK, probes)")
+        val ck = lit2Long(args(3), "graft_cosine_argmax_2l coarseK")
+        val p = lit2Long(args(4), "graft_cosine_argmax_2l probes")
+        require(ck >= 1 && ck <= Int.MaxValue && p >= 1 && p <= Int.MaxValue,
+          "graft_cosine_argmax_2l coarseK and probes must be positive integers")
+        CosineArgmaxTwoLevel(args(0),
+          lit2LongSeq(args(1), "graft_cosine_argmax_2l ids"),
+          lit2FloatMatrix(args(2), "graft_cosine_argmax_2l centroids"),
+          ck.toInt, p.toInt)
       }))
 
   /** Runtime registration into an existing session (same builders the

@@ -27,7 +27,10 @@ import org.apache.spark.sql.types._
   * APPROXIMATE BY DESIGN: the true nearest fine centroid can live in a
   * coarse bucket outside the probed set. Two recoveries make it safe:
   * `probes = coarseK` degenerates to the EXACT flat argmax (every
-  * bucket scanned — pinned bit-level in TwoLevelAssignSpec), and the
+  * bucket scanned — pinned bit-level in TwoLevelAssignSpec; non-finite
+  * embeddings — NaN/Inf elements — bypass routing entirely and run the
+  * flat scan verbatim, so the parity is bit-level THERE TOO, not just
+  * on finite rows), and the
   * per-centroid arithmetic is EXACTLY CosineArgmax's (float multiply,
   * double accumulate, √·√, 1e-12 floor) with an order-independent
   * tie-break (strictly-greater, or equal-and-smaller-id), so agreement
@@ -135,6 +138,14 @@ final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
     }
     val sx = math.sqrt(nx)
 
+    // Non-finite input (NaN/Inf element): every coarse score is NaN (or
+    // degenerate), so bucket ROUTING is undefined — the flat argmax,
+    // by contrast, has a well-defined answer (first-strictly-greater
+    // scan from bestId = ids(0)). Run that exact scan instead of
+    // routing, so two-level ≡ flat bit-level on bad rows too (only bad
+    // rows pay the O(k·dim); finite rows never take this branch).
+    if (!java.lang.Double.isFinite(nx)) return flatAssign(xv, sx)
+
     // coarse scores (coarse is unit-norm: cos = dot/max(sx,floor))
     val cScore = new Array[Double](kc)
     var b = 0
@@ -212,6 +223,25 @@ final class TwoLevelAssigner(ids: Array[Long], mat: Array[Array[Float]],
     }
     if (bestIdx < 0) null else java.lang.Long.valueOf(ids(bestIdx))
   }
+
+  /** CosineArgmax.nullSafeEval's loop VERBATIM (id-order scan,
+    * first-strictly-greater wins, bestId starts at ids(0))} — the
+    * non-finite-input fallback above. */
+  private def flatAssign(xv: Array[Float], sx: Double): java.lang.Long = {
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var c = 0
+    while (c < k) {
+      val cv = mat(c)
+      var dot = 0.0d
+      var d = 0
+      while (d < dim) { dot += (xv(d) * cv(d)).toDouble; d += 1 }
+      val cos = dot / math.max(sx * fineNorms(c), 1e-12d)
+      if (cos > best) { best = cos; bestId = ids(c) }
+      c += 1
+    }
+    java.lang.Long.valueOf(bestId)
+  }
 }
 
 object TwoLevelAssigner {
@@ -223,10 +253,18 @@ object TwoLevelAssigner {
     * task than the assignment work it saves). The codegen path never
     * needs this (doGenCode forces training once on the DRIVER and
     * ships the finished assigner in the reference array), but
-    * FALLBACK/interpreted mode must not retrain per task. Bounded +
-    * cleared wholesale (live codebooks per executor JVM are few);
-    * 64-bit content-hash collisions are ignorable at that count. */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, TwoLevelAssigner]()
+    * FALLBACK/interpreted mode must not retrain per task. Bounded at 64
+    * live codebooks with single-entry LRU eviction (access-ordered
+    * LinkedHashMap — the BloomProbeHelper.probeKeyed pattern; a
+    * wholesale clear would retrigger a full coarse retrain for EVERY
+    * other live codebook on each admit past the cap). 64-bit
+    * content-hash collisions are ignorable at that count. */
+  private val MaxEntries = 64
+  private val cache = new java.util.LinkedHashMap[java.lang.Long, TwoLevelAssigner](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[java.lang.Long, TwoLevelAssigner]): Boolean =
+      size() > MaxEntries
+  }
 
   def cached(ids: Array[Long], mat: Array[Array[Float]],
       coarseK: Int, probes: Int): TwoLevelAssigner = {
@@ -243,8 +281,18 @@ object TwoLevelAssigner {
       }
       i += 1
     }
-    if (cache.size > 64) cache.clear()
-    cache.computeIfAbsent(h, _ => new TwoLevelAssigner(ids, mat, coarseK, probes))
+    // lock held across construction: racing tasks building the SAME
+    // codebook would each pay the coarse k-means; serializing the build
+    // is cheaper than duplicating it
+    cache.synchronized {
+      val hit = cache.get(h)
+      if (hit != null) hit
+      else {
+        val built = new TwoLevelAssigner(ids, mat, coarseK, probes)
+        cache.put(h, built)
+        built
+      }
+    }
   }
 }
 

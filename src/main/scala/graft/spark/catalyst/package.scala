@@ -69,6 +69,12 @@ package object catalyst {
   def minhashBandKeys(shingles: Column): Column =
     B.column(MinhashBandKeys(B.expression(shingles)))
 
+  /** 32 SRP band keys of a dense float embedding (codegen'd; the
+    * map-side signature step of dense-embedding LSH near-dup — see
+    * SrpBandKeys / SrpBandKernel). */
+  def srpBandKeysNative(embedding: Column): Column =
+    B.column(SrpBandKeys(B.expression(embedding)))
+
   /** Two-level (coarse → fine) nearest-centroid assignment — the flat
     * argmax's successor past k ≈ 10³ centroids (see
     * CosineArgmaxTwoLevel; probes = coarseK degenerates to the exact

@@ -1,7 +1,8 @@
 package graft.spark.catalyst
 
+import graft.core.Hashing
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -382,4 +383,123 @@ case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimI8 =
     copy(left = l, right = r)
+}
+
+/** The SRP (signed-random-projection) band-key fold — 512
+  * sign-of-projection bits packed 16 per band into 32 long keys — as a
+  * plain kernel over Catalyst [[ArrayData]], shared by the interpreted
+  * and generated paths of [[SrpBandKeys]] (the MinhashBandKernel
+  * pattern: top-level object ⇒ static forwarders the generated Java
+  * can call).
+  *
+  * The ±1 projection matrix is DETERMINISTIC (seeded xxHash64 of the
+  * (bit, dimension) coordinate — zero RNG, identical on every executor
+  * and every run) and built once per JVM (~2 MB of sign bytes at
+  * MaxDim = 4096). Band geometry (16-bit bands × 32) is part of the
+  * LSH contract: per-bit collision probability is p = 1 − θ/π, so only
+  * wide bands suppress the n² random-pair mass at high cosine — the
+  * canonical values live here, VectorPipeline re-exports them.
+  */
+object SrpBandKernel {
+  final val BandBits = 16 // band key space 65536 ≫ corpus bucket sizes
+  final val Bands = 32 // 512 bits; P(miss | cos = 0.95) = (1−p¹⁶)³² ≈ 2e-5
+  final val MaxDim = 4096
+
+  /** Row = projection bit, column = input dimension. Lazy: only tasks
+    * that actually evaluate SRP pay the 2 MB. */
+  private lazy val signs: Array[Array[Byte]] =
+    Array.tabulate(Bands * BandBits) { i =>
+      Array.tabulate(MaxDim) { j =>
+        if ((Hashing.xxHash64Long(i.toLong * MaxDim + j, 0x53525033L) & 1L) == 1L) 1.toByte
+        else (-1).toByte
+      }
+    }
+
+  /** Single sign for the parity-oracle UDF (VectorPipeline keeps the
+    * retired UDF as SrpLshSpec's reference) — never on the hot path. */
+  def signAt(bit: Int, dim: Int): Byte = signs(bit)(dim)
+
+  /** 32 band keys for a dense float embedding. Null for an empty,
+    * all-zero, or null-element vector (no direction ⇒ must not bucket
+    * with anything); throws past MaxDim (silently truncating the
+    * projection would change every key). Arithmetic is the retired
+    * UDF's verbatim: float sign·component product, double accumulate,
+    * `dot >= 0` bit rule — SrpLshSpec pins parity both directions. */
+  def bandKeys(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return null
+    if (n > MaxDim)
+      throw new IllegalArgumentException(
+        s"embedding dim $n exceeds SrpBandKernel.MaxDim=$MaxDim — raise it")
+    val x = new Array[Float](n)
+    var nonZero = false
+    var d = 0
+    while (d < n) {
+      if (a.isNullAt(d)) return null
+      val f = a.getFloat(d)
+      x(d) = f
+      if (f != 0f) nonZero = true
+      d += 1
+    }
+    if (!nonZero) return null
+    val keys = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var bits = 0L
+      var j = 0
+      while (j < BandBits) {
+        val s = signs(b * BandBits + j)
+        var dot = 0.0d
+        var i = 0
+        while (i < n) { dot += s(i) * x(i); i += 1 }
+        bits = (bits << 1) | (if (dot >= 0) 1L else 0L)
+        j += 1
+      }
+      keys(b) = bits
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+}
+
+/** `array<float>` embedding → `array<long>` of 32 SRP band keys as a
+  * NATIVE expression — the dense-embedding sibling of
+  * [[MinhashBandKeys]], retiring the last Scala UDF on a near-dup map
+  * side (boxed Seq[Float] in, per-row key-array allocation, codegen
+  * break). The per-row work stays on Catalyst representations (floats
+  * read straight out of ArrayData, primitive long array out) and the
+  * enclosing projection keeps its whole-stage-codegen span. Null/empty/
+  * zero-norm/null-element input ⇒ null (a zero vector has no direction
+  * and must not bucket together). */
+case class SrpBandKeys(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_srp_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes an array<float> column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SrpBandKernel.bandKeys(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("srpKeys")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $r =
+          graft.spark.catalyst.SrpBandKernel.bandKeys($a);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): SrpBandKeys =
+    copy(child = c)
 }

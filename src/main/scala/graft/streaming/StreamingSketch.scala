@@ -301,12 +301,18 @@ object StreamingSketch {
     val qBad = perWin.filter(!(
       rankOkCol("td50", 0.5, tdEps) && rankOkCol("td95", 0.95, tdEps) &&
       rankOkCol("k50", 0.5, col("keps")) && rankOkCol("k95", 0.95, col("keps")))).count()
-    // COVERAGE, not just absence of violations: every state row must
-    // have found its exact-side group (an inner-join drift — e.g. a
-    // changed window default on either side — would otherwise verify
-    // zero estimates and report vacuous success)
+    // COVERAGE in BOTH directions, not just absence of violations:
+    // every state row must have found its exact-side group (an
+    // inner-join drift — e.g. a changed window default on either side —
+    // would otherwise verify zero estimates and report vacuous
+    // success), AND every exact-side (window, tool) group must have a
+    // state row (a dropped state row would otherwise silently shrink
+    // the verified set — round-5 fix; the bit-exact windowed_eq gate
+    // only covers the order-independent sketch columns)
     val stateGroups = stateRows.map(r => (r.getTimestamp(0), r.getString(1))).toSet.size
-    val winQuantilesOk = stateRows.nonEmpty && perWin.count() == stateGroups && qBad == 0
+    val exactGroups = base.select(col("ws"), col("tool")).distinct().count()
+    val winQuantilesOk = stateRows.nonEmpty && perWin.count() == stateGroups &&
+      stateGroups.toLong == exactGroups && qBad == 0
 
     // per-window MG: all three theorems vs the exact (window, tool,
     // conv_id) counts — undercount-only, error ≤ decrementTotal ≤

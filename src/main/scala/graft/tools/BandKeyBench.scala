@@ -62,6 +62,37 @@ object BandKeyBench {
     println(f"""{"bench":"band_keys","rows":$n,"udf_sec":$udfBest%.3f,""" +
       f""""native_sec":$natBest%.3f,"speedup":${udfBest / natBest}%.2f,""" +
       f""""udf_rows_per_sec":${n / udfBest}%.0f,"native_rows_per_sec":${n / natBest}%.0f}""")
+    sh.unpersist()
+
+    // ---- SRP band keys (round 5): the dense-embedding sibling — the
+    // retired Scala UDF (kept in VectorPipeline as the parity oracle)
+    // vs the native SrpBandKeys expression, over the sf0.1 embeddings.
+    // 512 float dot products per row dominate either way; the native
+    // path removes the boxed Seq[Float] decode and the codegen break.
+    val vecs = graft.pipeline.VectorPipeline.embeddings(spark, "/root/testdata/sf0.1")
+    val vExpanded = (0 until expand).map(i =>
+      vecs.select((col("vec_id") * expand + i).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+      .cache()
+    val vn2 = vExpanded.count()
+    def vSink(keys: org.apache.spark.sql.Column): Long =
+      vExpanded.select(xxhash64(keys).as("h")).agg(expr("bit_xor(h)")).head.getLong(0)
+    var sUdfBest = Double.MaxValue
+    var sNatBest = Double.MaxValue
+    var sUdfV = 0L
+    var sNatV = 0L
+    for (_ <- 1 to 3) {
+      val (tu, vu) = time(() =>
+        vSink(graft.pipeline.VectorPipeline.srpBandKeysUdf(col("embedding"))))
+      val (tn, vv) = time(() =>
+        vSink(graft.spark.catalyst.srpBandKeysNative(col("embedding"))))
+      sUdfBest = math.min(sUdfBest, tu); sUdfV = vu
+      sNatBest = math.min(sNatBest, tn); sNatV = vv
+    }
+    require(sUdfV == sNatV, s"SRP variants disagree: udf=$sUdfV native=$sNatV")
+    println(f"""{"bench":"srp_band_keys","rows":$vn2,"udf_sec":$sUdfBest%.3f,""" +
+      f""""native_sec":$sNatBest%.3f,"speedup":${sUdfBest / sNatBest}%.2f,""" +
+      f""""udf_rows_per_sec":${vn2 / sUdfBest}%.0f,"native_rows_per_sec":${vn2 / sNatBest}%.0f}""")
     spark.stop()
   }
 }

@@ -33,22 +33,42 @@ object CodebookBench {
       .cache()
     val n = big.count()
 
+    // k = 4096 joins the curve in round 5: the training loop now routes
+    // its per-iteration assignment through the two-level assigner above
+    // twoLevelTrainK (default 512), so train time should grow SUBLINEARLY
+    // in k past that point (per-row cost O((√k + 8·k/√k)·dim), not
+    // O(k·dim)). The flat 1M-row assignment column stays k ≤ 1024 (at
+    // 4096 the flat scan is exactly what the two-level path retires —
+    // its entry below measures the production assignment instead).
     println("bench,k,secs,vecs_per_sec")
-    for (k <- Seq(16, 256, 1024)) {
+    for (k <- Seq(16, 256, 1024, 4096)) {
       val t0 = System.nanoTime()
       val book = VectorPipeline.trainedCodebookDistributed(emb, k,
         sampleN = 1 << 15, iters = 10)
       book.cache().count()
       val tTrain = (System.nanoTime() - t0) / 1e9
       println(f"train_distributed,$k,$tTrain%.2f,")
-      def once(): Double = {
-        val t = System.nanoTime()
-        VectorPipeline.ivfAssign(big, book).agg(sum(col("centroid_id"))).collect()
-        (System.nanoTime() - t) / 1e9
+      if (k <= 1024) {
+        def once(): Double = {
+          val t = System.nanoTime()
+          VectorPipeline.ivfAssign(big, book).agg(sum(col("centroid_id"))).collect()
+          (System.nanoTime() - t) / 1e9
+        }
+        once() // warm
+        val tAssign = (1 to 3).map(_ => once()).min
+        println(f"assign_argmax,$k,$tAssign%.2f,${n / tAssign}%.0f")
+      } else {
+        val ck = math.ceil(math.sqrt(k.toDouble)).toInt
+        def once(): Double = {
+          val t = System.nanoTime()
+          VectorPipeline.ivfAssignTwoLevel(big, book, ck, 8)
+            .agg(sum(col("centroid_id"))).collect()
+          (System.nanoTime() - t) / 1e9
+        }
+        once() // warm
+        val tAssign = (1 to 3).map(_ => once()).min
+        println(f"assign_2l_p8,$k,$tAssign%.2f,${n / tAssign}%.0f")
       }
-      once() // warm
-      val tAssign = (1 to 3).map(_ => once()).min
-      println(f"assign_argmax,$k,$tAssign%.2f,${n / tAssign}%.0f")
       book.unpersist()
     }
 

@@ -54,5 +54,18 @@ object KernelSmoke {
     (40000 until 100000).foreach(i => tb.updateHash(Hashing.xxHash64Long(i.toLong, 0L)))
     println(f"theta |A∪B|=${SketchCodec.decodeTheta(SketchCodec.encodeTheta(ta)).mergeInPlace(tb).estimate}%.0f (true 100000) " +
       f"|A∩B|=${ta.intersect(tb).estimate}%.0f (true 20000) |A∖B|=${ta.difference(tb).estimate}%.0f (true 40000)")
+    // sparse Bloom codec (round 5): the windowed-streaming-state shape —
+    // capacity-100k filter per (window, tool) state row, a few hundred
+    // inserts each. Dense ships the full m bits regardless of fill.
+    for (fill <- Seq(100, 500, 5000)) {
+      val sb = KMBloomSketch(100000L, 0.001)
+      (0 until fill).foreach(i => sb.insert(s"conv-$i"))
+      val blob = SketchCodec.encodeBloom(sb)
+      val dense = 6L + 3 + 16 + 4 + 8 + 8L * sb.bits.words.length
+      val back = SketchCodec.decodeBloom(blob)
+      require(back.bits == sb.bits, "sparse Bloom roundtrip")
+      println(f"sparse Bloom cap=100k fill=$fill%5d: v${blob(5)} ${blob.length}%7d B " +
+        f"vs dense $dense%7d B (${dense.toDouble / blob.length}%6.1f x smaller)")
+    }
   }
 }

@@ -312,16 +312,23 @@ class BloomSketchSpec extends AnyFunSuite {
   }
 
   test("codec version is PER TYPE (and per blob for HLL/CMS): dense stays v1") {
-    // an older (v1-only) reader must keep accepting every blob whose
-    // layout is unchanged from v1 during a rolling upgrade: theta/KLL/
-    // t-digest/bottom-k always, HLL/CMS whenever they encode DENSE.
-    // Sparse HLL/CMS blobs are the only new layout, stamped v3 (NOT v2:
-    // one earlier build wrote v2 on dense payloads — SparseCodecSpec
-    // pins that v2 still decodes dense) so an old reader fails fast
-    // instead of misreading them.
+    // an older reader must keep accepting every blob whose layout is
+    // unchanged during a rolling upgrade: theta/KLL/t-digest/bottom-k
+    // always v1; HLL/CMS v1 whenever they encode DENSE; Bloom v2
+    // whenever it encodes dense. Sparse blobs (HLL/CMS round 3, Bloom
+    // round 5) are the only new layouts, stamped v3 (NOT v2: one
+    // earlier build wrote v2 on dense payloads — SparseCodecSpec pins
+    // that v2 still decodes dense) so an old reader fails fast instead
+    // of misreading them.
     def versionByte(b: Array[Byte]): Byte = b(5)
+    // a lightly-filled Bloom now encodes sparse = v3; a heavily-filled
+    // one keeps the byte-identical dense v2 layout (SparseCodecSpec
+    // covers the round-trips; here we pin only the version bytes)
     val bloom = KMBloomSketch(100L, 0.01); bloom.insert("a")
-    assert(versionByte(SketchCodec.encodeBloom(bloom)) === 2)
+    assert(versionByte(SketchCodec.encodeBloom(bloom)) === 3)
+    val bloomFull = KMBloomSketch(3000L, 0.001)
+    (0 until 3000).foreach(i => bloomFull.insert(s"k$i"))
+    assert(versionByte(SketchCodec.encodeBloom(bloomFull)) === 2)
     // a near-full HLL encodes dense = v1; a near-empty one sparse = v2
     val hllFull = HLLSketch()
     (0 until 200000).foreach(i => hllFull.updateHash(Hashing.xxHash64Long(i.toLong, 7L)))

@@ -198,6 +198,75 @@ class SparseCodecSpec extends AnyFunSuite {
     assert(SketchCodec.decodeCms(v2sparseC) === cs, "sparse-layout v2 CMS")
   }
 
+  // ---------------------------------------------------- sparse Bloom (r5)
+  private def bloomOf(capacity: Long, ids: Range): BloomSketch = {
+    val s = KMBloomSketch(capacity, 0.001)
+    ids.foreach(i => s.insert(s"key-$i".getBytes("UTF-8")))
+    s
+  }
+
+  test("sparse Bloom round-trips losslessly at every fill level, probes intact") {
+    for (n <- Seq(0, 1, 10, 500, 5000)) {
+      val s = bloomOf(100000, 0 until n)
+      val blob = SketchCodec.encodeBloom(s)
+      assert(blob(5) === 3, s"n=$n of capacity 100k should encode sparse")
+      val back = SketchCodec.decodeBloom(blob)
+      assert(back.bits === s.bits && back.config === s.config, s"n=$n round-trip")
+      // zero FN survives the codec
+      (0 until n).foreach(i =>
+        assert(back.mightContain(s"key-$i".getBytes("UTF-8")), s"FN after roundtrip: $i"))
+    }
+    // filled to capacity: dense (v2), still lossless
+    val full = bloomOf(3000, 0 until 3000)
+    val blob = SketchCodec.encodeBloom(full)
+    assert(blob(5) === 2, "full filter should stay dense v2")
+    assert(SketchCodec.decodeBloom(blob).bits === full.bits)
+    // keyMode byte survives at its fixed offset in BOTH layouts
+    assert(SketchCodec.bloomKeyMode(SketchCodec.encodeBloom(
+      bloomOf(100000, 0 until 10), SketchCodec.KeyMode.RowHash)) === SketchCodec.KeyMode.RowHash)
+    assert(SketchCodec.bloomKeyMode(SketchCodec.encodeBloom(
+      full, SketchCodec.KeyMode.RowHash)) === SketchCodec.KeyMode.RowHash)
+  }
+
+  test("sparse Bloom is canonical across merge trees and >=5x smaller when light") {
+    // the windowed-streaming-state shape: capacity 100k, a few hundred
+    // inserts — dense is ~175 KiB; the sparse blob must be >= 5x smaller
+    val light = bloomOf(100000, 0 until 500)
+    val blob = SketchCodec.encodeBloom(light)
+    val denseSize = 6 + 3 + 16 + 4 + 8 + 8 * light.bits.words.length
+    assert(blob.length.toLong * 5 <= denseSize,
+      s"500-insert capacity-100k blob is ${blob.length} B vs $denseSize dense")
+    // canonical: shard-union in any order == bulk build, byte-identical
+    def shard(r: Range): BloomSketch = bloomOf(100000, r)
+    val orders = Seq(Seq(0 until 200, 200 until 350, 350 until 500),
+      Seq(350 until 500, 0 until 200, 200 until 350))
+    val blobs = orders.map { parts =>
+      val acc = shard(parts.head)
+      parts.tail.foreach(p => acc.unionInPlace(shard(p)))
+      SketchCodec.encodeBloom(acc)
+    }
+    assert(java.util.Arrays.equals(blobs(0), blobs(1)))
+    assert(java.util.Arrays.equals(blobs(0), blob), "shard union != bulk bytes")
+  }
+
+  test("word-RLE layout: clustered occupancy round-trips (and beats the offset list)") {
+    // hashed fills are offset-list territory; RLE is for CLUSTERED bit
+    // state (e.g. an intersect of correlated filters). Craft one: 100
+    // solid words then tens of thousands of zero words.
+    val cfg = BloomConfig(100000, 0.001)
+    val bits = BitArray(cfg.totalBits)
+    (0L until 6400L).foreach(bits.set(_))
+    val s = new KMBloomSketch(cfg, bits, KMHashPair.XxMurmur)
+    val blob = SketchCodec.encodeBloom(s)
+    assert(blob(5) === 3)
+    // layout byte: 6 (header) + variant+keyMode+hasherId (3) + cap (8) +
+    // fpp (8) + numBits (8) = offset 33
+    assert(blob(33) === 1, s"clustered filter should pick the RLE layout, got ${blob(33)}")
+    assert(blob.length < 1200, s"RLE blob is ${blob.length} B") // ~100 words + varints
+    val back = SketchCodec.decodeBloom(blob)
+    assert(back.bits === s.bits)
+  }
+
   test("describe renders sparse blobs; corrupt sparse blobs fail loudly") {
     val h = hllOf(0 until 50)
     assert(SketchCodec.describe(SketchCodec.encodeHll(h)).contains("HLLSketch"))

@@ -43,6 +43,30 @@ class CodebookSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("two-level-routed training is still bit-deterministic across partitionings") {
+    // force the two-level iteration path at test-sized k by dropping
+    // the threshold (production default engages it at k >= 512): the
+    // assigner is a pure function of (centroids, coarseK, probes), so
+    // determinism must survive the routed assignment exactly as it
+    // does the flat one
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.01").cache()
+    val a = collectBook(VectorPipeline.trainedCodebookDistributed(emb, 32,
+      sampleN = 1 << 12, iters = 5, twoLevelTrainK = 1))
+    val b = collectBook(VectorPipeline.trainedCodebookDistributed(
+      emb.repartition(7, col("vec_id") % 3), 32, sampleN = 1 << 12, iters = 5,
+      twoLevelTrainK = 1))
+    assert(a == b, "two-level-routed training diverged across input partitionings")
+    assert(a.length == 32 && a.map(_._1) == (0L until 32L))
+    // routed Lloyd converges to a codebook of the same QUALITY class as
+    // the flat one: same count, unit norms (recall quality is gated at
+    // scale by q46 and the k=64 routing test)
+    a.foreach { case (id, c) =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"centroid $id norm $n")
+    }
+    emb.unpersist()
+  }
+
   test("invariants: <= k unit-norm centroids with ids 0..k-1") {
     val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001")
     val book = collectBook(VectorPipeline.trainedCodebookDistributed(emb, 16,

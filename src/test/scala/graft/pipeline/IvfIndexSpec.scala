@@ -304,4 +304,55 @@ class IvfIndexSpec extends AnyFunSuite {
       s"read $filesRead files of $totalFiles — more than the 2 probed lists")
     book.unpersist(); emb.unpersist()
   }
+
+  test("versioned root: build -> append-fragment -> compact+flip -> retire, old path gone") {
+    val emb = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val book = VectorPipeline.trainedCodebook(emb, 16).cache()
+    val root = "/tmp/graft_test_ivf_root"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val hfs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(rootP, true)
+
+    // not-a-root fails fast, not with a missing-parquet stack
+    intercept[IllegalArgumentException](
+      VectorPipeline.currentIvfIndexPath(spark, root))
+
+    // generation 1: half the corpus + a fragmenting append of the rest
+    val gen1 = VectorPipeline.writeIvfIndexVersioned(
+      emb.filter(col("vec_id") % 2 === 0), book, root)
+    assert(VectorPipeline.currentIvfIndexPath(spark, root) === gen1)
+    VectorPipeline.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), gen1)
+    val answers1 = VectorPipeline
+      .ivfTopKFromIndex(spark, gen1, queries, 10, 8)
+      .select(col("q_id"), col("n_id")).cache()
+    answers1.count()
+
+    // compact + manifest flip: readers resolving the root now get gen2;
+    // answers identical (compaction is physical, never a re-route)
+    val gen2 = VectorPipeline.compactIvfIndexVersioned(spark, root)
+    assert(gen2 !== gen1)
+    assert(VectorPipeline.currentIvfIndexPath(spark, root) === gen2)
+    val answers2 = VectorPipeline
+      .ivfTopKFromIndex(spark, VectorPipeline.currentIvfIndexPath(spark, root),
+        queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    assert(answers1.exceptAll(answers2).isEmpty && answers2.exceptAll(answers1).isEmpty,
+      "post-flip index must answer identically")
+    assert(VectorPipeline.ivfIndexStats(spark, gen2).collect()
+      .forall(_.getLong(2) === 1L), "compacted generation must be one file per list")
+    // the OLD generation is still on disk until retired (in-flight readers)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(gen1)))
+
+    // retire: the old path is GONE, the current one still answers
+    val retired = VectorPipeline.retireIvfIndexGenerations(spark, root)
+    assert(retired === Seq(gen1), s"expected to retire only $gen1, got $retired")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(gen1)), "retired path must be deleted")
+    val answers3 = VectorPipeline
+      .ivfTopKFromIndex(spark, VectorPipeline.currentIvfIndexPath(spark, root),
+        queries, 10, 8)
+      .select(col("q_id"), col("n_id"))
+    assert(answers1.exceptAll(answers3).isEmpty && answers3.exceptAll(answers1).isEmpty)
+    answers1.unpersist(); book.unpersist(); emb.unpersist()
+  }
 }

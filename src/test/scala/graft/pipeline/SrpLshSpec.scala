@@ -79,6 +79,32 @@ class SrpLshSpec extends AnyFunSuite {
     assert(cands.isEmpty, s"zero/null vectors paired: ${cands.mkString(",")}")
   }
 
+  test("native SrpBandKeys == reference UDF both directions (real + edge vectors)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    val synth = (0 until 300).map(i => (i.toLong, Option(randVec(rnd).toSeq)))
+    val edges = Seq(
+      (900L, Option(Array.fill(Dim)(0f).toSeq)), // zero norm → null
+      (901L, None: Option[Seq[Float]]), // null → null
+      (902L, Option(Seq.empty[Float])), // empty → null
+      (903L, Option(Seq(1f))), // dim 1 (≠ matrix dim — any dim ≤ MaxDim is legal)
+      (904L, Option(Seq(-1f, 2f, -3f))))
+    val df = (synth ++ edges).toDF("vec_id", "embedding")
+      // real parquet embeddings too, so the parity evidence covers the
+      // actual near-dup input distribution, not just gaussians
+      .unionByName(VectorPipeline.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id") + 10000L as "vec_id", col("embedding")))
+    val both = df.select(col("vec_id"),
+      graft.spark.catalyst.srpBandKeysNative(col("embedding")).as("native"),
+      VectorPipeline.srpBandKeysUdf(col("embedding")).as("ref")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val n = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      val u = if (r.isNullAt(2)) null else r.getSeq[Long](2)
+      assert(n == u, s"vec ${r.getLong(0)}: native $n != udf $u")
+    }
+  }
+
   test("exactCosinePairs equals brute-force binary cosine on a small corpus") {
     import spark.implicits._
     val words = (0 until 40).map(i => s"w$i")

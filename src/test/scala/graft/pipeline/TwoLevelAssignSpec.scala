@@ -118,16 +118,19 @@ class TwoLevelAssignSpec extends AnyFunSuite {
       // identically rather than testing agreement on a clean vector
       (3L, Seq(0.9f, 0.1f)))
       .toDF("vec_id", "embedding")
-    // must not throw; NaN rows get SOME deterministic centroid (the
-    // flat argmax returns its first centroid under NaN — the contract
-    // is tolerate-and-route, never null, never AIOOBE)
+    // must not throw; non-finite rows BYPASS bucket routing and run the
+    // flat scan verbatim (round 5), so two-level ≡ flat bit-level on
+    // EVERY row here — including the NaN and Inf ones, at any probe
+    // depth (the pre-fix behavior only guaranteed non-null)
     val flat = VectorPipeline.ivfAssign(rows, book)
       .orderBy(col("vec_id")).select(col("centroid_id")).collect().map(_.getLong(0))
     val twoL = VectorPipeline.ivfAssignTwoLevel(rows, book, coarseK = 2, probes = 1)
       .orderBy(col("vec_id")).select(col("centroid_id")).collect()
     assert(twoL.forall(!_.isNullAt(0)), "NaN/Inf row got a null assignment")
-    // the clean row must agree with the flat argmax
-    assert(twoL(2).getLong(0) === flat(2))
+    twoL.indices.foreach { i =>
+      assert(twoL(i).getLong(0) === flat(i),
+        s"row $i: two-level diverged from flat on a NaN/Inf/clean vector")
+    }
   }
 
   test("kernel property sweep: full probes == reference argmax; partial probes always valid") {
