@@ -803,6 +803,67 @@ object PipelineEntries {
       t.unpersist()
       Seq((n, zeroFn, hllOk)).toDF("n_turns", "zero_fn", "hll_ok")
     }),
+
+    // VERSIONED index root lifecycle (round 5): the full generational
+    // swap the 100 TB serving path needs — build generation 1 behind a
+    // `_manifest` pointer, fragment it with an append, compact into
+    // generation 2 with an ATOMIC manifest flip (one no-overwrite
+    // create: readers racing the swap resolve old or new, never torn),
+    // then retire the old generation. Gates: the root resolves through
+    // the manifest to the right generation at every step; probe answers
+    // are IDENTICAL before compaction, after the flip, and after the
+    // retire (compaction is physical, never a re-route); the compacted
+    // generation is one file per inverted list; retire deletes exactly
+    // the superseded generation and the survivor still answers.
+    "q51_index_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      // the gates here are STABILITY (identical answers across the
+      // swap), not recall — small book/probe params keep the query at
+      // lifecycle-machinery cost, recall is q42/q46's job
+      val queries = emb.filter(col("vec_id") < 20)
+      val nq = queries.count()
+      val book = VectorPipeline.trainedCodebook(emb, 8).cache()
+      val root = s"/tmp/graft_q51_ivf_root_${java.util.UUID.randomUUID()}"
+      try {
+        val gen1 = VectorPipeline.writeIvfIndexVersioned(
+          emb.filter(col("vec_id") % 2 === 0), book, root)
+        VectorPipeline.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), gen1)
+        // answer-set signature in ONE pass: top-k rows are DISTINCT
+        // (q_id, n_id) pairs by construction (row_number), so
+        // (xor-of-hashes, count) equality is set equality — one job per
+        // probe instead of cached relations + two exceptAll shuffles
+        // per comparison (IvfIndexSpec keeps the row-level exceptAll
+        // gates on this machinery)
+        def answerSig(path: String): (Long, Long) = {
+          val r = VectorPipeline.ivfTopKFromIndex(s, path, queries, 10, 4)
+            .agg(coalesce(bit_xor(xxhash64(col("q_id"), col("n_id"))), lit(0L)),
+              count(lit(1))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val a1 = answerSig(VectorPipeline.currentIvfIndexPath(s, root))
+        val resolves1 = VectorPipeline.currentIvfIndexPath(s, root) == gen1
+        val gen2 = VectorPipeline.compactIvfIndexVersioned(s, root)
+        val resolves2 = gen2 != gen1 &&
+          VectorPipeline.currentIvfIndexPath(s, root) == gen2
+        val stableAfterFlip = a1._2 > 0 &&
+          answerSig(VectorPipeline.currentIvfIndexPath(s, root)) == a1
+        val compactedOneFile = VectorPipeline.ivfIndexStats(s, gen2)
+          .filter(col("n_files") =!= 1L).isEmpty
+        val retired = VectorPipeline.retireIvfIndexGenerations(s, root)
+        val gen1Path = new org.apache.hadoop.fs.Path(gen1)
+        val oldGone = retired == Seq(gen1) && !gen1Path
+          .getFileSystem(s.sparkContext.hadoopConfiguration).exists(gen1Path)
+        val stableAfterRetire =
+          answerSig(VectorPipeline.currentIvfIndexPath(s, root)) == a1
+        book.unpersist(); emb.unpersist()
+        Seq((nq, resolves1 && resolves2, stableAfterFlip, compactedOneFile,
+          oldGone, stableAfterRetire))
+          .toDF("n_queries", "manifest_resolves", "stable_after_flip",
+            "compacted_one_file_per_list", "old_generation_retired",
+            "stable_after_retire")
+      } finally deleteTmpDir(s, root)
+    }),
   )
 
   private val C = Transcripts.Cte
@@ -990,5 +1051,10 @@ object PipelineEntries {
          |CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clusters,
          |CAST(COALESCE((SELECT MAX(sz) FROM cl), 0) AS BIGINT) AS max_cluster_size"""
         .stripMargin.replace("\n", " ")),
+    "q51_index_lifecycle" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS manifest_resolves, " +
+        "true AS stable_after_flip, true AS compacted_one_file_per_list, " +
+        "true AS old_generation_retired, true AS stable_after_retire " +
+        "FROM embeddings WHERE vec_id < 20"),
   )
 }

@@ -353,12 +353,10 @@ object VectorPipeline {
         var bits = 0L
         var j = 0
         while (j < BandBits) {
+          val signs = graft.spark.catalyst.SrpBandKernel.signRow(b * BandBits + j)
           var dot = 0.0
           var d = 0
-          while (d < vec.length) {
-            dot += graft.spark.catalyst.SrpBandKernel.signAt(b * BandBits + j, d) * vec(d)
-            d += 1
-          }
+          while (d < vec.length) { dot += signs(d) * vec(d); d += 1 }
           bits = (bits << 1) | (if (dot >= 0) 1L else 0L)
           j += 1
         }

@@ -415,9 +415,11 @@ object SrpBandKernel {
       }
     }
 
-  /** Single sign for the parity-oracle UDF (VectorPipeline keeps the
-    * retired UDF as SrpLshSpec's reference) — never on the hot path. */
-  def signAt(bit: Int, dim: Int): Byte = signs(bit)(dim)
+  /** Sign row for the parity-oracle UDF (VectorPipeline keeps the
+    * retired UDF as SrpLshSpec's reference, in its ORIGINAL row-fetch
+    * shape so before/after measurements compare like for like) — never
+    * on the hot path. */
+  def signRow(bit: Int): Array[Byte] = signs(bit)
 
   /** 32 band keys for a dense float embedding. Null for an empty,
     * all-zero, or null-element vector (no direction ⇒ must not bucket
