@@ -864,6 +864,80 @@ object PipelineEntries {
             "stable_after_retire")
       } finally deleteTmpDir(s, root)
     }),
+
+    // WEIGHTED training-mix sampling (round 5): per-language weighted
+    // bottom-k over documents, weight = whitespace token count + 1 (a
+    // pure function of the doc — "prefer longer docs in the mix"). The
+    // A-ES race keys make the sample deterministic and map-side
+    // combinable: each partition ships ≤ k entries per language, so the
+    // 100 TB shape is one partial-aggregate pass, no corpus shuffle.
+    // Gates: (a) blob bit-identity across repartitioning; (b) the
+    // sampled set per language IS the exact k-smallest-race set,
+    // recomputed from first principles via a window ranking; (c) the
+    // weighted sample averages a strictly higher weight than the
+    // UNIFORM bottom-k sample over the same strata (restricted to
+    // languages with n_docs > 2k, where the two can differ) — the
+    // "weights actually matter" gate. Exact anchors (per-language doc
+    // counts, sample sizes) are DuckDB-recomputed.
+    "q52_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val d = docs(s, dir)
+        .select(col("lang"), col("doc_id").cast("string").as("did"),
+          (TextPipeline.wsTokenCount(col("text")) + lit(1)).cast("double").as("w"))
+        .cache()
+      val g1 = d.groupBy(col("lang"))
+        .agg(weightedBottomKSampleAgg(k)(col("did"), col("w")).as("sk"),
+          bottomKSampleAgg(k)(col("did")).as("usk"),
+          count(lit(1)).as("n_docs"))
+      val g2 = d.repartition(13, col("did")).groupBy(col("lang"))
+        .agg(weightedBottomKSampleAgg(k)(col("did"), col("w")).as("sk2"))
+      val eqUdf = udf((a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b))
+      val samples = g1.join(g2, "lang")
+        .select(col("lang"), col("n_docs"),
+          eqUdf(col("sk"), col("sk2")).as("parallelism_invariant"),
+          graft.spark.functions.weightedSampleStrings(col("sk")).as("sample"),
+          graft.spark.functions.bottomKSampleStrings(col("usk")).as("usample"))
+        .cache()
+      // exact verifier: the race key recomputed from first principles
+      // (same kernel transform), ranked per language — the sample must
+      // be EXACTLY the k smallest
+      val raceUdf = udf((did: String, w: Double) => WeightedBottomKSketch.raceOf(
+        Hashing.xxHash64(did.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L), w))
+      val exactTop = d
+        .withColumn("race", raceUdf(col("did"), col("w")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("race"), col("did"))))
+        .filter(col("rk") <= k).select(col("lang"), col("did"))
+      val missPerLang = samples
+        .select(col("lang"), explode(col("sample")).as("did"))
+        .join(exactTop, Seq("lang", "did"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_miss"))
+      // weights-matter gate, restricted to strata where weighted and
+      // uniform CAN differ (n_docs > 2k); one bounded 1-row aggregate
+      val wOf = d.select(col("lang"), col("did"), col("w"))
+      def meanW(expl: DataFrame): Option[Double] = {
+        val r = expl.join(wOf, Seq("lang", "did")).agg(avg(col("w"))).head
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+      val big = samples.filter(col("n_docs") > 2L * k)
+      val wAvg = meanW(big.select(col("lang"), explode(col("sample")).as("did")))
+      val uAvg = meanW(big.select(col("lang"), explode(col("usample")).as("did")))
+      val heavier = (wAvg, uAvg) match {
+        case (Some(a), Some(b)) => a > b
+        case _ => true // no stratum large enough for the two to differ
+      }
+      val out = samples.join(missPerLang, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          size(col("sample")).cast("bigint").as("sample_size"),
+          col("parallelism_invariant"),
+          coalesce(col("n_miss"), lit(0L)).===(0L).as("matches_exact_topk"),
+          lit(heavier).as("weighted_heavier_than_uniform"))
+        .orderBy(col("lang"))
+      val rows = out.collect()
+      samples.unpersist(); d.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    }),
   )
 
   private val C = Transcripts.Cte
@@ -1056,5 +1130,11 @@ object PipelineEntries {
         "true AS stable_after_flip, true AS compacted_one_file_per_list, " +
         "true AS old_generation_retired, true AS stable_after_retire " +
         "FROM embeddings WHERE vec_id < 20"),
+    "q52_weighted_sample" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(LEAST(64, COUNT(*)) AS BIGINT) AS sample_size, " +
+        "true AS parallelism_invariant, true AS matches_exact_topk, " +
+        "true AS weighted_heavier_than_uniform " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
   )
 }

@@ -35,6 +35,7 @@ object SketchCodec {
     val Theta: Byte = 6
     val BottomK: Byte = 7
     val Mg: Byte = 8
+    val WeightedBottomK: Byte = 9
   }
   // Versions are PER TYPE — and, for HLL/CMS, PER BLOB:
   //   - Bloom: DENSE blobs are v2 (carries the KM hash-pair id, see
@@ -108,6 +109,7 @@ object SketchCodec {
       case TypeId.Theta => decodeTheta(bytes).toString
       case TypeId.BottomK => decodeBottomK(bytes).toString
       case TypeId.Mg => decodeMg(bytes).toString
+      case TypeId.WeightedBottomK => decodeWeightedBottomK(bytes).toString
       case other => s"unknown sketch type $other (${bytes.length} bytes)"
     } catch {
       case e: Exception =>
@@ -602,5 +604,36 @@ object SketchCodec {
       (h, kb)
     }
     BottomKSketch.fromEntries(k, es)
+  }
+
+  // ------------------------------------------ weighted bottom-k (A-ES)
+  // payload: k(4) n(4) [race(8, IEEE double) keyHash(8) keyLen(4) key]*
+  // entries in race order — canonical (the retained set and its order
+  // are pure functions of the logical sample, independent of merge tree)
+  def encodeWeightedBottomK(s: WeightedBottomKSketch): Array[Byte] = {
+    val es = s.entriesSeq
+    val payload = 4 + 4 + es.map(e => 8 + 8 + 4 + e._3.length).sum
+    val bb = writer(TypeId.WeightedBottomK, payload, MinVersion)
+    bb.putInt(s.k)
+    bb.putInt(es.size)
+    es.foreach { case (r, h, kb) =>
+      bb.putDouble(r); bb.putLong(h); bb.putInt(kb.length); bb.put(kb)
+    }
+    bb.array()
+  }
+
+  def decodeWeightedBottomK(bytes: Array[Byte]): WeightedBottomKSketch = {
+    val bb = reader(bytes, TypeId.WeightedBottomK)
+    val k = bb.getInt()
+    val n = bb.getInt()
+    val es = (0 until n).map { _ =>
+      val r = bb.getDouble()
+      val h = bb.getLong()
+      val len = bb.getInt()
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      (r, h, kb)
+    }
+    WeightedBottomKSketch.fromEntries(k, es)
   }
 }

@@ -931,11 +931,14 @@ object VectorPipeline {
     finally out.close()
   }
 
+  private val GenRe = "gen-(\\d{8})".r
+
   private def nextGenName(spark: SparkSession, rootPath: String): String = {
     val (f, p) = fs(spark, rootPath)
+    // regex, not a bare toInt on the suffix: a stray `gen-tmp` scratch
+    // dir under the root must not kill every future build
     val existing = if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq
-      .map(_.getPath.getName).filter(_.startsWith(GenPrefix))
-      .map(_.stripPrefix(GenPrefix).toInt)
+      .map(_.getPath.getName).collect { case GenRe(n) => n.toInt }
     f"$GenPrefix${existing.maxOption.getOrElse(0) + 1}%08d"
   }
 

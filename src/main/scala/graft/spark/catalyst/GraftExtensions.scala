@@ -208,6 +208,18 @@ object GraftExtensions {
           s"graft_bottomk_sample_agg k out of range: $k")
         BottomKSampleAgg(args(1), k.toInt).toAggregateExpression()
       }),
+    "graft_weighted_bottomk_agg" ->
+      ("graft_weighted_bottomk_agg(k, key, weight) - deterministic weighted bottom-k " +
+        "distinct sample (A-ES race keys; inclusion probability ~ k*w/sum(w))",
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_weighted_bottomk_agg(k, key, weight)")
+        val k = lit2Long(args.head, "graft_weighted_bottomk_agg k")
+        require(k >= 1 && k <= Int.MaxValue,
+          s"graft_weighted_bottomk_agg k out of range: $k")
+        WeightedBottomKSampleAgg(args(1),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(2),
+            org.apache.spark.sql.types.DoubleType), k.toInt).toAggregateExpression()
+      }),
     "graft_sketch_merge_agg" -> ("graft_sketch_merge_agg(blob) - fold sketch blobs into one",
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_sketch_merge_agg(blob)")

@@ -91,6 +91,8 @@ object SketchMergeAgg {
           case SketchCodec.TypeId.Theta => sketch = SketchCodec.decodeTheta(bytes)
           case SketchCodec.TypeId.BottomK => sketch = SketchCodec.decodeBottomK(bytes)
           case SketchCodec.TypeId.Mg => sketch = SketchCodec.decodeMg(bytes)
+          case SketchCodec.TypeId.WeightedBottomK =>
+            sketch = SketchCodec.decodeWeightedBottomK(bytes)
           case other => throw new IllegalArgumentException(s"unknown sketch type $other")
         }
       } else {
@@ -116,6 +118,9 @@ object SketchMergeAgg {
             sketch.asInstanceOf[BottomKSketch].mergeInPlace(SketchCodec.decodeBottomK(bytes))
           case SketchCodec.TypeId.Mg =>
             sketch.asInstanceOf[MGSketch].mergeInPlace(SketchCodec.decodeMg(bytes))
+          case SketchCodec.TypeId.WeightedBottomK =>
+            sketch.asInstanceOf[WeightedBottomKSketch]
+              .mergeInPlace(SketchCodec.decodeWeightedBottomK(bytes))
         }
       }
     }
@@ -130,6 +135,8 @@ object SketchMergeAgg {
         case SketchCodec.TypeId.Theta => SketchCodec.encodeTheta(s.asInstanceOf[ThetaSketch])
         case SketchCodec.TypeId.BottomK => SketchCodec.encodeBottomK(s.asInstanceOf[BottomKSketch])
         case SketchCodec.TypeId.Mg => SketchCodec.encodeMg(s.asInstanceOf[MGSketch])
+        case SketchCodec.TypeId.WeightedBottomK =>
+          SketchCodec.encodeWeightedBottomK(s.asInstanceOf[WeightedBottomKSketch])
       }
     }
   }

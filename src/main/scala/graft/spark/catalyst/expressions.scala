@@ -542,6 +542,66 @@ case class BottomKSampleAgg(
     copy(key = c.head)
 }
 
+/** Weighted bottom-k distinct sample as a native aggregate: A-ES race
+  * keys over the key's own hash (see graft.core.WeightedBottomKSketch)
+  * make the selection weight-proportional, deterministic, and
+  * merge-order-independent — the "weighted training mix in one
+  * partial-aggregate pass" primitive. Weight must be a pure function of
+  * the key, finite and > 0; rows with a null key or null weight are
+  * skipped (the null key matches every other agg here; a null weight
+  * has no defensible race, and skipping keeps the pure-function
+  * contract checkable by the caller). */
+case class WeightedBottomKSampleAgg(
+    key: Expression,
+    weight: Expression,
+    k: Int = WeightedBottomKSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[WeightedBottomKSketch] {
+
+  override def children: Seq[Expression] = Seq(key, weight)
+  override def prettyName: String = "graft_weighted_bottomk_sample_agg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (key.dataType, weight.dataType) match {
+      case (StringType | BinaryType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (kt, wt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName takes (string|binary key, double weight), got " +
+            s"(${kt.catalogString}, ${wt.catalogString})")
+    }
+
+  override def createAggregationBuffer(): WeightedBottomKSketch = WeightedBottomKSketch(k)
+
+  override def update(b: WeightedBottomKSketch, input: InternalRow): WeightedBottomKSketch = {
+    val v = key.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val bytes = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+        case a: Array[Byte] => a
+      }
+      b.update(bytes, w.asInstanceOf[Double])
+    }
+    b
+  }
+
+  override def merge(b: WeightedBottomKSketch, o: WeightedBottomKSketch): WeightedBottomKSketch =
+    b.mergeInPlace(o)
+  override def eval(b: WeightedBottomKSketch): Any = SketchCodec.encodeWeightedBottomK(b)
+  override def serialize(b: WeightedBottomKSketch): Array[Byte] =
+    SketchCodec.encodeWeightedBottomK(b)
+  override def deserialize(bytes: Array[Byte]): WeightedBottomKSketch =
+    SketchCodec.decodeWeightedBottomK(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): WeightedBottomKSampleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WeightedBottomKSampleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): WeightedBottomKSampleAgg =
+    copy(key = c.head, weight = c(1))
+}
+
 /** Misra–Gries heavy hitters as a native aggregate: deterministic
   * ε-approximate frequent items carrying the KEYS themselves (CMS's
   * complement — see core/MGSketch.scala for the bounds and the

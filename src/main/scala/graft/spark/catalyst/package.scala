@@ -124,6 +124,15 @@ package object catalyst {
   def bottomKSampleAgg(k: Int)(key: Column): Column =
     B.aggColumn(BottomKSampleAgg(B.expression(key), k))
 
+  /** Deterministic WEIGHTED bottom-k sample of a string/binary column's
+    * distinct values (A-ES race keys over the key's own hash: inclusion
+    * probability ≈ k·w/Σw, merge-order-independent, same sample at any
+    * parallelism — the weighted training-mix primitive). The weight must
+    * be a pure function of the key, finite and > 0. */
+  def weightedBottomKSampleAgg(k: Int)(key: Column, weight: Column): Column =
+    B.aggColumn(WeightedBottomKSampleAgg(
+      B.expression(key), B.expression(weight.cast("double")), k))
+
   /** Misra–Gries heavy hitters of a string/binary column: at most k
     * (key, count) entries, undercount-only, every key with frequency
     * > N/(k+1) guaranteed present (deterministic — no probabilities). */

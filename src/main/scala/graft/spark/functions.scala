@@ -183,6 +183,13 @@ object functions {
     udf((s: Array[Byte]) =>
       if (s == null) null else SketchCodec.decodeBottomK(s).sample).apply(sketch)
 
+  /** Unwrap a WEIGHTED bottom-k sample blob into its sampled keys as
+    * strings, in race (selection-strength) order. Null blob → null. */
+  def weightedSampleStrings(sketch: Column): Column =
+    udf((s: Array[Byte]) => if (s == null) null
+      else SketchCodec.decodeWeightedBottomK(s).sample
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))).apply(sketch)
+
   /** Unwrap a Misra–Gries blob into (key, est) structs as strings,
     * sorted (est desc, key asc) — `explode` it for a heavy-hitter
     * relation. Null blob → null. */
@@ -257,6 +264,9 @@ object functions {
       if (s == null) null else SketchCodec.describe(s))
     spark.udf.register("bottomk_sample_strings", (s: Array[Byte]) =>
       if (s == null) null else SketchCodec.decodeBottomK(s).sample
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
+    spark.udf.register("weighted_sample_strings", (s: Array[Byte]) =>
+      if (s == null) null else SketchCodec.decodeWeightedBottomK(s).sample
         .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
   }
 }

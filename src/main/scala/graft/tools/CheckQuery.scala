@@ -17,7 +17,10 @@ object CheckQuery {
     for (q <- args; sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(q)(spark, s"/root/testdata/$sf").collect()
-      val shown = if (rows.length == 1) rows.head.toString else s"${rows.length} rows"
+      val shown =
+        if (rows.length == 1) rows.head.toString
+        else if (rows.length <= 12) rows.mkString(s"${rows.length} rows\n  ", "\n  ", "")
+        else s"${rows.length} rows"
       println(f"CHECK $q $sf $shown secs=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()

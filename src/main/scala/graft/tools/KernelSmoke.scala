@@ -67,5 +67,13 @@ object KernelSmoke {
       println(f"sparse Bloom cap=100k fill=$fill%5d: v${blob(5)} ${blob.length}%7d B " +
         f"vs dense $dense%7d B (${dense.toDouble / blob.length}%6.1f x smaller)")
     }
+    // weighted bottom-k (round 5): A-ES race keys, 9:1 weights → ~9:1
+    // inclusion at k ≪ n; selection deterministic (no RNG)
+    val wbk = WeightedBottomKSketch(500)
+    (0 until 5000).foreach(i => wbk.update(s"doc-$i".getBytes("UTF-8"),
+      if (i % 2 == 0) 9.0 else 1.0))
+    val wHeavy = SketchCodec.decodeWeightedBottomK(SketchCodec.encodeWeightedBottomK(wbk))
+      .sample.count(kb => new String(kb).stripPrefix("doc-").toInt % 2 == 0)
+    println(s"weighted bottom-k k=500 of n=5000, weights 9:1 -> heavy share $wHeavy/500 (expect ~450, uniform would be ~250)")
   }
 }

@@ -161,6 +161,49 @@ class SparkAggSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("weighted bottom-k: agg ≡ kernel, parallelism-invariant, merge agg, SQL surface") {
+    import spark.implicits._
+    import graft.spark.catalyst.{sketchMergeAgg, weightedBottomKSampleAgg, GraftExtensions}
+    import graft.core.{Hashing, SketchCodec, WeightedBottomKSketch}
+    // weight a pure function of the key: 9.0 for even ids, 1.0 for odd
+    val df = (0 until 2000).map(i => (s"conv-$i", if (i % 2 == 0) 9.0 else 1.0))
+      .toDF("k", "w").cache()
+    val b1 = df.repartition(1)
+      .agg(weightedBottomKSampleAgg(64)($"k", $"w")).head.getAs[Array[Byte]](0)
+    val b9 = df.repartition(9)
+      .agg(weightedBottomKSampleAgg(64)($"k", $"w")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b9), "weighted sample not partitioning-invariant")
+    // agg result ≡ kernel bulk build, bit for bit
+    val bulk = WeightedBottomKSketch(64)
+    (0 until 2000).foreach { i =>
+      bulk.update(s"conv-$i".getBytes("UTF-8"), if (i % 2 == 0) 9.0 else 1.0)
+    }
+    assert(java.util.Arrays.equals(b1, SketchCodec.encodeWeightedBottomK(bulk)),
+      "Spark agg blob differs from kernel bulk build")
+    // second-level merge: per-salt partials fold to the same global blob
+    val salted = df.withColumn("salt", xxhash64($"k") % 8)
+      .groupBy($"salt").agg(weightedBottomKSampleAgg(64)($"k", $"w").as("sk"))
+    val remerged = salted.agg(sketchMergeAgg($"sk")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(remerged, b1), "sketch_merge_agg re-merge diverged")
+    // unwrap: race order, weighted bias; null-safe
+    val sampled = Seq(Tuple1(b1)).toDF("s")
+      .select(gf.weightedSampleStrings($"s").as("keys")).head.getSeq[String](0)
+    assert(sampled.length === 64)
+    val heavy = sampled.count(_.stripPrefix("conv-").toInt % 2 == 0)
+    assert(heavy >= 48, s"only $heavy/64 heavy keys — weights not honored")
+    assert(Seq(Tuple1(null: Array[Byte])).toDF("s")
+      .select(gf.weightedSampleStrings($"s")).head.isNullAt(0))
+    // SQL surface end-to-end (int weight exercises the cast)
+    GraftExtensions.register(spark)
+    gf.registerAll(spark)
+    df.createOrReplaceTempView("wbk_v")
+    val viaSql = spark.sql(
+      "SELECT weighted_sample_strings(graft_weighted_bottomk_agg(64, k, CAST(w AS INT))) FROM wbk_v")
+      .head.getSeq[String](0)
+    assert(viaSql.toSet === sampled.toSet, "SQL path sample differs from column path")
+    df.unpersist()
+  }
+
   test("graft_bloom_might_contain_keyed on the SQL surface: shard-routed probe") {
     import spark.implicits._
     import graft.spark.catalyst.GraftExtensions
