@@ -29,18 +29,28 @@ object StreamingSketch {
     * theorem gates non-trivial. */
   val WindowedMgK = 4
 
+  /** Deterministic per-conversation weight for the windowed weighted
+    * sample — a pure function of the key, as the A-ES contract
+    * requires (hash-derived 1–9 here; production would use a per-conv
+    * attribute). */
+  private def convWeight(convId: Column): Column =
+    (pmod(xxhash64(convId), lit(9)) + lit(1)).cast("double")
+
   /** Windowed per-tool sketch family over a transcript stream: HLL +
-    * Bloom + theta (bit-exact merges) AND t-digest + KLL + Misra–Gries
-    * (order-dependent merges, gated bound-level per window in q33) —
-    * a user gets per-window p50/p95s and heavy conversations straight
-    * from the state store.
+    * Bloom + theta + weighted bottom-k (bit-exact merges) AND t-digest
+    * + KLL + Misra–Gries (order-dependent merges, gated bound-level per
+    * window in q33) — a user gets per-window p50/p95s, heavy
+    * conversations, and a weighted conversation sample straight from
+    * the state store. The weighted sample's weight is a hash of the
+    * conv_id (the weight MUST be a pure function of the key — a
+    * per-conv attribute column works the same way in production).
     * NOTE: the aggregation buffer schema is part of the streaming state
     * schema — adding/removing a sketch column here is NOT
     * checkpoint-compatible with queries started on an older version
     * (Spark fails the restart with StateSchemaNotCompatible; plan a
     * fresh checkpoint dir when changing the column set — the round-4
-    * quantile/MG additions are exactly such a break vs round-3
-    * checkpoints). */
+    * quantile/MG additions and the round-5 weighted-sample column are
+    * exactly such breaks vs older checkpoints). */
   def windowedSketches(stream: DataFrame, watermark: String = "1 hour",
       window_ : String = "6 hours", capacity: Long = 100000L): DataFrame = {
     stream
@@ -57,6 +67,8 @@ object StreamingSketch {
         tdigestAggNative(col("turn_idx").cast("double")).as("tdigest_turns"),
         kllAggNative(col("turn_idx").cast("double")).as("kll_turns"),
         mgAgg(WindowedMgK)(col("conv_id")).as("mg_convs"),
+        weightedBottomKSampleAgg(64)(col("conv_id"), convWeight(col("conv_id")))
+          .as("wbk_convs"),
         count(lit(1)).as("n_turns"))
   }
 
@@ -133,6 +145,7 @@ object StreamingSketch {
     val kllState = new IncrementalState
     val thetaState = new IncrementalState
     val bkState = new IncrementalState
+    val wbkState = new IncrementalState
     val mgState = new IncrementalState
     val q1 = stream.writeStream
       .outputMode("update")
@@ -148,6 +161,8 @@ object StreamingSketch {
             kllAggNative(col("turn_idx").cast("double")).as("k"),
             thetaAggNative(col("conv_id")).as("th"),
             bottomKSampleAgg(256)(col("conv_id")).as("bk"),
+            weightedBottomKSampleAgg(256)(col("conv_id"), convWeight(col("conv_id")))
+              .as("wbk"),
             mgAgg(8)(col("tool")).as("mg")).head
           bloomState.merge(r.getAs[Array[Byte]]("b"))
           hllState.merge(r.getAs[Array[Byte]]("h"))
@@ -156,6 +171,7 @@ object StreamingSketch {
           kllState.merge(r.getAs[Array[Byte]]("k"))
           thetaState.merge(r.getAs[Array[Byte]]("th"))
           bkState.merge(r.getAs[Array[Byte]]("bk"))
+          wbkState.merge(r.getAs[Array[Byte]]("wbk"))
           mgState.merge(r.getAs[Array[Byte]]("mg"))
         }
         ()
@@ -163,18 +179,21 @@ object StreamingSketch {
       .start()
     q1.awaitTermination()
 
-    // theta and bottom-k join the BIT-identity club: theta union keeps
-    // the k smallest hashes under the running θ and bottom-k keeps the k
-    // smallest (hash, key) entries — both are order-insensitive set folds
-    // whose state (and therefore canonical encoding) is merge-tree
-    // independent, proven kernel-side in ThetaSketchSpec/BottomKSketchSpec
-    // and gated here across real micro-batch splits.
+    // theta, bottom-k and WEIGHTED bottom-k are in the BIT-identity
+    // club: theta union keeps the k smallest hashes under the running θ
+    // and both samples keep the k smallest entries (raw hash / A-ES
+    // race) — order-insensitive set folds whose state (and therefore
+    // canonical encoding) is merge-tree independent, proven kernel-side
+    // in ThetaSketchSpec/BottomKSketchSpec/WeightedBottomKSpec and
+    // gated here across real micro-batch splits.
     val batchRow = transcripts.agg(
       bloomAggNative(capacity, 0.001)(col("conv_id"), col("turn_idx")).as("b"),
       hllAggNative(col("conv_id")).as("h"),
       cmsAggNative(0.001, 0.01)(col("tool")).as("c"),
       thetaAggNative(col("conv_id")).as("th"),
-      bottomKSampleAgg(256)(col("conv_id")).as("bk")).head
+      bottomKSampleAgg(256)(col("conv_id")).as("bk"),
+      weightedBottomKSampleAgg(256)(col("conv_id"), convWeight(col("conv_id")))
+        .as("wbk")).head
     def eq(state: IncrementalState, c: String): Boolean =
       state.get.exists(java.util.Arrays.equals(_, batchRow.getAs[Array[Byte]](c)))
 
@@ -247,7 +266,8 @@ object StreamingSketch {
       coalesce(sum(when(col("b.n_turns") === col("s.n_turns") &&
         blobEq(col("b.hll_convs"), col("s.hll_convs")) &&
         blobEq(col("b.bloom_turns"), col("s.bloom_turns")) &&
-        blobEq(col("b.theta_convs"), col("s.theta_convs")), 1L).otherwise(0L)),
+        blobEq(col("b.theta_convs"), col("s.theta_convs")) &&
+        blobEq(col("b.wbk_convs"), col("s.wbk_convs")), 1L).otherwise(0L)),
         lit(0L)).as("n_equal")).head
     val windowedEq = winRow.getLong(0) > 0 && winRow.getLong(0) == winRow.getLong(1)
 
@@ -351,11 +371,11 @@ object StreamingSketch {
     spark.catalog.dropTempView(sinkName) // memory sink hygiene (all uses materialized)
 
     Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"),
-        eq(thetaState, "th"), eq(bkState, "bk"), tdOk, kllOk, mgOk, windowedEq,
-        winQuantilesOk, winMgOk))
+        eq(thetaState, "th"), eq(bkState, "bk"), eq(wbkState, "wbk"), tdOk,
+        kllOk, mgOk, windowedEq, winQuantilesOk, winMgOk))
       .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq",
-        "inc_theta_eq", "inc_bottomk_eq", "inc_tdigest_ok", "inc_kll_ok",
-        "inc_mg_ok", "windowed_eq", "win_quantiles_ok", "win_mg_ok")
+        "inc_theta_eq", "inc_bottomk_eq", "inc_wbk_eq", "inc_tdigest_ok",
+        "inc_kll_ok", "inc_mg_ok", "windowed_eq", "win_quantiles_ok", "win_mg_ok")
   }
 
   /** Input row for the per-conversation stateful operator. */
