@@ -44,7 +44,8 @@ object StateSizeBench {
       sum(length(col("theta_convs"))).as("theta"),
       sum(length(col("tdigest_turns"))).as("tdigest"),
       sum(length(col("kll_turns"))).as("kll"),
-      sum(length(col("mg_convs"))).as("mg")).head
+      sum(length(col("mg_convs"))).as("mg"),
+      sum(length(col("wbk_convs"))).as("wbk")).head
     val rows = r.getLong(0)
     val bloom = r.getLong(1)
     val denseTotal = rows * bloomDense
@@ -55,7 +56,7 @@ object StateSizeBench {
       f""""bloom_bytes_per_row":${bloom / rows},""" +
       f""""hll_bytes":${r.getLong(2)},"theta_bytes":${r.getLong(3)},""" +
       f""""tdigest_bytes":${r.getLong(4)},"kll_bytes":${r.getLong(5)},""" +
-      f""""mg_bytes":${r.getLong(6)}}""")
+      f""""mg_bytes":${r.getLong(6)},"wbk_bytes":${r.getLong(7)}}""")
     spark.stop()
   }
 }
