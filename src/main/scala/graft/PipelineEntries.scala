@@ -904,10 +904,16 @@ object PipelineEntries {
       // be EXACTLY the k smallest
       val raceUdf = udf((did: String, w: Double) => WeightedBottomKSketch.raceOf(
         Hashing.xxHash64(did.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L), w))
+      // tie-break = the kernel's RaceKey order (UNSIGNED key hash), not
+      // lexicographic did: a bit-equal double race between distinct keys
+      // at the k boundary must pick the same winner as the sketch.
+      // h ^ Long.MinValue makes signed ascending == unsigned ascending.
+      val hashOrdUdf = udf((did: String) => Hashing.xxHash64(
+        did.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L) ^ Long.MinValue)
       val exactTop = d
         .withColumn("race", raceUdf(col("did"), col("w")))
         .withColumn("rk", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("race"), col("did"))))
+          Window.partitionBy(col("lang")).orderBy(col("race"), hashOrdUdf(col("did")))))
         .filter(col("rk") <= k).select(col("lang"), col("did"))
       val missPerLang = samples
         .select(col("lang"), explode(col("sample")).as("did"))

@@ -691,7 +691,7 @@ object SparkEntry {
     // dense-only payload): the windowed-streaming-state shape, one
     // FIXED-CAPACITY filter per group, each lightly filled. Dense, a
     // capacity-100k p=.001 filter ships ~176 KiB per group REGARDLESS
-    // of fill; the v3 offset-list ships ~2 B per set bit. Gates: every
+    // of fill; the v4 offset-list ships ~2 B per set bit. Gates: every
     // per-conversation blob encodes sparse (version byte via codegen'd
     // binary substring, no UDF), the whole sketch column is ≥5× smaller
     // than dense, zero false negatives probing every row's own key
@@ -708,7 +708,7 @@ object SparkEntry {
         .agg(bloomAggNative(capacity, P)(col("conv_id"), col("turn_idx")).as("bsk"))
       val gGates = groups.agg(
         count(lit(1)).as("n_groups"),
-        (coalesce(sum(when(substring(col("bsk"), 6, 1) === lit(Array[Byte](3)), 0L)
+        (coalesce(sum(when(substring(col("bsk"), 6, 1) === lit(Array[Byte](4)), 0L)
           .otherwise(1L)), lit(0L)) === 0).as("all_blobs_sparse"),
         (sum(length(col("bsk"))) * 5 < count(lit(1)) * lit(denseBytes))
           .as("sparse_saves_5x"))

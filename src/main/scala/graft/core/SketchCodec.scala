@@ -41,9 +41,16 @@ object SketchCodec {
   //   - Bloom: DENSE blobs are v2 (carries the KM hash-pair id, see
   //     KMHashPair); v1 blobs still decode (default pair), so old
   //     checkpoints resume. A filter whose offset-list or word-RLE
-  //     layout is strictly smaller than dense is stamped v3 and encoded
-  //     sparse (round 5 — see encodeBloom; Bloom never emitted v3
-  //     before, so the byte is unambiguous).
+  //     layout is strictly smaller than dense is stamped v4 and encoded
+  //     sparse (round 5 — see encodeBloom). v4, NOT v3: the pre-round-5
+  //     reader already accepts v3 globally (HLL/CMS sparse) but has no
+  //     Bloom sparse branch — a v3 sparse Bloom would MISPARSE there
+  //     (reads the sparse numBits field as nWords, then buffer
+  //     underflow), not fail fast. v4 is above that reader's max
+  //     accepted version, so it rejects with the curated version error.
+  //     The decoder still accepts v3 sparse Bloom blobs (emitted
+  //     briefly intra-round-5; Bloom never emitted v3 dense, so the
+  //     byte is unambiguous).
   //   - HLL/CMS: DENSE blobs are written v1 (byte-identical layout to
   //     every earlier build); a blob whose occupied cells are few enough
   //     that the SPARSE layout is strictly smaller is stamped v3 and
@@ -61,9 +68,10 @@ object SketchCodec {
   //   - theta/KLL/t-digest/bottom-k: content-proportional payloads,
   //     written v1; v2 blobs from the earlier always-v2 build decode
   //     identically (the version byte never changed their layout).
-  private val Version: Byte = 3 // max accepted by readers
+  private val Version: Byte = 4 // max accepted by readers
   private val BloomVersion: Byte = 2
   private val SparseVersion: Byte = 3
+  private val BloomSparseVersion: Byte = 4
   private val MinVersion: Byte = 1
 
   private def writer(typeId: Byte, payloadSize: Int, version: Byte): ByteBuffer = {
@@ -119,7 +127,8 @@ object SketchCodec {
   // -------------------------------------------------------------- Bloom
   // v1/v2 (dense): variant(1) keyMode(1) hasherId(1) capacity(8) fpp(8)
   //                nWords(4) numBits(8) words(8*n)
-  // v3 (sparse, round 5): variant(1) keyMode(1) hasherId(1) capacity(8)
+  // v4 (sparse, round 5; v3 blobs from early round-5 builds decode
+  //     identically): variant(1) keyMode(1) hasherId(1) capacity(8)
   //                fpp(8) numBits(8) layout(1) body
   //   layout 0 (offset-list): ones(4), then LEB128 varint DELTAS of the
   //     ascending set-bit positions (first delta = first position) —
@@ -137,8 +146,10 @@ object SketchCodec {
   // three layouts computed, strictly-smallest wins; dense wins ties,
   // offset beats RLE at equal size), so equal filters encode to equal
   // bytes under any merge tree — every bit-identity gate (q03 union ≡
-  // bulk, q33 windowed_eq) is preserved. Older readers fail fast on the
-  // version byte instead of misreading; v1/v2 blobs keep decoding.
+  // bulk, q33 windowed_eq) is preserved. Sparse blobs are stamped v4 —
+  // ABOVE the pre-round-5 reader's max accepted version — so that
+  // reader fails fast on the version check instead of misparsing the
+  // sparse layout as dense; v1/v2 blobs keep decoding everywhere.
   // Reference contrast: bitset.rs:3–6 is dense-only — it never holds
   // thousands of filters at once.
   def encodeBloom(s: BloomSketch, keyMode: Byte = KeyMode.Bytes): Array[Byte] = {
@@ -186,7 +197,7 @@ object SketchCodec {
       bb.putLong(s.bits.numBits); bb.put(layout)
     }
     if (offsetPayload < densePayload && offsetPayload <= rlePayload) {
-      val bb = writer(TypeId.Bloom, offsetPayload, SparseVersion)
+      val bb = writer(TypeId.Bloom, offsetPayload, BloomSparseVersion)
       putSparseHeader(bb, 0)
       bb.putInt(ones)
       prevPos = 0L
@@ -205,7 +216,7 @@ object SketchCodec {
       }
       bb.array()
     } else if (rlePayload < densePayload) {
-      val bb = writer(TypeId.Bloom, rlePayload, SparseVersion)
+      val bb = writer(TypeId.Bloom, rlePayload, BloomSparseVersion)
       putSparseHeader(bb, 1)
       wi = 0
       while (wi < nW) {
@@ -245,6 +256,8 @@ object SketchCodec {
     val capacity = bb.getLong()
     val fpp = bb.getDouble()
     val bits =
+      // >= 3, not == 4: early round-5 builds stamped sparse Bloom v3
+      // (Bloom never emitted v3 dense, so the byte is unambiguous)
       if (versionOf(bytes) >= SparseVersion) {
         val numBits = bb.getLong()
         val nWords = ((numBits + 63) >>> 6).toInt

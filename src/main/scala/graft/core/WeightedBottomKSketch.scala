@@ -149,6 +149,9 @@ object WeightedBottomKSketch {
 
   private[core] def fromEntries(k: Int,
       es: Seq[(Double, Long, Array[Byte])]): WeightedBottomKSketch = {
+    // same floor the public constructor enforces: a k=0 blob would pass
+    // the size check below and then crash update() on an empty TreeMap
+    require(k >= 1, s"corrupt weighted bottom-k state: k=$k")
     require(es.size <= k, s"corrupt weighted bottom-k state: ${es.size} entries exceed k=$k")
     val m = emptyMap()
     es.foreach { case (r, h, kb) =>

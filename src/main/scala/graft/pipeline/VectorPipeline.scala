@@ -969,15 +969,29 @@ object VectorPipeline {
     s"$rootPath/$gen"
   }
 
-  /** Delete every NON-CURRENT generation dir under the root (the retire
-    * half of the swap). Returns the deleted paths. */
+  /** Delete every generation dir STRICTLY OLDER than the current one
+    * (the retire half of the swap). Returns the deleted paths.
+    * Strictly-older, not merely non-current: a concurrent builder may
+    * have fully written a HIGHER generation it has not yet installed —
+    * deleting it here would leave its imminent manifest flip pointing
+    * at a missing directory. Newer-than-current dirs are either about
+    * to be installed or are crash leftovers; crash leftovers are
+    * reclaimed on a later retire, once a newer generation installs
+    * above them. */
   def retireIvfIndexGenerations(spark: SparkSession, rootPath: String): Seq[String] = {
     val current = currentIvfIndexPath(spark, rootPath)
+    val currentGen = current.substring(current.lastIndexOf('/') + 1) match {
+      case GenRe(n) => n.toInt
+      case other => throw new IllegalStateException(
+        s"manifest points at a non-generation dir: $other")
+    }
     val (f, p) = fs(spark, rootPath)
     f.listStatus(p).toSeq
       .map(_.getPath)
-      .filter(gp => gp.getName.startsWith(GenPrefix) &&
-        s"$rootPath/${gp.getName}" != current)
+      .filter(gp => gp.getName match {
+        case GenRe(n) => n.toInt < currentGen
+        case _ => false
+      })
       .map { gp => f.delete(gp, true); s"$rootPath/${gp.getName}" }
   }
 

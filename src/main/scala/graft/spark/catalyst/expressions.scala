@@ -576,8 +576,15 @@ case class WeightedBottomKSampleAgg(
 
   override def update(b: WeightedBottomKSketch, input: InternalRow): WeightedBottomKSketch = {
     val v = key.eval(input)
-    val w = weight.eval(input)
-    if (v != null && w != null) {
+    if (v != null) {
+      val w = weight.eval(input)
+      // a null weight under a non-null key is a contract violation, not
+      // a row to skip: silently dropping it would bias the sample with
+      // no error — exactly what the kernel's finite/>0 requires exist
+      // to prevent (a non-numeric weight cast to double yields null)
+      require(w != null,
+        "weighted bottom-k weight is null for a non-null key — the weight " +
+          "must be finite and > 0 (a non-numeric value cast to double yields null)")
       val bytes = v match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
         case a: Array[Byte] => a

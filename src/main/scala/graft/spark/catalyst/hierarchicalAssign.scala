@@ -260,9 +260,23 @@ object TwoLevelAssigner {
     * other live codebook on each admit past the cap). 64-bit
     * content-hash collisions are ignorable at that count. */
   private val MaxEntries = 64
-  private val cache = new java.util.LinkedHashMap[java.lang.Long, TwoLevelAssigner](16, 0.75f, true) {
+
+  /** Holder whose lazy val runs the coarse k-means under ITS OWN
+    * monitor: the global cache lock covers only the map lookup/insert
+    * (cheap), so two tasks building DIFFERENT codebooks train in
+    * parallel while racers on the SAME codebook still deduplicate
+    * (second one blocks on the slot's monitor, then reads the result).
+    * Holding the global lock across training would serialize cold
+    * starts across all distinct codebooks — sum of trainings instead
+    * of max. */
+  private final class Slot(ids: Array[Long], mat: Array[Array[Float]],
+      coarseK: Int, probes: Int) {
+    lazy val value: TwoLevelAssigner = new TwoLevelAssigner(ids, mat, coarseK, probes)
+  }
+
+  private val cache = new java.util.LinkedHashMap[java.lang.Long, Slot](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[java.lang.Long, TwoLevelAssigner]): Boolean =
+        e: java.util.Map.Entry[java.lang.Long, Slot]): Boolean =
       size() > MaxEntries
   }
 
@@ -281,18 +295,18 @@ object TwoLevelAssigner {
       }
       i += 1
     }
-    // lock held across construction: racing tasks building the SAME
-    // codebook would each pay the coarse k-means; serializing the build
-    // is cheaper than duplicating it
-    cache.synchronized {
+    val slot = cache.synchronized {
       val hit = cache.get(h)
       if (hit != null) hit
       else {
-        val built = new TwoLevelAssigner(ids, mat, coarseK, probes)
-        cache.put(h, built)
-        built
+        val s = new Slot(ids, mat, coarseK, probes)
+        cache.put(h, s)
+        s
       }
     }
+    // training runs OUTSIDE the global lock (see Slot): eviction of a
+    // slot mid-build is harmless — its builders keep their reference
+    slot.value
   }
 }
 

@@ -56,6 +56,12 @@ object SampleBench {
 
     val raceUdf = udf((key: String, w: Double) => WeightedBottomKSketch.raceOf(
       Hashing.xxHash64(key.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L), w))
+    // tie-break on the kernel's RaceKey order (unsigned key hash, via
+    // the sign-bit flip), NOT lexicographic key: an exact double race
+    // tie between distinct keys at the k boundary would otherwise make
+    // the hard parity require below abort on correct code
+    val hashOrdUdf = udf((key: String) => Hashing.xxHash64(
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0L) ^ Long.MinValue)
 
     // one-time parity gate: identical per-stratum selections
     val viaSketch = rows.groupBy(col("stratum"))
@@ -65,7 +71,7 @@ object SampleBench {
     val viaWindow = rows
       .withColumn("race", raceUdf(col("key"), col("w")))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("stratum")).orderBy(col("race"), col("key"))))
+        Window.partitionBy(col("stratum")).orderBy(col("race"), hashOrdUdf(col("key")))))
       .filter(col("rk") <= k).select(col("stratum"), col("key"))
     def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val r = df.agg(expr("bit_xor(xxhash64(stratum, key))"), count(lit(1))).head

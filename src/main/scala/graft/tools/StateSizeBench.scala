@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * (StreamingSketch.windowedSketches) carries one capacity-100k
   * p=0.001 Bloom filter per (window, tool) group; dense, that is
   * ~176 KiB per state row REGARDLESS of fill, shipped through every
-  * micro-batch commit and state-store read. The sparse v3 layout sizes
+  * micro-batch commit and state-store read. The sparse layout sizes
   * each blob by its SET BITS instead. Prints one JSON line with the
   * per-column byte totals, the dense-equivalent Bloom total, and the
   * ratio.

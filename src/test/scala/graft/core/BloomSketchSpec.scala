@@ -315,17 +315,19 @@ class BloomSketchSpec extends AnyFunSuite {
     // an older reader must keep accepting every blob whose layout is
     // unchanged during a rolling upgrade: theta/KLL/t-digest/bottom-k
     // always v1; HLL/CMS v1 whenever they encode DENSE; Bloom v2
-    // whenever it encodes dense. Sparse blobs (HLL/CMS round 3, Bloom
-    // round 5) are the only new layouts, stamped v3 (NOT v2: one
-    // earlier build wrote v2 on dense payloads — SparseCodecSpec pins
-    // that v2 still decodes dense) so an old reader fails fast instead
-    // of misreading them.
+    // whenever it encodes dense. Sparse blobs are the only new layouts,
+    // each stamped with a version the PREVIOUS reader rejects: HLL/CMS
+    // sparse (round 3) is v3 (NOT v2: one earlier build wrote v2 on
+    // dense payloads — SparseCodecSpec pins that v2 still decodes
+    // dense); Bloom sparse (round 5) is v4 (NOT v3: the round-3/4
+    // reader accepts v3 globally but has no Bloom sparse branch, so a
+    // v3 sparse Bloom would misparse there instead of failing fast).
     def versionByte(b: Array[Byte]): Byte = b(5)
-    // a lightly-filled Bloom now encodes sparse = v3; a heavily-filled
+    // a lightly-filled Bloom now encodes sparse = v4; a heavily-filled
     // one keeps the byte-identical dense v2 layout (SparseCodecSpec
     // covers the round-trips; here we pin only the version bytes)
     val bloom = KMBloomSketch(100L, 0.01); bloom.insert("a")
-    assert(versionByte(SketchCodec.encodeBloom(bloom)) === 3)
+    assert(versionByte(SketchCodec.encodeBloom(bloom)) === 4)
     val bloomFull = KMBloomSketch(3000L, 0.001)
     (0 until 3000).foreach(i => bloomFull.insert(s"k$i"))
     assert(versionByte(SketchCodec.encodeBloom(bloomFull)) === 2)

@@ -209,13 +209,18 @@ class SparseCodecSpec extends AnyFunSuite {
     for (n <- Seq(0, 1, 10, 500, 5000)) {
       val s = bloomOf(100000, 0 until n)
       val blob = SketchCodec.encodeBloom(s)
-      assert(blob(5) === 3, s"n=$n of capacity 100k should encode sparse")
+      assert(blob(5) === 4, s"n=$n of capacity 100k should encode sparse v4")
       val back = SketchCodec.decodeBloom(blob)
       assert(back.bits === s.bits && back.config === s.config, s"n=$n round-trip")
       // zero FN survives the codec
       (0 until n).foreach(i =>
         assert(back.mightContain(s"key-$i".getBytes("UTF-8")), s"FN after roundtrip: $i"))
     }
+    // a v3-stamped sparse Bloom (early round-5 builds) still decodes:
+    // Bloom never emitted v3 dense, so the byte is unambiguous
+    val v3blob = SketchCodec.encodeBloom(bloomOf(100000, 0 until 100)).clone()
+    v3blob(5) = 3
+    assert(SketchCodec.decodeBloom(v3blob).bits === bloomOf(100000, 0 until 100).bits)
     // filled to capacity: dense (v2), still lossless
     val full = bloomOf(3000, 0 until 3000)
     val blob = SketchCodec.encodeBloom(full)
@@ -258,7 +263,7 @@ class SparseCodecSpec extends AnyFunSuite {
     (0L until 6400L).foreach(bits.set(_))
     val s = new KMBloomSketch(cfg, bits, KMHashPair.XxMurmur)
     val blob = SketchCodec.encodeBloom(s)
-    assert(blob(5) === 3)
+    assert(blob(5) === 4)
     // layout byte: 6 (header) + variant+keyMode+hasherId (3) + cap (8) +
     // fpp (8) + numBits (8) = offset 33
     assert(blob(33) === 1, s"clustered filter should pick the RLE layout, got ${blob(33)}")
