@@ -944,6 +944,61 @@ object PipelineEntries {
       samples.unpersist(); d.unpersist()
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
     }),
+
+    // PRODUCT QUANTIZATION (round 5 — completes the vector-storage
+    // ladder: float 256 B → int8 64 B (q44) → PQ 20 B/vector). m=16
+    // disjoint subspaces × 256-centroid codebooks: a vector becomes 16
+    // code bytes + one exact reconstruction-norm float; ADC scoring
+    // reads m table entries per corpus row, never decoding a float —
+    // the 100 TB shape is a 12.8× lighter scan than float and 3.2×
+    // lighter than int8, with the same broadcast-queries × scan plan.
+    // Gates: (a) distributed training is bit-deterministic at any input
+    // partitioning (the trainedCodebookDistributed rules); (b) recall@10
+    // of the one-stage ADC scan vs the float brute force ≥ 0.6; (c) the
+    // TWO-STAGE path (ADC top-4k candidates → exact float re-rank)
+    // ≥ 0.95 — floors from the PqBench sweep on these weakly-clustered
+    // embeddings (one-stage 0.69–0.81, re-ranked 0.985–1.0 across SFs;
+    // BENCH.md "Product quantization"); (d) the on-disk parquet
+    // footprint of the PQ column ≥ 6× under the float column (12.8×
+    // logical; PQ codes are near-incompressible, floats nearly so).
+    "q53_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      val queries = emb.filter(col("vec_id") < 20)
+      val nq = queries.count()
+      val books = VectorPipeline.trainedPqBooks(emb, m = 16, ksub = 256)
+      val deterministic = VectorPipeline.pqBooksFingerprint(books) ==
+        VectorPipeline.pqBooksFingerprint(VectorPipeline.trainedPqBooks(
+          emb.repartition(7, col("vec_id") % 3), m = 16, ksub = 256))
+      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+        .select(col("q_id"), col("n_id")).cache()
+      // ONE ADC scoring pass serves both stages (the q44 shape)
+      val scoredPq = VectorPipeline.bruteForceScoredPq(emb, queries, books).cache()
+      val one = VectorPipeline.topKFromScored(scoredPq, 10)
+        .select(col("q_id"), col("n_id"))
+      val recall = bf.join(one, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      val rr = VectorPipeline.rerankTopK(scoredPq, emb, queries, 10, 40)
+        .select(col("q_id"), col("n_id"))
+      val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      scoredPq.unpersist()
+      def dirBytes(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(path).getLength
+      }
+      val base = s"/tmp/graft_q53_size_${java.util.UUID.randomUUID()}"
+      val ratio = try {
+        emb.select(col("embedding")).repartition(1)
+          .write.mode("overwrite").parquet(s"$base/f32")
+        emb.select(graft.spark.catalyst.pqEncodeNative(col("embedding"), books).as("pq"))
+          .repartition(1).write.mode("overwrite").parquet(s"$base/pq")
+        dirBytes(s"$base/f32").toDouble / math.max(dirBytes(s"$base/pq"), 1L)
+      } finally deleteTmpDir(s, base)
+      bf.unpersist(); emb.unpersist()
+      Seq((nq, deterministic, recall >= 0.6, recallRerank >= 0.95, ratio >= 6.0))
+        .toDF("n_queries", "deterministic", "recall_ok", "recall_rerank_ok",
+          "storage_ok")
+    }),
   )
 
   private val C = Transcripts.Cte
@@ -1142,5 +1197,9 @@ object PipelineEntries {
         "true AS parallelism_invariant, true AS matches_exact_topk, " +
         "true AS weighted_heavier_than_uniform " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "q53_ann_pq" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS deterministic, " +
+        "true AS recall_ok, true AS recall_rerank_ok, true AS storage_ok " +
+        "FROM embeddings WHERE vec_id < 20"),
   )
 }

@@ -144,6 +144,11 @@ object VectorPipeline {
   private[pipeline] case class CbPartial(part: Int, cid: Long, cnt: Long,
       sums: Array[Double])
 
+  /** Per-partition PQ k-means partial: one (subspace, code) sum vector
+    * (see [[trainedPqBooks]]). Object-level for the Product encoder. */
+  private[pipeline] case class PqPartial(part: Int, sub: Int, code: Int,
+      cnt: Long, sums: Array[Double])
+
   /** DISTRIBUTED deterministic spherical k-means — the codebook path
     * past toy k ([[trainedCodebook]]'s driver-side Lloyd is deliberate
     * and exact but caps at sampleN ≈ 2048; at ncentroids ≈ √n =
@@ -802,6 +807,178 @@ object VectorPipeline {
   def bruteForceTopKQuantizedReranked(corpus: DataFrame, queries: DataFrame,
       k: Int, candMult: Int = 4): DataFrame =
     rerankTopK(bruteForceScoredQuantized(corpus, queries), corpus, queries,
+      k, candMult * k)
+
+  // ---------------------------------------------- product quantization
+
+  /** DISTRIBUTED deterministic PQ training (Jégou et al., TPAMI 2011 —
+    * PAPERS.md): per subspace j, a plain-L2 Lloyd over the RAW
+    * subvectors (no normalization — disjoint coordinates make the
+    * reconstruction norm exact, and the ADC cosine divides norms out at
+    * score time). ALL m subspaces train in ONE pass per iteration: each
+    * sample row contributes m (subspace, code) partial sums, assignment
+    * is the SAME codegen'd [[graft.spark.catalyst.PqEncode]] expression
+    * the write path uses — so train-time and encode-time assignment can
+    * never diverge. Determinism at any parallelism by the
+    * [[trainedCodebookDistributed]] rules: hash-ordered sample, fixed
+    * `parts` partitioning with in-partition sort, partial fold in
+    * (subspace, code, partition) order, init = first ksub sample rows
+    * in hash order, an empty cell keeps its centroid. Driver memory
+    * O(parts · m · ksub · subdim) doubles per iteration — the fold
+    * buffer, never the corpus. Returns books(j)(c) = centroid c of
+    * subspace j. */
+  def trainedPqBooks(corpus: DataFrame, m: Int = 8, ksub: Int = 256,
+      sampleN: Int = 1 << 17, iters: Int = 8, parts: Int = 64): Seq[Seq[Seq[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m >= 1 && ksub >= 1 && ksub <= 256,
+      s"PQ needs 1 <= ksub <= 256 one-byte codes and m >= 1, got m=$m ksub=$ksub")
+    require(sampleN >= ksub, s"need sampleN >= ksub, got $sampleN < $ksub")
+    val hashOrder = Seq(xxhash64(col("vec_id")), col("vec_id"))
+    val sample = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(hashOrder: _*)
+      .limit(sampleN)
+      .repartition(parts, col("vec_id"))
+      .sortWithinPartitions(hashOrder: _*)
+      .cache()
+    val initRows = sample.orderBy(hashOrder: _*).limit(ksub).collect()
+    require(initRows.nonEmpty, "cannot train PQ books on an empty corpus")
+    val dim = initRows.head.getSeq[Float](1).length
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m subspaces")
+    val subdim = dim / m
+    val kEff = math.min(ksub, initRows.length)
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m, kEff) { (j, c) =>
+      initRows(c).getSeq[Float](1).slice(j * subdim, (j + 1) * subdim).toArray
+    }
+    for (_ <- 0 until iters) {
+      val bSeq: Seq[Seq[Seq[Float]]] = books.map(_.map(_.toSeq).toSeq).toSeq
+      val partials = sample
+        .select(col("embedding"),
+          graft.spark.catalyst.pqEncodeNative(col("embedding"), bSeq).as("pq"))
+        .filter(col("pq").isNotNull)
+        .as[(Seq[Float], Array[Byte])]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          // (subspace, code) buffers on first touch: a partition holds
+          // ≤ sampleN/parts rows, so task memory tracks touched cells
+          val sums = Array.ofDim[Array[Double]](m, kEff)
+          val cnts = Array.ofDim[Long](m, kEff)
+          it.foreach { case (emb, pq) =>
+            var j = 0
+            while (j < m) {
+              val c = pq(j) & 0xFF
+              if (sums(j)(c) == null) sums(j)(c) = new Array[Double](subdim)
+              val s = sums(j)(c)
+              var d = 0
+              while (d < subdim) { s(d) += emb(j * subdim + d).toDouble; d += 1 }
+              cnts(j)(c) += 1L
+              j += 1
+            }
+          }
+          (for (j <- 0 until m; c <- 0 until kEff if cnts(j)(c) > 0)
+            yield PqPartial(pid, j, c, cnts(j)(c), sums(j)(c))).iterator
+        }
+        .collect()
+      val grouped = partials.groupBy(p => (p.sub, p.code))
+      books = Array.tabulate(m, kEff) { (j, c) =>
+        grouped.get((j, c)) match {
+          case Some(ps) =>
+            val acc = new Array[Double](subdim)
+            var n = 0L
+            ps.sortBy(_.part).foreach { p =>
+              var d = 0
+              while (d < subdim) { acc(d) += p.sums(d); d += 1 }
+              n += p.cnt
+            }
+            acc.map(x => (x / n).toFloat)
+          case None => books(j)(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    sample.unpersist()
+    books.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** Order-sensitive 64-bit fingerprint of a PQ book set — the
+    * determinism gate's comparator (bit-level, like
+    * [[codebookFingerprint]]). */
+  def pqBooksFingerprint(books: Seq[Seq[Seq[Float]]]): Long = {
+    var h = graft.core.Hashing.xxHash64Long(
+      (books.length.toLong << 32) | books.head.length.toLong, 0x5051L)
+    for (b <- books; c <- b; f <- c)
+      h = graft.core.Hashing.xxHash64Long(
+        java.lang.Float.floatToIntBits(f).toLong & 0xFFFFFFFFL, h)
+    h
+  }
+
+  /** Per-QUERY ADC lookup table: [ |q| , dot(q_j, C_j[c]) row-major
+    * j·ksub+c ] as array<double>. A UDF is the right tool here — it
+    * runs once per QUERY row (a bounded broadcast set), never per
+    * corpus row; the per-corpus-row work is the codegen'd
+    * [[graft.spark.catalyst.PqAdcCosine]]. Double accumulation over
+    * float multiplies, left to right — the CosineSim fold, so the
+    * ADC score equals the explicit reconstructed dot bit for bit
+    * (PqSpec pins that). */
+  def pqAdcTable(books: Seq[Seq[Seq[Float]]])(embedding: Column): Column = {
+    val m = books.length
+    val ksub = books.head.length
+    val subdim = books.head.head.length
+    val mat = books.map(_.map(_.toArray).toArray).toArray
+    udf((emb: Seq[Float]) => {
+      if (emb == null || emb.length != m * subdim) null
+      else {
+        val x = emb.toArray
+        var nq = 0.0d
+        var i = 0
+        while (i < x.length) { nq += (x(i) * x(i)).toDouble; i += 1 }
+        val out = new Array[Double](1 + m * ksub)
+        out(0) = math.sqrt(nq)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < ksub) {
+            val cv = mat(j)(c)
+            var dot = 0.0d
+            var d = 0
+            while (d < subdim) { dot += (x(j * subdim + d) * cv(d)).toDouble; d += 1 }
+            out(1 + j * ksub + c) = dot
+            c += 1
+          }
+          j += 1
+        }
+        out
+      }
+    }).apply(embedding)
+  }
+
+  /** The PQ brute-force SCORED relation (q_id, n_id, cos): encoded
+    * corpus × broadcast query tables, ADC per row. The 100 TB shape —
+    * the corpus scan reads m+4 bytes per vector (21× under float at
+    * m=8, dim=64) and never decodes a float; queries ship one 8·ksub
+    * table each. */
+  def bruteForceScoredPq(corpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    import graft.spark.catalyst.{pqAdcCosineNative, pqEncodeNative}
+    val pc = corpus.select(col("vec_id"), pqEncodeNative(col("embedding"), books).as("pq"))
+    val qq = queries.select(col("vec_id").as("q_id"),
+      pqAdcTable(books)(col("embedding")).as("q_tab"))
+    pc.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        pqAdcCosineNative(col("q_tab"), col("pq")).as("cos"))
+  }
+
+  /** One-stage PQ top-k. */
+  def bruteForceTopKPq(corpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Seq[Float]]], k: Int): DataFrame =
+    topKFromScored(bruteForceScoredPq(corpus, queries, books), k)
+
+  /** Two-stage PQ: ADC scan → top-(candMult·k) → float re-rank → top-k
+    * (the [[rerankTopK]] tail the int8 path uses). */
+  def bruteForceTopKPqReranked(corpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Seq[Float]]], k: Int, candMult: Int = 4): DataFrame =
+    rerankTopK(bruteForceScoredPq(corpus, queries, books), corpus, queries,
       k, candMult * k)
 
   /** IVF-SQ8 two-stage: pruned quantized lists generate candidates, the

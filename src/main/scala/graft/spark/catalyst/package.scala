@@ -64,6 +64,17 @@ package object catalyst {
   def cosineI8(a: Column, b: Column): Column =
     B.column(CosineSimI8(B.expression(a), B.expression(b)))
 
+  /** Product-quantization encode against driver-trained subspace
+    * codebooks: dim floats → m code bytes + exact reconstruction norm
+    * (see PqEncode / PqKernel.encode). */
+  def pqEncodeNative(embedding: Column, books: Seq[Seq[Seq[Float]]]): Column =
+    B.column(PqEncode(B.expression(embedding), books))
+
+  /** ADC cosine of a per-query lookup table against a PqEncode blob —
+    * m table reads per corpus row, no float decode (see PqAdcCosine). */
+  def pqAdcCosineNative(table: Column, codes: Column): Column =
+    B.column(PqAdcCosine(B.expression(table), B.expression(codes)))
+
   /** 42 MinHash band keys of a shingle array (codegen'd; the map-side
     * signature step of LSH near-dup — see MinhashBandKeys). */
   def minhashBandKeys(shingles: Column): Column =

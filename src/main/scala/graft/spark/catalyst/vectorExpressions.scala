@@ -505,3 +505,199 @@ case class SrpBandKeys(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SrpBandKeys =
     copy(child = c)
 }
+
+/** Product-quantization kernels shared by the interpreted and generated
+  * paths of [[PqEncode]] / [[PqAdcCosine]] (the SrpBandKernel pattern:
+  * top-level object ⇒ static forwarders the generated Java can call).
+  *
+  * PQ splits a dim-D vector into `m` disjoint subvectors of D/m
+  * coordinates and quantizes each against its OWN `ksub`-centroid
+  * codebook (ksub ≤ 256 so a code is one byte): the vector becomes m
+  * code bytes plus one float — the reconstruction norm, which is EXACT
+  * because the subspaces are disjoint coordinates (|x̂|² = Σⱼ|cⱼ|²).
+  * Asymmetric distance computation (ADC) then scores a RAW query
+  * against encoded vectors through a per-query lookup table of
+  * dot(q_j, C_j[c]) partials: one table build per query, then m table
+  * lookups + one divide per corpus vector — no float decode of the
+  * corpus, ever. Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search" (TPAMI 2011); cited in PAPERS.md.
+  */
+object PqKernel {
+
+  /** Encode: m argmin-L2 scans (score = |c|² − 2·x_j·c; the |x_j|² term
+    * is constant per subspace and dropped), ties to the SMALLEST code —
+    * the codebook-scan-order determinism rule every other assigner here
+    * uses. Output blob: m code bytes, then the reconstruction norm as a
+    * little-endian float. Null array / wrong dim / null element ⇒ null. */
+  def encode(x: ArrayData, mat: Array[Array[Array[Float]]],
+      cSq: Array[Array[Double]]): Array[Byte] = {
+    if (x == null) return null
+    val m = mat.length
+    val subdim = mat(0)(0).length
+    if (x.numElements() != m * subdim) return null
+    var i = 0
+    while (i < m * subdim) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Byte](m + 4)
+    var reconSq = 0.0d
+    var j = 0
+    while (j < m) {
+      val base = j * subdim
+      val book = mat(j)
+      val sq = cSq(j)
+      var best = 0
+      var bestScore = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cv = book(c)
+        var dot = 0.0d
+        var d = 0
+        while (d < subdim) { dot += (x.getFloat(base + d) * cv(d)).toDouble; d += 1 }
+        val score = sq(c) - 2.0d * dot
+        if (score < bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      reconSq += sq(best)
+      j += 1
+    }
+    val bits = java.lang.Float.floatToIntBits(math.sqrt(reconSq).toFloat)
+    out(m) = bits.toByte
+    out(m + 1) = (bits >>> 8).toByte
+    out(m + 2) = (bits >>> 16).toByte
+    out(m + 3) = (bits >>> 24).toByte
+    out
+  }
+
+  /** ADC cosine: table = [ |q| , dot(q_j, C_j[c]) row-major j·ksub+c ]
+    * (built once per query by VectorPipeline.pqAdcTable), codes = an
+    * [[encode]] blob. cos ≈ Σⱼ table[1+j·ksub+codeⱼ] / max(|q|·|x̂|,
+    * 1e-12) — the same divide-with-floor every cosine path here uses.
+    * Malformed inputs (blob under 5 bytes, table length not 1 + m·ksub,
+    * a code beyond ksub) ⇒ null, the codec-boundary convention. */
+  def adcCosine(table: ArrayData, codes: Array[Byte]): java.lang.Double = {
+    if (table == null || codes == null || codes.length < 5) return null
+    val m = codes.length - 4
+    val tlen = table.numElements() - 1
+    if (tlen <= 0 || tlen % m != 0) return null
+    val ksub = tlen / m
+    var dot = 0.0d
+    var j = 0
+    while (j < m) {
+      val c = codes(j) & 0xFF
+      if (c >= ksub) return null
+      dot += table.getDouble(1 + j * ksub + c)
+      j += 1
+    }
+    val bits = (codes(m) & 0xFF) | ((codes(m + 1) & 0xFF) << 8) |
+      ((codes(m + 2) & 0xFF) << 16) | ((codes(m + 3) & 0xFF) << 24)
+    val recon = java.lang.Float.intBitsToFloat(bits).toDouble
+    java.lang.Double.valueOf(
+      dot / math.max(table.getDouble(0) * recon, 1e-12d))
+  }
+}
+
+/** Product-quantization encode of an array<float> column against a
+  * driver-trained set of subspace codebooks (see [[PqKernel.encode]]):
+  * dim floats → m bytes + 4 (the 100 TB embedding-storage shape — 21×
+  * under float at m=8 on dim-64, vs 4× for [[QuantizeI8]]). The
+  * codebooks ride the expression like [[CosineArgmax]]'s matrix does. */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]])
+  extends UnaryExpression {
+
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "PqEncode needs at least one non-empty subspace codebook")
+  require(books.forall(_.length == books.head.length) && books.head.length <= 256,
+    "PqEncode subspace codebooks must share one ksub <= 256 (codes are one byte)")
+  require(books.forall(_.forall(_.length == books.head.head.length)) &&
+    books.head.head.nonEmpty,
+    "PqEncode centroids must all have the same (positive) subdimension")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  /** Plan strings must not embed the codebooks (m·ksub·subdim floats). */
+  override def stringArgs: Iterator[Any] = Iterator(child,
+    s"m=${books.length}", s"ksub=${books.head.length}",
+    s"subdim=${books.head.head.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes an array<float> column, got ${other.catalogString}")
+  }
+
+  @transient private[catalyst] lazy val mat: Array[Array[Array[Float]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  @transient private[catalyst] lazy val cSq: Array[Array[Double]] =
+    mat.map(_.map { c =>
+      var s = 0.0d
+      var i = 0
+      while (i < c.length) { s += (c(i) * c(i)).toDouble; i += 1 }
+      s
+    })
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernel.encode(a.asInstanceOf[ArrayData], mat, cSq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("graftPqMat", mat, "float[][][]")
+    val sqRef = ctx.addReferenceObj("graftPqSq", cSq, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("pqBlob")
+      s"""
+        byte[] $r = graft.spark.catalyst.PqKernel.encode($a, $matRef, $sqRef);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** ADC cosine of a per-query lookup table (array<double>, built once
+  * per query — see VectorPipeline.pqAdcTable) against a [[PqEncode]]
+  * blob: the PQ scoring hot path, m byte-indexed table reads per corpus
+  * row instead of a dim-float dot product, inside whole-stage codegen. */
+case class PqAdcCosine(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes (array<double> ADC table, binary PqEncode blob), " +
+          s"got (${lt.catalogString}, ${rt.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernel.adcCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("pqCos")
+      s"""
+        java.lang.Double $r = graft.spark.catalyst.PqKernel.adcCosine($a, $b);
+        if ($r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $r.doubleValue();
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcCosine =
+    copy(left = l, right = r)
+}
