@@ -999,6 +999,68 @@ object PipelineEntries {
         .toDF("n_queries", "deterministic", "recall_ok", "recall_rerank_ok",
           "storage_ok")
     }),
+
+    // IVF-PQ (round 5): the full-size production index — inverted-list
+    // PARTITION PRUNING (only probed lists leave storage) composed with
+    // the 20 B/vector PQ payload (12.8× less list IO than float, 3.2×
+    // less than the q42 IVF-SQ8), float re-rank tail. Both sidecars
+    // (`_codebook` routing + `_pqbooks` encoding) persist inside the
+    // index and self-verify, so probes and appends take no config at
+    // all. Gates: (a) the persisted books fingerprint-match the trained
+    // ones; (b) re-ranked recall@10 at nprobe 8/16 of 16 lists ≥
+    // measured floors; (c) APPEND-EQUIVALENCE — half build + half
+    // append is byte-identical (xor-hash over every row) to the
+    // one-shot build, the incremental-ingest guarantee.
+    "q54_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir).cache()
+      val queries = emb.filter(col("vec_id") < 20)
+      val nq = queries.count()
+      val book = VectorPipeline.trainedCodebookDistributed(emb, 16,
+        sampleN = 1 << 12, iters = 5).cache()
+      val pqBooks = VectorPipeline.trainedPqBooks(emb, m = 16, ksub = 256)
+      val full = s"/tmp/graft_q54_full_${java.util.UUID.randomUUID()}"
+      val half = s"/tmp/graft_q54_half_${java.util.UUID.randomUUID()}"
+      try {
+        VectorPipeline.writeIvfIndexPq(emb, book, pqBooks, full)
+        val roundtrip = VectorPipeline.pqBooksFingerprint(
+          VectorPipeline.readPqBooks(s, full)) ==
+          VectorPipeline.pqBooksFingerprint(pqBooks)
+        val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+          .select(col("q_id"), col("n_id")).cache()
+        // ONE pruned ADC pass at maxProbe=16; both nprobe depths are
+        // ranked slices of it (the q46 shape)
+        val scored = VectorPipeline
+          .ivfScoredCandidatesFromIndexPq(s, full, queries, 16).cache()
+        def recallAt(nprobe: Int): Double = {
+          val got = VectorPipeline.rerankTopK(
+            scored.filter(col("probe_rank") <= nprobe), emb, queries, 10, 40)
+            .select(col("q_id"), col("n_id"))
+          bf.join(got, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+        }
+        val r8 = recallAt(8)
+        val r16 = recallAt(16)
+        scored.unpersist(); bf.unpersist()
+        // append-equivalence: assignment and encoding are pure functions
+        // of (vector, sidecar state), so the split build must match the
+        // one-shot build byte for byte
+        VectorPipeline.writeIvfIndexPq(
+          emb.filter(col("vec_id") % 2 === 0), book, pqBooks, half)
+        VectorPipeline.appendToIvfIndexPq(emb.filter(col("vec_id") % 2 === 1), half)
+        def sig(path: String): (Long, Long) = {
+          val r = s.read.parquet(path)
+            .agg(expr("bit_xor(xxhash64(vec_id, pq, centroid_id))"),
+              count(lit(1))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val appendEq = sig(full) == sig(half)
+        Seq((nq, roundtrip, r8 >= 0.55, r16 >= 0.7, appendEq))
+          .toDF("n_queries", "pqbooks_roundtrip", "recall8_ok", "recall16_ok",
+            "append_equivalent")
+      } finally {
+        deleteTmpDir(s, full); deleteTmpDir(s, half); book.unpersist(); emb.unpersist()
+      }
+    }),
   )
 
   private val C = Transcripts.Cte
@@ -1200,6 +1262,10 @@ object PipelineEntries {
     "q53_ann_pq" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS deterministic, " +
         "true AS recall_ok, true AS recall_rerank_ok, true AS storage_ok " +
+        "FROM embeddings WHERE vec_id < 20"),
+    "q54_ann_ivfpq" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS pqbooks_roundtrip, " +
+        "true AS recall8_ok, true AS recall16_ok, true AS append_equivalent " +
         "FROM embeddings WHERE vec_id < 20"),
   )
 }

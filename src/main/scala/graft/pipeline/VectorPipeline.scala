@@ -981,6 +981,119 @@ object VectorPipeline {
     rerankTopK(bruteForceScoredPq(corpus, queries, books), corpus, queries,
       k, candMult * k)
 
+  // ------------------------------------------------ IVF-PQ composition
+
+  /** PQ-books sidecar (`_pqbooks` inside the index dir, the `_codebook`
+    * rules: written LAST, self-verified fingerprint, moves with the
+    * index as one unit). Rows: (sub, code, c_emb, __fingerprint) —
+    * m·ksub ≤ 4096 rows, bounded like the codebook itself. */
+  private def writePqBooksSidecar(spark: SparkSession,
+      books: Seq[Seq[Seq[Float]]], indexPath: String): Unit = {
+    import spark.implicits._
+    val fp = pqBooksFingerprint(books)
+    val rows = for ((b, j) <- books.zipWithIndex; (c, ci) <- b.zipWithIndex)
+      yield (j, ci, c, fp)
+    rows.toDF("sub", "code", "c_emb", "__fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_pqbooks")
+  }
+
+  /** Read (and integrity-verify) the PQ books a PQ index was encoded
+    * with — probe and append paths take no books argument, so they
+    * cannot be handed books the codes were not produced by (that would
+    * silently score garbage: codes index into the WRONG centroids). */
+  def readPqBooks(spark: SparkSession, indexPath: String): Seq[Seq[Seq[Float]]] = {
+    val sidecar = new org.apache.hadoop.fs.Path(s"$indexPath/_pqbooks")
+    require(sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sidecar),
+      s"no _pqbooks sidecar at $indexPath — not a PQ index (or the write " +
+        "did not complete); build with writeIvfIndexPq")
+    val raw = spark.read.parquet(s"$indexPath/_pqbooks").collect()
+    val fps = raw.map(_.getAs[Long]("__fingerprint")).distinct
+    require(fps.length == 1,
+      s"_pqbooks sidecar at $indexPath carries ${fps.length} fingerprints — corrupt")
+    val byCell = raw.map(r =>
+      ((r.getAs[Int]("sub"), r.getAs[Int]("code")), r.getSeq[Float](2))).toMap
+    require(byCell.size == raw.length,
+      s"_pqbooks sidecar at $indexPath has duplicate (sub, code) rows — corrupt")
+    val m = raw.map(_.getAs[Int]("sub")).max + 1
+    val ksub = raw.map(_.getAs[Int]("code")).max + 1
+    require(byCell.size == m * ksub,
+      s"_pqbooks sidecar at $indexPath is missing cells — corrupt")
+    val books: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(j => (0 until ksub).map(c => byCell((j, c))))
+    require(pqBooksFingerprint(books) == fps.head,
+      s"_pqbooks sidecar at $indexPath fails its own fingerprint — corrupt")
+    books
+  }
+
+  /** One projection shared by PQ write and append (the
+    * floatIndexRows/quantizedIndexRows rule: write and append can never
+    * drift apart). Routing runs on the FLOAT vectors — bit-identical to
+    * every other index's assignment; only the stored payload is PQ. */
+  private def pqIndexRows(corpus: DataFrame, book: DataFrame, mode: String,
+      pqBooks: Seq[Seq[Seq[Float]]]): DataFrame =
+    assignWithMode(corpus, book, mode)
+      .select(col("vec_id"),
+        graft.spark.catalyst.pqEncodeNative(col("embedding"), pqBooks).as("pq"),
+        col("centroid_id"))
+
+  /** The IVF-PQ composition — the full-size production index at corpus
+    * scale: inverted-list partition pruning (only probed lists are read
+    * from storage) AND a 20 B/vector PQ payload (m=16 + norm; 12.8×
+    * less list IO than float, 3.2× less than IVF-SQ8). Data first, then
+    * BOTH sidecars — a torn write leaves a probe-refusing index. */
+  def writeIvfIndexPq(corpus: DataFrame, book: DataFrame,
+      pqBooks: Seq[Seq[Seq[Float]]], path: String): Unit = {
+    pqIndexRows(corpus, book, AssignFlat, pqBooks)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    writeCodebookSidecar(book, path, AssignFlat)
+    writePqBooksSidecar(corpus.sparkSession, pqBooks, path)
+  }
+
+  /** Incremental PQ-index ingest: routing codebook, assignment mode AND
+    * PQ books all come from the index's own sidecars (nothing to pass,
+    * nothing to get wrong) — value-identical to a one-shot build over
+    * the union, because assignment and encoding are pure functions of
+    * (vector, sidecar state). */
+  def appendToIvfIndexPq(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (book, mode) = readVerifiedSidecar(spark, path)
+    val rows = pqIndexRows(batch, book, mode, readPqBooks(spark, path))
+    requireSameIndexLayout(spark, path, rows)
+    rows.write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
+
+  /** Scored ADC candidates against a PQ index: float-codebook centroid
+    * routing (same probes as every other path), per-query ADC tables
+    * riding the broadcast probe relation, partition-pruned list scan
+    * scoring m table reads per row. Returns (q_id, n_id, cos,
+    * probe_rank). */
+  def ivfScoredCandidatesFromIndexPq(spark: SparkSession, indexPath: String,
+      queries: DataFrame, maxProbe: Int): DataFrame = {
+    val book = readIvfCodebook(spark, indexPath)
+    val books = readPqBooks(spark, indexPath)
+    val probes = centroidProbes(book, queries, maxProbe)
+      .withColumn("q_tab", pqAdcTable(books)(col("q_emb"))).drop("q_emb")
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(probedIds.toSeq: _*))
+    broadcast(probes).join(lists, "centroid_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.spark.catalyst.pqAdcCosineNative(col("q_tab"), col("pq")).as("cos"),
+        col("probe_rank"))
+  }
+
+  /** IVF-PQ two-stage: pruned ADC lists → top-(candMult·k) → float
+    * re-rank → top-k. The production 100 TB read shape:
+    * nprobe/ncentroids of the corpus scanned at 20 B/vector, float
+    * vectors touched only for C·dim per query in the re-rank tail. */
+  def ivfTopKFromIndexPqReranked(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      candMult: Int = 4): DataFrame =
+    rerankTopK(ivfScoredCandidatesFromIndexPq(spark, indexPath, queries, nprobe),
+      corpus, queries, k, candMult * k)
+
   /** IVF-SQ8 two-stage: pruned quantized lists generate candidates, the
     * float corpus re-ranks them — the production 100 TB query shape
     * (quantized index for the scan, primary float store for the tail). */

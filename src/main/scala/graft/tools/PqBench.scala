@@ -48,6 +48,40 @@ object PqBench {
         f"one-stage=$rOne%.3f " +
         rr.map { case (cm, r) => f"rerank(c=${cm}0)=$r%.3f" }.mkString(" "))
     }
+
+    // IVF-PQ (the q54 config): pruned-list ADC + float re-rank recall
+    // at two probe depths, plus the on-disk index size vs a float index
+    val book = VectorPipeline.trainedCodebookDistributed(emb, 16,
+      sampleN = 1 << 12, iters = 5).cache()
+    val pqBooks = VectorPipeline.trainedPqBooks(emb, m = 16, ksub = 256)
+    val pqIx = s"/tmp/graft_pqbench_pq_${java.util.UUID.randomUUID()}"
+    val fIx = s"/tmp/graft_pqbench_f_${java.util.UUID.randomUUID()}"
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(path).getLength
+    }
+    def deleteTmp(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    }
+    try {
+      VectorPipeline.writeIvfIndexPq(emb, book, pqBooks, pqIx)
+      VectorPipeline.writeIvfIndex(emb, book, fIx)
+      val scored = VectorPipeline
+        .ivfScoredCandidatesFromIndexPq(spark, pqIx, queries, 16).cache()
+      val rr = Seq(8, 16).map { np =>
+        val got = VectorPipeline.rerankTopK(
+          scored.filter(col("probe_rank") <= np), emb, queries, 10, 40)
+          .select(col("q_id"), col("n_id"))
+        np -> bf.join(got, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      }
+      scored.unpersist()
+      println(f"ivfpq m=16 ksub=256 " +
+        rr.map { case (np, r) => f"rerank@nprobe=$np=$r%.3f" }.mkString(" ") +
+        f" index_bytes=${dirBytes(pqIx)} float_index_bytes=${dirBytes(fIx)} " +
+        f"(${dirBytes(fIx).toDouble / dirBytes(pqIx)}%.1fx)")
+    } finally { deleteTmp(pqIx); deleteTmp(fIx) }
     spark.stop()
   }
 }

@@ -139,6 +139,72 @@ class PqSpec extends AnyFunSuite {
     assert(mism.select(pqAdcCosineNative(tab, col("pq"))).head.isNullAt(0))
   }
 
+  private def deleteTmp(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("IVF-PQ index: build -> probe -> append-equivalence -> sidecar self-verify") {
+    import graft.core.Hashing
+    val book = VectorPipeline.trainedCodebookDistributed(emb, 16,
+      sampleN = 1 << 12, iters = 5).cache()
+    val pqBooks = VectorPipeline.trainedPqBooks(emb, m = 16, ksub = 256)
+    val queries = emb.filter(col("vec_id") < 20)
+    val full = s"/tmp/graft_pqspec_full_${java.util.UUID.randomUUID()}"
+    val half = s"/tmp/graft_pqspec_half_${java.util.UUID.randomUUID()}"
+    try {
+      VectorPipeline.writeIvfIndexPq(emb, book, pqBooks, full)
+      // the persisted books ARE the trained books
+      assert(VectorPipeline.pqBooksFingerprint(VectorPipeline.readPqBooks(spark, full))
+        === VectorPipeline.pqBooksFingerprint(pqBooks))
+      // probe end-to-end (re-ranked) against the float brute force
+      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
+        .select(col("q_id"), col("n_id"))
+      val pq = VectorPipeline.ivfTopKFromIndexPqReranked(spark, full, emb, queries,
+        k = 10, nprobe = 8).select(col("q_id"), col("n_id"))
+      val recall = bf.join(pq, Seq("q_id", "n_id")).count().toDouble / (20 * 10)
+      info(s"IVF-PQ re-ranked recall@10 at nprobe 8/16: $recall")
+      // nprobe 8/16 caps recall at the IVF pruning level (~0.9 on these
+      // weakly-clustered embeddings, CodebookSpec); PQ + re-rank must
+      // not degrade it below the pruning floor
+      assert(recall >= 0.7, s"IVF-PQ recall $recall under floor")
+      // append-equivalence: half build + half append == one-shot build
+      VectorPipeline.writeIvfIndexPq(emb.filter(col("vec_id") % 2 === 0), book,
+        pqBooks, half)
+      VectorPipeline.appendToIvfIndexPq(emb.filter(col("vec_id") % 2 === 1), half)
+      def sig(path: String): (Long, Long) = {
+        val r = spark.read.parquet(path)
+          .agg(expr("bit_xor(xxhash64(vec_id, pq, centroid_id))"), count(lit(1))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(sig(full) === sig(half), "append != one-shot build")
+      // a non-PQ index refuses PQ probes (no _pqbooks sidecar)
+      val plain = s"/tmp/graft_pqspec_plain_${java.util.UUID.randomUUID()}"
+      try {
+        VectorPipeline.writeIvfIndex(emb, book, plain)
+        val e = intercept[IllegalArgumentException](
+          VectorPipeline.readPqBooks(spark, plain))
+        assert(e.getMessage.contains("_pqbooks"))
+      } finally deleteTmp(plain)
+      // a corrupted books sidecar fails its own fingerprint
+      val fs = new org.apache.hadoop.fs.Path(full)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$full/_pqbooks"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      import spark.implicits._
+      val tampered = pqBooks.updated(0, pqBooks(0).updated(0,
+        pqBooks(0)(0).updated(0, pqBooks(0)(0)(0) + 1.0f)))
+      val fp = Hashing.xxHash64Long(0L, 0L) // any wrong constant
+      (for ((b, j) <- tampered.zipWithIndex; (c, ci) <- b.zipWithIndex)
+        yield (j, ci, c, fp)).toDF("sub", "code", "c_emb", "__fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(s"$full/_pqbooks")
+      val e2 = intercept[IllegalArgumentException](
+        VectorPipeline.readPqBooks(spark, full))
+      assert(e2.getMessage.contains("fingerprint"))
+    } finally { deleteTmp(full); deleteTmp(half); book.unpersist() }
+  }
+
   test("recall floors vs float brute force (m=16, ksub=256 — the q53 config)") {
     // floors from the PqBench sweep (BENCH.md "Product quantization"):
     // m=16/ksub=256 measures one-stage 0.69–0.81 and re-ranked (c=4k)
