@@ -1061,6 +1061,72 @@ object PipelineEntries {
         deleteTmpDir(s, full); deleteTmpDir(s, half); book.unpersist(); emb.unpersist()
       }
     }),
+
+    // Incremental LSH dedup index (round 5): the text analogue of the
+    // IVF append story — a PERSISTED band-key index (bucket-partitioned
+    // parquet + self-verifying `_lshmeta` sidecar) that dedups a new
+    // ingest batch against the corpus for O(batch) signature work instead
+    // of the O(corpus) re-shingle a from-scratch minhashCandidates pays.
+    // Corpus = doc_id % 3 ≠ 0 (built HALF + APPENDED half — the accreted
+    // state is what gets probed), batch = doc_id % 3 = 0. Gates:
+    //  (a) append-equivalence — split build xor-sig ≡ one-shot build;
+    //  (b) pair_set_exact — index-probe candidates, exact-verified at
+    //      Jaccard ≥ 1/2, equal the true cross-pair set BOTH directions
+    //      (recall AND precision; DuckDB recomputes the count);
+    //  (c) n_novel — the novelty-filter output count, DuckDB-exact.
+    "q55_lsh_index_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 3 =!= 0).cache()
+      val batch = d.filter(col("doc_id") % 3 === 0).cache()
+      val nNew = batch.count()
+      val split = s"/tmp/graft_q55_split_${java.util.UUID.randomUUID()}"
+      try {
+        // fan-out sized to the corpus (the sidecar records it; append and
+        // probe read it back): 64 buckets keeps per-bucket parquet files
+        // above the small-file floor at bench scale — at corpus scale the
+        // 256 default (or higher) buys finer probe pruning. Fan-out
+        // independence of results is pinned by LshIndexSpec.
+        graft.pipeline.LshIndex.write(
+          corpus.filter(col("doc_id") % 3 === 1), split, numBuckets = 64)
+        graft.pipeline.LshIndex.append(corpus.filter(col("doc_id") % 3 === 2), split)
+        // append-equivalence: the ACCRETED on-disk index (half build + half
+        // append) xor-signs identical to the from-scratch signature
+        // projection of the full corpus — no second index is materialized
+        // (LshIndexSpec additionally pins write↔one-shot row identity)
+        def sig(rows: DataFrame): (Long, Long) = {
+          val r = rows
+            .agg(expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"),
+              count(lit(1))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val appendEq = sig(s.read.parquet(split)) ==
+          sig(graft.pipeline.LshIndex.indexRows(corpus, numBuckets = 64))
+        val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
+        val truePairs = TextPipeline.exactJaccardPairs(d)
+          .filter(isNew(col("doc_a")) =!= isNew(col("doc_b")))
+          .select(
+            when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+            when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_old"))
+          .cache()
+        val nTrue = truePairs.count()
+        val verified = graft.pipeline.LshIndex
+          .verifiedDupPairs(s, split, batch, corpus).cache()
+        val pairs = verified.select(col("doc_new"), col("doc_old"))
+        val pairSetExact =
+          pairs.join(truePairs, Seq("doc_new", "doc_old"), "left_anti").count() == 0 &&
+          truePairs.join(pairs, Seq("doc_new", "doc_old"), "left_anti").count() == 0
+        val nNovel = graft.pipeline.LshIndex
+          .novelDocs(s, split, batch, corpus, Some(verified)).count()
+        verified.unpersist(); truePairs.unpersist()
+        Seq((nNew, nTrue, nNovel, pairSetExact, appendEq))
+          .toDF("n_new_docs", "n_true_pairs", "n_novel", "pair_set_exact",
+            "append_equivalent")
+      } finally {
+        deleteTmpDir(s, split)
+        corpus.unpersist(); batch.unpersist()
+      }
+    }),
   )
 
   private val C = Transcripts.Cte
@@ -1267,5 +1333,13 @@ object PipelineEntries {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS pqbooks_roundtrip, " +
         "true AS recall8_ok, true AS recall16_ok, true AS append_equivalent " +
         "FROM embeddings WHERE vec_id < 20"),
+    "q55_lsh_index_dedup" ->
+      (s"""WITH v AS (SELECT CASE WHEN doc_a % 3 = 0 THEN doc_a ELSE doc_b END AS doc_new
+         |FROM ($JaccardPairSql) t WHERE (doc_a % 3 = 0) <> (doc_b % 3 = 0))
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0) AS n_new_docs,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_true_pairs,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0
+         | AND doc_id NOT IN (SELECT doc_new FROM v)) AS n_novel,
+         |true AS pair_set_exact, true AS append_equivalent""".stripMargin.replace("\n", " ")),
   )
 }

@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED MinHash-LSH band index — the text-dedup sibling of the
+  * IVF vector index (VectorPipeline.writeIvfIndex): at corpus scale a
+  * near-dup index is never built once, it accretes, and the expensive
+  * thing is NOT the candidate join — it is re-shingling and re-minhashing
+  * the corpus every time a new ingest batch has to be deduped against it.
+  *
+  * Layout on disk (parquet):
+  *   bucket=0/…bucket=N-1/   (band, bkey, doc_id) rows, 42 per doc
+  *   _lshmeta/               config sidecar (see below)
+  *
+  * - `bucket = bkey & (N-1)` is the PARTITION column: a novelty probe for
+  *   a small batch touches ≤ 42·|batch| of N buckets, so point lookups
+  *   ("is this document already in the corpus?") prune the scan the way
+  *   IVF probes prune centroid lists — PartitionFilters in the executed
+  *   plan, unprobed buckets never leave storage (LshIndexSpec pins the
+  *   files-read count). N is an INDEX property recorded in the sidecar
+  *   (default 256), not a library constant: probe and append derive the
+  *   bucket of each band key from the sidecar, so indexes built at
+  *   different fan-outs interoperate with one binary.
+  * - The INCREMENTAL contract mirrors appendToIvfIndex: band keys are a
+  *   pure function of (text, hash-family constants), so build-half +
+  *   append-half is row-identical to a one-shot build (q55 gates it by
+  *   xor-signature), and a probe against the accreted index equals a
+  *   probe against a from-scratch one.
+  * - The `_lshmeta` sidecar pins the hash-family shape (rows-per-band,
+  *   bands, bucket count, shingle width) with a self-verifying
+  *   fingerprint: probing or appending with a library compiled to a
+  *   DIFFERENT banding never silently returns empty candidate sets — it
+  *   throws at the door, the codebook-mismatch rule.
+  *
+  * Scale accounting (the honest trade): the index stores 42 × 20 B rows
+  * per document (~300 B/doc after parquet encoding) — small next to the
+  * documents themselves, but not free. What it buys is that a daily
+  * ingest of ΔN docs costs O(ΔN) shingle+minhash work plus a join whose
+  * corpus side is an 8-byte-key scan, instead of the O(corpus) re-shingle
+  * + re-minhash a from-scratch `minhashCandidates(corpus ∪ Δ)` pays —
+  * the same increment-vs-reprocess argument as the weighted-sample blobs
+  * (BENCH.md "Weighted training-mix sampling") and the IVF append path.
+  */
+object LshIndex {
+
+  /** Default bucket fan-out for new indexes. 256 keeps the partition
+    * count storage-friendly at corpus scale while a single-doc probe
+    * (42 band keys) prunes ≥ 83% of it. Must be a power of two (the
+    * bucket is the low bits of the 64-bit band key). */
+  val NumBuckets: Int = 256
+
+  private val MetaDir = "_lshmeta"
+
+  /** The banding constants an index on disk must agree with. Bumping the
+    * hash-family fields in code orphans existing indexes — by design:
+    * their keys are not comparable. `buckets` is a layout property of
+    * the individual index, not of the hash family. */
+  private case class Meta(rowsPerBand: Int, bands: Int, buckets: Int,
+      shingleWidth: Int) {
+    def fingerprint: Long = {
+      var h = 0x15AL
+      for (v <- Seq(rowsPerBand, bands, buckets, shingleWidth))
+        h = graft.core.Hashing.xxHash64Long(v.toLong, h)
+      h
+    }
+    def family: (Int, Int, Int) = (rowsPerBand, bands, shingleWidth)
+  }
+
+  private def currentMeta(buckets: Int): Meta =
+    Meta(TextPipeline.MinhashRows, TextPipeline.MinhashBands, buckets, 3)
+
+  /** (doc_id, band, bkey, bucket) — the map-only signature projection
+    * shared verbatim by build, append and probe (the
+    * VectorPipeline.pqIndexRows rule: the three paths can never drift).
+    * Public so callers can gate an on-disk index's content against the
+    * from-scratch projection (q55's append-equivalence signature) without
+    * materializing a second index. */
+  def indexRows(docs: DataFrame, numBuckets: Int = NumBuckets): DataFrame = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+    TextPipeline.withShingles(docs, "__sh")
+      .select(col("doc_id"),
+        posexplode_outer(graft.spark.catalyst.minhashBandKeys(col("__sh")))
+          .as(Seq("band", "bkey")))
+      .filter(col("bkey").isNotNull)
+      .withColumn("bucket",
+        col("bkey").bitwiseAND(lit((numBuckets - 1).toLong)).cast("int"))
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit = {
+    import spark.implicits._
+    val m = currentMeta(buckets)
+    Seq((m.rowsPerBand, m.bands, m.buckets, m.shingleWidth, m.fingerprint))
+      .toDF("rows_per_band", "bands", "buckets", "shingle_width", "__fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$MetaDir")
+  }
+
+  /** Read + integrity-verify the sidecar, then require its HASH FAMILY to
+    * match the banding THIS library would produce — the only banding the
+    * probe and append projections can emit. The bucket fan-out is taken
+    * from the sidecar (an index layout choice, legal to vary). */
+  private def readVerifiedMeta(spark: SparkSession, path: String): Meta = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MetaDir")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"no $MetaDir sidecar at $path — not an LSH index (or the write did " +
+        "not complete); build with LshIndex.write")
+    val rows = spark.read.parquet(s"$path/$MetaDir").collect()
+    require(rows.length == 1,
+      s"$MetaDir sidecar at $path carries ${rows.length} rows — corrupt")
+    val r = rows.head
+    val stored = Meta(r.getAs[Int]("rows_per_band"), r.getAs[Int]("bands"),
+      r.getAs[Int]("buckets"), r.getAs[Int]("shingle_width"))
+    require(stored.fingerprint == r.getAs[Long]("__fingerprint"),
+      s"$MetaDir sidecar at $path fails its own fingerprint — corrupt sidecar")
+    val cur = currentMeta(stored.buckets)
+    require(stored.family == cur.family,
+      s"LSH banding mismatch at $path: index built with $stored, this " +
+        s"library produces $cur — band keys are not comparable " +
+        "across hash-family shapes; rebuild the index")
+    stored
+  }
+
+  /** Build the index over a corpus. Data first, then the sidecar — a torn
+    * write leaves a probe-refusing directory, never a silently
+    * half-probed one. */
+  def write(docs: DataFrame, path: String, numBuckets: Int = NumBuckets): Unit = {
+    indexRows(docs, numBuckets)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    writeMeta(docs.sparkSession, path, numBuckets)
+  }
+
+  /** Incremental ingest: new files land inside the existing bucket=…
+    * partitions, so probes see old + new rows with the same pruning.
+    * Row-identical to a one-shot build over the union (band keys are a
+    * pure function of the text). */
+  def append(batch: DataFrame, path: String): Unit = {
+    val meta = readVerifiedMeta(batch.sparkSession, path)
+    indexRows(batch, meta.buckets)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(path)
+  }
+
+  /** Candidate near-dup pairs (doc_new, doc_old) of a probe batch against
+    * the indexed corpus: the batch pays its own O(|batch|) signature cost,
+    * the corpus side is an 8-byte-key scan pruned to the buckets the
+    * batch touches. `broadcastProbe` (default) ships the batch's band
+    * rows to the index scan — the daily-ingest shape where Δ ≪ corpus;
+    * pass false for batch ≈ corpus-sized backfills, which degrade to the
+    * shuffle-hash equi-join `minhashCandidates` uses.
+    *
+    * Candidates are LSH candidates — callers verify survivors exactly
+    * (the q39 Bloom-then-exact rule); recall at the 42×3 banding is gated
+    * against the exact Jaccard≥1/2 pair set in q55/LshIndexSpec. */
+  def probeCandidates(spark: SparkSession, path: String, batch: DataFrame,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val meta = readVerifiedMeta(spark, path)
+    val probe = indexRows(batch, meta.buckets)
+      .select(col("band"), col("bkey"), col("bucket"), col("doc_id").as("doc_new"))
+    // bounded collect: the bucket domain is meta.buckets (≤ a few hundred),
+    // never the batch — prunes the index scan to touched partitions
+    val touched = probe.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(path)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    val probeSide = if (broadcastProbe) broadcast(probe) else probe.hint("shuffle_hash")
+    lists.join(probeSide, Seq("band", "bkey", "bucket"))
+      .filter(col("doc_id") =!= col("doc_new"))
+      .select(col("doc_new"), col("doc_id").as("doc_old"))
+      .distinct()
+  }
+
+  /** Novelty filter — the ingest-gate shape: batch docs with NO exact
+    * near-dup (Jaccard ≥ 1/2 after exact verification of LSH candidates)
+    * already in the corpus. `corpusDocs`/`batchDocs` supply the text for
+    * the verify join of candidate survivors only — the index itself
+    * stays text-free. Pass `verifiedPairs` when the caller has already
+    * materialized `verifiedDupPairs` for the same (index, batch, corpus) —
+    * the anti-join then reuses it instead of re-running probe + verify. */
+  def novelDocs(spark: SparkSession, path: String, batchDocs: DataFrame,
+      corpusDocs: DataFrame, verifiedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = verifiedPairs.getOrElse(
+      verifiedDupPairs(spark, path, batchDocs, corpusDocs))
+    val dups = pairs.select(col("doc_new").as("doc_id")).distinct()
+    batchDocs.join(dups, Seq("doc_id"), "left_anti")
+  }
+
+  /** Exact-verified near-dup pairs of a batch against the indexed corpus:
+    * LSH candidates → shingle-overlap verify join restricted to candidate
+    * doc ids (never the full corpus), Jaccard ≥ 1/2 in integer arithmetic
+    * (the q15 criterion). The candidate relation feeds THREE joins below,
+    * so it is cached — it is bounded by the near-dup pair count of the
+    * batch (tiny next to either input), and Spark's LRU store evicts it
+    * once the caller's actions complete. */
+  def verifiedDupPairs(spark: SparkSession, path: String, batchDocs: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    val cands = probeCandidates(spark, path, batchDocs).cache()
+    // verify ONLY candidate docs: semi-join both text relations down to
+    // docs that appear in some candidate pair, then run the ONE
+    // sort-merge shingle self-join pairStatsFromShingled is built around
+    // (identical children → ReusedExchange, the explode evaluated once) —
+    // the same plan the exact oracles use, just over the candidate slice.
+    val restricted = batchDocs
+      .join(cands.select(col("doc_new").as("doc_id")).distinct(), "doc_id")
+      .unionByName(corpusDocs
+        .join(cands.select(col("doc_old").as("doc_id")).distinct(), "doc_id"))
+    val stats = TextPipeline.pairStatsFromShingled(
+      TextPipeline.withShingles(restricted, "__sh"))
+    // pairStats emits doc_a < doc_b; recover the (new, old) orientation by
+    // an EQUI-join against the normalized candidate pairs (batch and
+    // corpus doc ids are disjoint in the ingest contract, so a pair's
+    // orientation is unique)
+    val candsN = cands.select(
+      least(col("doc_new"), col("doc_old")).as("doc_a"),
+      greatest(col("doc_new"), col("doc_old")).as("doc_b"),
+      col("doc_new"), col("doc_old"))
+    stats
+      .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
+      .join(candsN, Seq("doc_a", "doc_b"))
+      .select(col("doc_new"), col("doc_old"),
+        col("n_common").cast("long").as("n_common"),
+        (col("na") + col("nb") - col("n_common")).cast("long").as("n_union"))
+  }
+}

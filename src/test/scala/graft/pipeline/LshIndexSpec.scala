@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted MinHash-LSH band index (LshIndex). Pins the properties
+  * that make it the incremental-dedup read path:
+  *   1. EQUIVALENCE — index-probe candidates (batch vs corpus) equal the
+  *      from-scratch `minhashCandidates(corpus ∪ batch)` cross pairs;
+  *   2. APPEND — build-half + append-half is row-identical to one-shot;
+  *   3. PRUNING — a single-doc probe physically reads only its touched
+  *      buckets' files (FileSourceScanExec numFiles);
+  *   4. SIDE-CAR SAFETY — a missing or tampered `_lshmeta` refuses to
+  *      probe/append rather than silently returning empty candidates.
+  */
+class LshIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-lsh-index-test")
+    .getOrCreate()
+
+  private def docs = TextPipeline.documents(spark, "/root/testdata/sf0.001")
+    .select(col("doc_id"), col("text"))
+
+  private def rm(p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    ()
+  }
+
+  test("index-probe candidates equal the from-scratch LSH cross pairs") {
+    val d = docs.cache()
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val path = "/tmp/graft_test_lsh_equiv"
+    try {
+      LshIndex.write(corpus, path, numBuckets = 32)
+      val viaIndex = LshIndex.probeCandidates(spark, path, batch)
+      // from-scratch reference: all-pairs LSH over the union, restricted
+      // to (batch, corpus) cross pairs, normalized to (doc_new, doc_old)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
+      val scratch = TextPipeline.minhashCandidates(d)
+        .filter(isNew(col("doc_a")) =!= isNew(col("doc_b")))
+        .select(
+          when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+          when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_old"))
+      assert(viaIndex.exceptAll(scratch).isEmpty && scratch.exceptAll(viaIndex).isEmpty,
+        "index probe must produce exactly the from-scratch LSH cross-candidate set")
+      // shuffle-hash (non-broadcast) probe shape answers identically
+      val big = LshIndex.probeCandidates(spark, path, batch, broadcastProbe = false)
+      assert(big.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(big).isEmpty)
+    } finally { rm(path); d.unpersist() }
+  }
+
+  test("append-half == one-shot build, and the accreted index probes identically") {
+    val d = docs.cache()
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val one = "/tmp/graft_test_lsh_once"
+    val acc = "/tmp/graft_test_lsh_accreted"
+    try {
+      LshIndex.write(corpus, one, numBuckets = 32)
+      LshIndex.write(corpus.filter(col("doc_id") % 3 === 1), acc, numBuckets = 32)
+      LshIndex.append(corpus.filter(col("doc_id") % 3 === 2), acc)
+      def rows(p: String) = spark.read.parquet(p)
+        .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      assert(rows(one).exceptAll(rows(acc)).isEmpty &&
+        rows(acc).exceptAll(rows(one)).isEmpty,
+        "accreted index must be row-identical to the one-shot build")
+      val batch = d.filter(col("doc_id") % 3 === 0)
+      val a = LshIndex.probeCandidates(spark, one, batch)
+      val b = LshIndex.probeCandidates(spark, acc, batch)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally { rm(one); rm(acc); d.unpersist() }
+  }
+
+  test("single-doc probe is bucket-pruned: unprobed buckets' files unread") {
+    val d = docs.cache()
+    val path = "/tmp/graft_test_lsh_prune"
+    try {
+      LshIndex.write(d, path)
+      val totalFiles = spark.read.parquet(path).inputFiles.length
+      // one doc touches <= 42 of 256 buckets; the pruned scan must read
+      // strictly fewer files than the whole index. AQE off so the scan
+      // node's metrics are reachable (the IvfIndexSpec pattern).
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val oneDoc = d.orderBy(col("doc_id")).limit(1)
+      val cands = LshIndex.probeCandidates(spark, path, oneDoc)
+      try cands.collect()
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val scans = cands.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_test_lsh_prune")) => f
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over the index")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+        s"scan must carry a bucket partition filter, got: ${scan.partitionFilters}")
+      assert(scan.metrics("numFiles").value < totalFiles,
+        s"pruned probe read ${scan.metrics("numFiles").value} of $totalFiles files")
+    } finally { rm(path); d.unpersist() }
+  }
+
+  test("verified pairs + novelty filter match the exact cross criterion") {
+    val d = docs.cache()
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val path = "/tmp/graft_test_lsh_verify"
+    try {
+      LshIndex.write(corpus, path, numBuckets = 32)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
+      val truth = TextPipeline.exactJaccardPairs(d)
+        .filter(isNew(col("doc_a")) =!= isNew(col("doc_b")))
+        .select(
+          when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+          when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_old"))
+        .cache()
+      val got = LshIndex.verifiedDupPairs(spark, path, batch, corpus)
+        .select(col("doc_new"), col("doc_old"))
+      assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+        "verified dup pairs must equal the exact Jaccard>=1/2 cross-pair set")
+      val novel = LshIndex.novelDocs(spark, path, batch, corpus)
+      val expectNovel = batch.join(truth.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      assert(novel.count() === expectNovel.count())
+      truth.unpersist()
+    } finally { rm(path); d.unpersist() }
+  }
+
+  test("bucket fan-out is an index property: different fan-outs probe and append identically") {
+    val d = docs.cache()
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val pA = "/tmp/graft_test_lsh_b64"
+    val pB = "/tmp/graft_test_lsh_b16"
+    try {
+      LshIndex.write(corpus.filter(col("doc_id") % 3 === 1), pA, numBuckets = 64)
+      LshIndex.write(corpus.filter(col("doc_id") % 3 === 1), pB, numBuckets = 16)
+      // append reads the fan-out from the sidecar — same binary, both layouts
+      LshIndex.append(corpus.filter(col("doc_id") % 3 === 2), pA)
+      LshIndex.append(corpus.filter(col("doc_id") % 3 === 2), pB)
+      val a = LshIndex.probeCandidates(spark, pA, batch)
+      val b = LshIndex.probeCandidates(spark, pB, batch)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "probe results must be fan-out-independent")
+      // non-power-of-two fan-out is rejected at the door
+      val e = intercept[IllegalArgumentException](LshIndex.write(corpus, pB, 100))
+      assert(e.getMessage.contains("power of two"))
+    } finally { rm(pA); rm(pB); d.unpersist() }
+  }
+
+  test("missing or tampered _lshmeta refuses to probe or append") {
+    val d = docs.limit(50).cache()
+    val path = "/tmp/graft_test_lsh_meta"
+    try {
+      LshIndex.write(d, path, numBuckets = 32)
+      // tamper: overwrite the sidecar with a different HASH FAMILY but a
+      // fingerprint recomputed to match (a WRONG-shape but internally
+      // consistent sidecar) -> the banding-mismatch error. (A different
+      // bucket count alone is legal — it is an index layout property.)
+      val fp = {
+        var h = 0x15AL
+        for (v <- Seq(4, 32, 256, 3))
+          h = graft.core.Hashing.xxHash64Long(v.toLong, h)
+        h
+      }
+      import spark.implicits._
+      Seq((4, 32, 256, 3, fp))
+        .toDF("rows_per_band", "bands", "buckets", "shingle_width", "__fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_lshmeta")
+      val e1 = intercept[IllegalArgumentException](
+        LshIndex.probeCandidates(spark, path, d).collect())
+      assert(e1.getMessage.contains("banding mismatch"))
+      // corrupt: fingerprint that fails self-verification
+      Seq((3, 42, 256, 3, 0L))
+        .toDF("rows_per_band", "bands", "buckets", "shingle_width", "__fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_lshmeta")
+      val e2 = intercept[IllegalArgumentException](LshIndex.append(d, path))
+      assert(e2.getMessage.contains("fingerprint"))
+      // missing entirely
+      rm(s"$path/_lshmeta")
+      val e3 = intercept[IllegalArgumentException](
+        LshIndex.probeCandidates(spark, path, d).collect())
+      assert(e3.getMessage.contains("no _lshmeta"))
+    } finally { rm(path); d.unpersist() }
+  }
+}
