@@ -1127,6 +1127,113 @@ object PipelineEntries {
         corpus.unpersist(); batch.unpersist()
       }
     }),
+
+    // Streaming ingest novelty gate (round 5): the PRODUCTION shape of the
+    // q55 index — documents arrive as a stream, each micro-batch is
+    // novelty-filtered against the accreted index via foreachBatch
+    // (probe → keep novel → append kept text + band rows), the Spark
+    // ingest-upsert idiom for external stores. Dedup is greedy-sequential:
+    // a doc is kept iff no doc kept in an EARLIER batch is an exact
+    // near-dup (Jaccard ≥ 1/2 after LSH-candidate verification); docs in
+    // the same batch never shadow each other. Three deterministic
+    // micro-batches (tercile = doc_id % 3, replayed oldest-first as one
+    // file each). Gates:
+    //  (a) n_kept_t0/t1/t2 — DuckDB recomputes the greedy kept counts by
+    //      3-level iterated anti-join over the exact pair set;
+    //  (b) stream_eq_batch — the streamed kept ID SET equals a batch
+    //      recomputation of the same greedy rule (both anti-join
+    //      directions empty);
+    //  (c) index_consistent — final on-disk index xor-signs identical to
+    //      the from-scratch signature projection of the kept docs.
+    "q56_stream_ingest_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // bounded slice (doc_id < 1500): this query proves the STREAMING
+      // SEMANTICS — greedy order, two-store accretion, kept-set identity —
+      // not throughput; q55 + LshIndexBench carry the index's batch-scale
+      // cost story (the q54 "vec_id < 20" precedent). The oracle applies
+      // the same slice.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1500).cache()
+      val nDocs = d.count()
+      val base = s"/tmp/graft_q56_${java.util.UUID.randomUUID()}"
+      val streamDir = s"$base/stream"
+      val indexPath = s"$base/index"
+      val keptDir = s"$base/kept"
+      val buckets = 16 // sized to the bounded slice (the q55 sizing rule)
+      try {
+        // one file per tercile, named + timestamped so the AvailableNow
+        // file source replays t0 -> t1 -> t2 deterministically
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        for (i <- 0 to 2) {
+          val part = s"$base/part$i"
+          d.filter(col("doc_id") % 3 === i).coalesce(1).write.parquet(part)
+          val f = fs.globStatus(new org.apache.hadoop.fs.Path(s"$part/part-*"))(0).getPath
+          fs.mkdirs(new org.apache.hadoop.fs.Path(streamDir))
+          val dst = new org.apache.hadoop.fs.Path(s"$streamDir/t$i.parquet")
+          fs.rename(f, dst)
+          fs.setTimes(dst, 1000L * (i + 1), -1L)
+        }
+        val stream = s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val q = stream.writeStream
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              graft.pipeline.LshIndex.ingestNovel(
+                b.sparkSession, indexPath, keptDir, b, buckets)
+              ()
+            }
+          }
+          .start()
+        q.awaitTermination()
+        val keptStream = s.read.parquet(keptDir).cache()
+        // batch recomputation of the same greedy rule over the exact pairs
+        // pairs cached BEFORE the orientation union — otherwise the union's
+        // two branches evaluate the exact shingle self-join twice
+        val pairs = TextPipeline.exactJaccardPairs(d)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val both = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+          .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+          .cache()
+        def t(i: Int) = d.filter(col("doc_id") % 3 === i).select(col("doc_id"))
+        val k0 = t(0)
+        val k1 = t(1).join(
+          both.filter(col("y") % 3 === 0).select(col("x").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val k01 = k0.unionByName(k1).cache()
+        val k2 = t(2).join(
+          both.join(k01.select(col("doc_id").as("y")), "y")
+            .select(col("x").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val keptBatch = k01.unionByName(k2).cache()
+        val streamIds = keptStream.select(col("doc_id"))
+        val streamEqBatch =
+          streamIds.join(keptBatch, Seq("doc_id"), "left_anti").count() == 0 &&
+          keptBatch.join(streamIds, Seq("doc_id"), "left_anti").count() == 0
+        def sig(rows: DataFrame): (Long, Long) = {
+          val r = rows.agg(
+            expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"), count(lit(1))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val indexConsistent = sig(s.read.parquet(indexPath)) ==
+          sig(graft.pipeline.LshIndex.indexRows(keptStream, buckets))
+        val perT = keptStream.groupBy((col("doc_id") % 3).as("t"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getAs[Long]("t") -> r.getAs[Long]("n")).toMap
+        pairs.unpersist(); both.unpersist(); k01.unpersist()
+        keptBatch.unpersist(); keptStream.unpersist()
+        Seq((nDocs, perT.getOrElse(0L, 0L), perT.getOrElse(1L, 0L),
+          perT.getOrElse(2L, 0L), streamEqBatch, indexConsistent))
+          .toDF("n_docs", "n_kept_t0", "n_kept_t1", "n_kept_t2",
+            "stream_eq_batch", "index_consistent")
+      } finally {
+        deleteTmpDir(s, base)
+        d.unpersist()
+      }
+    }),
   )
 
   private val C = Transcripts.Cte
@@ -1341,5 +1448,21 @@ object PipelineEntries {
          |(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0
          | AND doc_id NOT IN (SELECT doc_new FROM v)) AS n_novel,
          |true AS pair_set_exact, true AS append_equivalent""".stripMargin.replace("\n", " ")),
+    "q56_stream_ingest_dedup" ->
+      (s"""WITH jp AS (SELECT doc_a, doc_b FROM ($JaccardPairSql) t
+         |             WHERE doc_a < 1500 AND doc_b < 1500),
+         |pr AS (SELECT doc_a AS x, doc_b AS y FROM jp
+         |       UNION ALL SELECT doc_b AS x, doc_a AS y FROM jp),
+         |k1 AS (SELECT doc_id FROM documents WHERE doc_id < 1500 AND doc_id % 3 = 1
+         |       AND doc_id NOT IN (SELECT x FROM pr WHERE y % 3 = 0)),
+         |k2 AS (SELECT doc_id FROM documents WHERE doc_id < 1500 AND doc_id % 3 = 2
+         |       AND doc_id NOT IN (SELECT x FROM pr WHERE y % 3 = 0
+         |         OR (y % 3 = 1 AND y IN (SELECT doc_id FROM k1))))
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 1500) AS n_docs,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         |  WHERE doc_id < 1500 AND doc_id % 3 = 0) AS n_kept_t0,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_kept_t1,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM k2) AS n_kept_t2,
+         |true AS stream_eq_batch, true AS index_consistent""".stripMargin.replace("\n", " ")),
   )
 }

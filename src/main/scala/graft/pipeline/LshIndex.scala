@@ -156,8 +156,11 @@ object LshIndex {
   def probeCandidates(spark: SparkSession, path: String, batch: DataFrame,
       broadcastProbe: Boolean = true): DataFrame = {
     val meta = readVerifiedMeta(spark, path)
+    // cached: the probe relation feeds the touched-bucket collect AND the
+    // band join — one signature pass over the batch, not two
     val probe = indexRows(batch, meta.buckets)
       .select(col("band"), col("bkey"), col("bucket"), col("doc_id").as("doc_new"))
+      .cache()
     // bounded collect: the bucket domain is meta.buckets (≤ a few hundred),
     // never the batch — prunes the index scan to touched partitions
     val touched = probe.select(col("bucket")).distinct()
@@ -184,6 +187,38 @@ object LshIndex {
       verifiedDupPairs(spark, path, batchDocs, corpusDocs))
     val dups = pairs.select(col("doc_new").as("doc_id")).distinct()
     batchDocs.join(dups, Seq("doc_id"), "left_anti")
+  }
+
+  /** One step of the streaming ingest novelty gate (the q56 shape): keep
+    * only the batch docs with no exact-verified near-dup already kept,
+    * then accrete BOTH stores — the kept-docs table (`keptDir`, the text
+    * the verify join needs) and the band index (`indexPath`). First call
+    * bootstraps both. Returns the number of docs kept.
+    *
+    * Dedup here is greedy-sequential (the production ingest contract): a
+    * batch's docs are judged against everything kept BEFORE the batch,
+    * never against each other — so the kept set is a deterministic
+    * function of the batch ORDER, and a dropped doc can never shadow a
+    * later one (only kept representatives are indexed). q56 gates the
+    * streamed kept set against a batch recomputation of the same greedy
+    * rule and the final index content against `indexRows(kept)`. */
+  def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
+      batch: DataFrame, numBuckets: Int = NumBuckets): Long = {
+    val ixP = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ixP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val novel =
+      if (!fs.exists(ixP)) batch
+      else novelDocs(spark, indexPath, batch, spark.read.parquet(keptDir))
+    // materialize BEFORE mutating either store: the novelty decision must
+    // be taken against the pre-batch state, and the index append below
+    // must not re-evaluate the probe over a half-updated kept table
+    val nv = novel.localCheckpoint(true)
+    // one file per ingest step: the kept table accretes one small parquet
+    // per batch instead of one per task
+    nv.coalesce(1).write.mode("append").parquet(keptDir)
+    if (!fs.exists(ixP)) write(nv, indexPath, numBuckets)
+    else append(nv, indexPath)
+    nv.count()
   }
 
   /** Exact-verified near-dup pairs of a batch against the indexed corpus:

@@ -154,6 +154,39 @@ class LshIndexSpec extends AnyFunSuite {
     } finally { rm(pA); rm(pB); d.unpersist() }
   }
 
+  test("ingestNovel: sequential novelty gate equals the batch greedy rule, index tracks kept docs") {
+    val d = docs.cache()
+    val base = "/tmp/graft_test_lsh_ingest"
+    val ix = s"$base/index"; val kept = s"$base/kept"
+    try {
+      rm(base)
+      // three ingest steps in tercile order — greedy: a doc is kept iff no
+      // EARLIER-kept doc is an exact near-dup; same-batch docs never shadow
+      for (i <- 0 to 2)
+        LshIndex.ingestNovel(spark, ix, kept, d.filter(col("doc_id") % 3 === i),
+          numBuckets = 16)
+      val keptIds = spark.read.parquet(kept).select(col("doc_id"))
+      val pairs = TextPipeline.exactJaccardPairs(d).select(col("doc_a"), col("doc_b"))
+      val both = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      def t(i: Int) = d.filter(col("doc_id") % 3 === i).select(col("doc_id"))
+      val k1 = t(1).join(both.filter(col("y") % 3 === 0)
+        .select(col("x").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val k01 = t(0).unionByName(k1)
+      val k2 = t(2).join(both.join(k01.select(col("doc_id").as("y")), "y")
+        .select(col("x").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val expect = k01.unionByName(k2)
+      assert(keptIds.exceptAll(expect).isEmpty && expect.exceptAll(keptIds).isEmpty,
+        "streamed greedy kept set must equal the batch greedy recomputation")
+      // the index holds exactly the kept docs' band rows
+      val got = spark.read.parquet(ix)
+        .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      val want = LshIndex.indexRows(spark.read.parquet(kept), 16)
+        .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally { rm(base); d.unpersist() }
+  }
+
   test("missing or tampered _lshmeta refuses to probe or append") {
     val d = docs.limit(50).cache()
     val path = "/tmp/graft_test_lsh_meta"
