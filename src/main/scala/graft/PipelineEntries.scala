@@ -14,6 +14,16 @@ object PipelineEntries {
 
   private def docs(s: SparkSession, dir: String) = TextPipeline.documents(s, dir)
 
+  /** Per-run scratch path for index/stream artifacts: tmpfs when
+    * available (the q33 rule — index writes and stream checkpoints are
+    * pure fixed cost per query; keep them off rotating disk). Parquet
+    * byte sizes are filesystem-independent, so the q44/q53 storage-ratio
+    * gates are unaffected. */
+  private def scratchDir(prefix: String): String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    s"$base/${prefix}_${java.util.UUID.randomUUID()}"
+  }
+
   /** Best-effort removal of a per-run /tmp artifact (Hadoop FS so the
     * same code works against HDFS/S3 staging dirs in deployment). */
   private def deleteTmpDir(s: SparkSession, dir: String): Unit =
@@ -349,7 +359,7 @@ object PipelineEntries {
       val book = VectorPipeline.trainedCodebook(emb, 16).cache()
       // unique per run: a fixed path would let concurrent invocations
       // overwrite an index another JVM is mid-scan on
-      val ixPath = s"/tmp/graft_q42_ivf_index_${java.util.UUID.randomUUID()}"
+      val ixPath = scratchDir("graft_q42_ivf_index")
       try {
       VectorPipeline.writeIvfIndex(emb, book, ixPath)
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
@@ -412,7 +422,7 @@ object PipelineEntries {
         VectorPipeline.codebookFingerprint(book2)
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
         .select(col("q_id"), col("n_id")).cache()
-      val ixPath = s"/tmp/graft_q46_ivf_index_${java.util.UUID.randomUUID()}"
+      val ixPath = scratchDir("graft_q46_ivf_index")
       try {
         VectorPipeline.writeIvfIndexTwoLevel(emb, book, ixPath, coarseK = 8, probes = 4)
         val scored = VectorPipeline
@@ -465,7 +475,7 @@ object PipelineEntries {
       }
       // unique per run (concurrent invocations must not clobber each
       // other's measurement dirs), removed afterwards
-      val base = s"/tmp/graft_q44_size_${java.util.UUID.randomUUID()}"
+      val base = scratchDir("graft_q44_size")
       val ratio = try {
         emb.select(col("embedding")).repartition(1)
           .write.mode("overwrite").parquet(s"$base/f32")
@@ -824,7 +834,7 @@ object PipelineEntries {
       val queries = emb.filter(col("vec_id") < 20)
       val nq = queries.count()
       val book = VectorPipeline.trainedCodebook(emb, 8).cache()
-      val root = s"/tmp/graft_q51_ivf_root_${java.util.UUID.randomUUID()}"
+      val root = scratchDir("graft_q51_ivf_root")
       try {
         val gen1 = VectorPipeline.writeIvfIndexVersioned(
           emb.filter(col("vec_id") % 2 === 0), book, root)
@@ -986,7 +996,7 @@ object PipelineEntries {
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.getContentSummary(path).getLength
       }
-      val base = s"/tmp/graft_q53_size_${java.util.UUID.randomUUID()}"
+      val base = scratchDir("graft_q53_size")
       val ratio = try {
         emb.select(col("embedding")).repartition(1)
           .write.mode("overwrite").parquet(s"$base/f32")
@@ -1019,8 +1029,8 @@ object PipelineEntries {
       val book = VectorPipeline.trainedCodebookDistributed(emb, 16,
         sampleN = 1 << 12, iters = 5).cache()
       val pqBooks = VectorPipeline.trainedPqBooks(emb, m = 16, ksub = 256)
-      val full = s"/tmp/graft_q54_full_${java.util.UUID.randomUUID()}"
-      val half = s"/tmp/graft_q54_half_${java.util.UUID.randomUUID()}"
+      val full = scratchDir("graft_q54_full")
+      val half = scratchDir("graft_q54_half")
       try {
         VectorPipeline.writeIvfIndexPq(emb, book, pqBooks, full)
         val roundtrip = VectorPipeline.pqBooksFingerprint(
@@ -1080,7 +1090,7 @@ object PipelineEntries {
       val corpus = d.filter(col("doc_id") % 3 =!= 0).cache()
       val batch = d.filter(col("doc_id") % 3 === 0).cache()
       val nNew = batch.count()
-      val split = s"/tmp/graft_q55_split_${java.util.UUID.randomUUID()}"
+      val split = scratchDir("graft_q55_split")
       try {
         // fan-out sized to the corpus (the sidecar records it; append and
         // probe read it back): 64 buckets keeps per-bucket parquet files
@@ -1155,7 +1165,7 @@ object PipelineEntries {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 1500).cache()
       val nDocs = d.count()
-      val base = s"/tmp/graft_q56_${java.util.UUID.randomUUID()}"
+      val base = scratchDir("graft_q56")
       val streamDir = s"$base/stream"
       val indexPath = s"$base/index"
       val keptDir = s"$base/kept"

@@ -102,9 +102,23 @@ object LshIndex {
     * from the sidecar (an index layout choice, legal to vary). */
   private def readVerifiedMeta(spark: SparkSession, path: String): Meta = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$MetaDir")
-    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
       s"no $MetaDir sidecar at $path — not an LSH index (or the write did " +
         "not complete); build with LshIndex.write")
+    // Memo keyed by the sidecar's on-disk identity (every file's path,
+    // mtime and length): an ingest loop probes + appends the SAME index
+    // per batch, and each verified read costs a parquet job + collect —
+    // pure fixed cost at any corpus size. A rebuilt/overwritten sidecar
+    // changes its file status, so stale entries can never be returned;
+    // bounded access-ordered LRU (the BloomProbeHelper rule).
+    val key = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
+      .sortBy(_._1).toSeq
+    metaMemo.synchronized {
+      val hit = metaMemo.get(key)
+      if (hit != null) return hit
+    }
     val rows = spark.read.parquet(s"$path/$MetaDir").collect()
     require(rows.length == 1,
       s"$MetaDir sidecar at $path carries ${rows.length} rows — corrupt")
@@ -118,8 +132,19 @@ object LshIndex {
       s"LSH banding mismatch at $path: index built with $stored, this " +
         s"library produces $cur — band keys are not comparable " +
         "across hash-family shapes; rebuild the index")
+    metaMemo.synchronized { metaMemo.put(key, stored); () }
     stored
   }
+
+  /** Access-ordered LRU of VERIFIED sidecars by on-disk file identity —
+    * see [[readVerifiedMeta]]. 64 live indexes per JVM is far beyond any
+    * real ingest loop; eviction is per-entry, never wholesale. */
+  private val metaMemo =
+    new java.util.LinkedHashMap[Seq[(String, Long, Long)], Meta](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[(String, Long, Long)], Meta]): Boolean =
+        size() > 64
+    }
 
   /** Build the index over a corpus. Data first, then the sidecar — a torn
     * write leaves a probe-refusing directory, never a silently
