@@ -20,8 +20,30 @@ object PipelineEntries {
     * byte sizes are filesystem-independent, so the q44/q53 storage-ratio
     * gates are unaffected. */
   private def scratchDir(prefix: String): String = {
-    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    val base = sys.env.getOrElse("GRAFT_SCRATCH_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      // tmpfs only when it can actually hold a per-query artifact set —
+      // /dev/shm exists on nearly every Linux host but is often tiny
+      // (containers default to 64 MB) and is RAM-backed
+      if (shm.isDirectory && shm.getUsableSpace > (8L << 30)) "/dev/shm" else "/tmp"
+    })
     s"$base/${prefix}_${java.util.UUID.randomUUID()}"
+  }
+
+  /** On-disk byte size of a directory tree (parquet storage-ratio
+    * gates; Hadoop FS so the same code reads HDFS/S3 staging dirs). */
+  private def dirBytes(s: SparkSession, p: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(path).getLength
+  }
+
+  /** Order-independent content signature of an LSH band-row relation —
+    * the shared comparator of the q55/q56 index-consistency gates. */
+  private def bandIndexSig(rows: DataFrame): (Long, Long) = {
+    val r = rows.agg(
+      expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"), count(lit(1))).head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Best-effort removal of a per-run /tmp artifact (Hadoop FS so the
@@ -468,11 +490,6 @@ object PipelineEntries {
       val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
       scoredI8.unpersist()
       // honest storage ratio: both columns written as parquet
-      def dirBytes(p: String): Long = {
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(path).getLength
-      }
       // unique per run (concurrent invocations must not clobber each
       // other's measurement dirs), removed afterwards
       val base = scratchDir("graft_q44_size")
@@ -481,7 +498,7 @@ object PipelineEntries {
           .write.mode("overwrite").parquet(s"$base/f32")
         emb.select(graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"))
           .repartition(1).write.mode("overwrite").parquet(s"$base/i8")
-        dirBytes(s"$base/f32").toDouble / math.max(dirBytes(s"$base/i8"), 1L)
+        dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/i8"), 1L)
       } finally deleteTmpDir(s, base)
       bf.unpersist(); emb.unpersist()
       Seq((nq, recall >= 0.90, recallRerank >= 0.99, ratio >= 2.5))
@@ -991,18 +1008,13 @@ object PipelineEntries {
         .select(col("q_id"), col("n_id"))
       val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
       scoredPq.unpersist()
-      def dirBytes(p: String): Long = {
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(path).getLength
-      }
       val base = scratchDir("graft_q53_size")
       val ratio = try {
         emb.select(col("embedding")).repartition(1)
           .write.mode("overwrite").parquet(s"$base/f32")
         emb.select(graft.spark.catalyst.pqEncodeNative(col("embedding"), books).as("pq"))
           .repartition(1).write.mode("overwrite").parquet(s"$base/pq")
-        dirBytes(s"$base/f32").toDouble / math.max(dirBytes(s"$base/pq"), 1L)
+        dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/pq"), 1L)
       } finally deleteTmpDir(s, base)
       bf.unpersist(); emb.unpersist()
       Seq((nq, deterministic, recall >= 0.6, recallRerank >= 0.95, ratio >= 6.0))
@@ -1104,14 +1116,8 @@ object PipelineEntries {
         // append) xor-signs identical to the from-scratch signature
         // projection of the full corpus — no second index is materialized
         // (LshIndexSpec additionally pins write↔one-shot row identity)
-        def sig(rows: DataFrame): (Long, Long) = {
-          val r = rows
-            .agg(expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"),
-              count(lit(1))).head
-          (r.getLong(0), r.getLong(1))
-        }
-        val appendEq = sig(s.read.parquet(split)) ==
-          sig(graft.pipeline.LshIndex.indexRows(corpus, numBuckets = 64))
+        val appendEq = bandIndexSig(s.read.parquet(split)) ==
+          bandIndexSig(graft.pipeline.LshIndex.indexRows(corpus, numBuckets = 64))
         val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
         val truePairs = TextPipeline.exactJaccardPairs(d)
           .filter(isNew(col("doc_a")) =!= isNew(col("doc_b")))
@@ -1190,10 +1196,10 @@ object PipelineEntries {
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (b: DataFrame, _: Long) =>
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
             if (!b.isEmpty) {
               graft.pipeline.LshIndex.ingestNovel(
-                b.sparkSession, indexPath, keptDir, b, buckets)
+                b.sparkSession, indexPath, keptDir, b, batchId, buckets)
               ()
             }
           }
@@ -1223,13 +1229,8 @@ object PipelineEntries {
         val streamEqBatch =
           streamIds.join(keptBatch, Seq("doc_id"), "left_anti").count() == 0 &&
           keptBatch.join(streamIds, Seq("doc_id"), "left_anti").count() == 0
-        def sig(rows: DataFrame): (Long, Long) = {
-          val r = rows.agg(
-            expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"), count(lit(1))).head
-          (r.getLong(0), r.getLong(1))
-        }
-        val indexConsistent = sig(s.read.parquet(indexPath)) ==
-          sig(graft.pipeline.LshIndex.indexRows(keptStream, buckets))
+        val indexConsistent = bandIndexSig(s.read.parquet(indexPath)) ==
+          bandIndexSig(graft.pipeline.LshIndex.indexRows(keptStream, buckets))
         val perT = keptStream.groupBy((col("doc_id") % 3).as("t"))
           .agg(count(lit(1)).as("n")).collect()
           .map(r => r.getAs[Long]("t") -> r.getAs[Long]("n")).toMap

@@ -68,7 +68,8 @@ object LshIndex {
   }
 
   private def currentMeta(buckets: Int): Meta =
-    Meta(TextPipeline.MinhashRows, TextPipeline.MinhashBands, buckets, 3)
+    Meta(TextPipeline.MinhashRows, TextPipeline.MinhashBands, buckets,
+      TextPipeline.ShingleWidth)
 
   /** (doc_id, band, bkey, bucket) — the map-only signature projection
     * shared verbatim by build, append and probe (the
@@ -181,11 +182,15 @@ object LshIndex {
   def probeCandidates(spark: SparkSession, path: String, batch: DataFrame,
       broadcastProbe: Boolean = true): DataFrame = {
     val meta = readVerifiedMeta(spark, path)
-    // cached: the probe relation feeds the touched-bucket collect AND the
-    // band join — one signature pass over the batch, not two
+    // eagerly materialized: the probe relation feeds the touched-bucket
+    // collect AND the band join — one signature pass over the batch, not
+    // two. localCheckpoint (not .cache()) because this runs inside ingest
+    // LOOPS: cached-plan entries survive until an explicit unpersist,
+    // growing without bound over thousands of batches, while checkpointed
+    // blocks are reclaimed by the ContextCleaner once unreferenced.
     val probe = indexRows(batch, meta.buckets)
       .select(col("band"), col("bkey"), col("bucket"), col("doc_id").as("doc_new"))
-      .cache()
+      .localCheckpoint(true)
     // bounded collect: the bucket domain is meta.buckets (≤ a few hundred),
     // never the batch — prunes the index scan to touched partitions
     val touched = probe.select(col("bucket")).distinct()
@@ -226,36 +231,73 @@ object LshIndex {
     * function of the batch ORDER, and a dropped doc can never shadow a
     * later one (only kept representatives are indexed). q56 gates the
     * streamed kept set against a batch recomputation of the same greedy
-    * rule and the final index content against `indexRows(kept)`. */
+    * rule and the final index content against `indexRows(kept)`.
+    *
+    * IDEMPOTENT per `batchId` (the foreachBatch replay contract —
+    * Structured Streaming re-executes a micro-batch after a failure or
+    * restart from checkpoint, so a two-store update that blindly appends
+    * would double-count on replay):
+    *  - a committed batch leaves a `_ingested/batch-<id>` marker inside
+    *    the index dir, written LAST; a replay that finds it returns the
+    *    recorded kept count without touching either store;
+    *  - the novelty corpus explicitly EXCLUDES the batch's own doc ids
+    *    (`kept ∖ batch` — the "kept BEFORE the batch" contract made
+    *    literal), so recomputing the decision is correct even when a torn
+    *    previous attempt already appended this batch somewhere;
+    *  - writes land index FIRST, then the kept rows as an OVERWRITTEN
+    *    per-batch partition (`batch=<id>`), then the marker. The only
+    *    torn-replay residue is duplicate band rows in the index —
+    *    harmless for novelty (candidates are `.distinct()`ed, and a
+    *    same-batch candidate cannot exact-verify because its text is not
+    *    in the kept corpus) and removable by rebuilding from kept. The
+    *    kept table — the store the greedy semantics read — is exact. */
   def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
-      batch: DataFrame, numBuckets: Int = NumBuckets): Long = {
+      batch: DataFrame, batchId: Long, numBuckets: Int = NumBuckets): Long = {
     val ixP = new org.apache.hadoop.fs.Path(indexPath)
     val fs = ixP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_ingested/batch-$batchId")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try return in.readLong() finally in.close()
+    }
+    val keptP = new org.apache.hadoop.fs.Path(keptDir)
+    val bootstrap = !fs.exists(ixP)
     val novel =
-      if (!fs.exists(ixP)) batch
-      else novelDocs(spark, indexPath, batch, spark.read.parquet(keptDir))
+      if (bootstrap) batch
+      else {
+        val keptBefore =
+          if (fs.exists(keptP))
+            spark.read.parquet(keptDir).select(col("doc_id"), col("text"))
+              .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          else batch.select(col("doc_id"), col("text")).limit(0)
+        novelDocs(spark, indexPath, batch, keptBefore)
+      }
     // materialize BEFORE mutating either store: the novelty decision must
     // be taken against the pre-batch state, and the index append below
     // must not re-evaluate the probe over a half-updated kept table
     val nv = novel.localCheckpoint(true)
-    // one file per ingest step: the kept table accretes one small parquet
-    // per batch instead of one per task
-    nv.coalesce(1).write.mode("append").parquet(keptDir)
-    if (!fs.exists(ixP)) write(nv, indexPath, numBuckets)
+    if (bootstrap) write(nv, indexPath, numBuckets)
     else append(nv, indexPath)
-    nv.count()
+    // one file per ingest step: the kept table accretes one small parquet
+    // per batch instead of one per task; per-batch overwrite = replay-safe
+    nv.coalesce(1).write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+    val n = nv.count()
+    val out = fs.create(marker, true)
+    try out.writeLong(n) finally out.close()
+    n
   }
 
   /** Exact-verified near-dup pairs of a batch against the indexed corpus:
     * LSH candidates → shingle-overlap verify join restricted to candidate
     * doc ids (never the full corpus), Jaccard ≥ 1/2 in integer arithmetic
     * (the q15 criterion). The candidate relation feeds THREE joins below,
-    * so it is cached — it is bounded by the near-dup pair count of the
-    * batch (tiny next to either input), and Spark's LRU store evicts it
-    * once the caller's actions complete. */
+    * so it is materialized once — it is bounded by the near-dup pair count
+    * of the batch (tiny next to either input); via localCheckpoint
+    * rather than .cache() so ingest loops cannot accumulate cached-plan
+    * entries (see the probe-relation note in [[probeCandidates]]). */
   def verifiedDupPairs(spark: SparkSession, path: String, batchDocs: DataFrame,
       corpusDocs: DataFrame): DataFrame = {
-    val cands = probeCandidates(spark, path, batchDocs).cache()
+    val cands = probeCandidates(spark, path, batchDocs).localCheckpoint(true)
     // verify ONLY candidate docs: semi-join both text relations down to
     // docs that appear in some candidate pair, then run the ONE
     // sort-merge shingle self-join pairStatsFromShingled is built around

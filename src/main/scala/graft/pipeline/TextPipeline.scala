@@ -27,6 +27,13 @@ object TextPipeline {
   def documents(spark: SparkSession, source: graft.spark.TableSource): DataFrame =
     source.table(spark, "documents")
 
+  /** Word-shingle width — the constant every shingling path is BUILT
+    * from, and the one the LSH index sidecar records as part of its hash
+    * family (LshIndex.currentMeta): the sidecar's "foreign banding
+    * refuses to probe" guard only works if it reads the same constant
+    * the band keys are derived from, not an unconnected literal. */
+  val ShingleWidth: Int = 3
+
   /** Word 3-shingles, distinct, as an array column — built from codegen'd
     * collection functions only (split/transform/sequence), no UDF.
     * NOTE: inline use re-evaluates `split` per element_at (Catalyst does
@@ -35,10 +42,10 @@ object TextPipeline {
   def shingles3(text: Column): Column = shinglesOf(split(text, " "))
 
   private def shinglesOf(ws: Column): Column =
-    when(size(ws) >= 3,
+    when(size(ws) >= ShingleWidth,
       array_distinct(transform(
-        sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+        sequence(lit(0), size(ws) - ShingleWidth),
+        i => concat_ws(" ", (1 to ShingleWidth).map(o => element_at(ws, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
 
   /** Adds a distinct-3-shingle array column, materializing the split word

@@ -912,8 +912,9 @@ object VectorPipeline {
     h
   }
 
-  /** Per-QUERY ADC lookup table: [ |q| , dot(q_j, C_j[c]) row-major
-    * j·ksub+c ] as array<double>. A UDF is the right tool here — it
+  /** Per-QUERY ADC lookup table: [ m , |q| , dot(q_j, C_j[c]) row-major
+    * j·ksub+c ] as array<double> (the m header is the books-mismatch
+    * guard — see PqKernel.adcCosine). A UDF is the right tool here — it
     * runs once per QUERY row (a bounded broadcast set), never per
     * corpus row; the per-corpus-row work is the codegen'd
     * [[graft.spark.catalyst.PqAdcCosine]]. Double accumulation over
@@ -932,8 +933,9 @@ object VectorPipeline {
         var nq = 0.0d
         var i = 0
         while (i < x.length) { nq += (x(i) * x(i)).toDouble; i += 1 }
-        val out = new Array[Double](1 + m * ksub)
-        out(0) = math.sqrt(nq)
+        val out = new Array[Double](2 + m * ksub)
+        out(0) = m.toDouble
+        out(1) = math.sqrt(nq)
         var j = 0
         while (j < m) {
           var c = 0
@@ -942,7 +944,7 @@ object VectorPipeline {
             var dot = 0.0d
             var d = 0
             while (d < subdim) { dot += (x(j * subdim + d) * cv(d)).toDouble; d += 1 }
-            out(1 + j * ksub + c) = dot
+            out(2 + j * ksub + c) = dot
             c += 1
           }
           j += 1
@@ -1071,8 +1073,13 @@ object VectorPipeline {
       queries: DataFrame, maxProbe: Int): DataFrame = {
     val book = readIvfCodebook(spark, indexPath)
     val books = readPqBooks(spark, indexPath)
-    val probes = centroidProbes(book, queries, maxProbe)
-      .withColumn("q_tab", pqAdcTable(books)(col("q_emb"))).drop("q_emb")
+    // table built on the QUERIES relation (one m·ksub·subdim pass per
+    // query), then joined onto the probe fan-out — building it after
+    // centroidProbes would run the UDF maxProbe× per query
+    val qTabs = queries.select(col("vec_id").as("q_id"),
+      pqAdcTable(books)(col("embedding")).as("q_tab"))
+    val probes = centroidProbes(book, queries, maxProbe).drop("q_emb")
+      .join(broadcast(qTabs), "q_id")
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val lists = spark.read.parquet(indexPath)

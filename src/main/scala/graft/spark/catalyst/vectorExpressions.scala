@@ -571,16 +571,21 @@ object PqKernel {
     out
   }
 
-  /** ADC cosine: table = [ |q| , dot(q_j, C_j[c]) row-major j·ksub+c ]
-    * (built once per query by VectorPipeline.pqAdcTable), codes = an
-    * [[encode]] blob. cos ≈ Σⱼ table[1+j·ksub+codeⱼ] / max(|q|·|x̂|,
-    * 1e-12) — the same divide-with-floor every cosine path here uses.
-    * Malformed inputs (blob under 5 bytes, table length not 1 + m·ksub,
-    * a code beyond ksub) ⇒ null, the codec-boundary convention. */
+  /** ADC cosine: table = [ m , |q| , dot(q_j, C_j[c]) row-major
+    * j·ksub+c ] (built once per query by VectorPipeline.pqAdcTable),
+    * codes = an [[encode]] blob. cos ≈ Σⱼ table[2+j·ksub+codeⱼ] /
+    * max(|q|·|x̂|, 1e-12) — the same divide-with-floor every cosine path
+    * here uses. The explicit m header makes a books mismatch DETECTABLE:
+    * without it, an m=16 blob against an m=8·ksub=64 table passes the
+    * divisibility check (512 % 16 == 0) and silently scores garbage.
+    * Malformed inputs (blob under 5 bytes, table m ≠ blob m, table
+    * length not 2 + m·ksub, a code beyond ksub) ⇒ null, the
+    * codec-boundary convention. */
   def adcCosine(table: ArrayData, codes: Array[Byte]): java.lang.Double = {
     if (table == null || codes == null || codes.length < 5) return null
     val m = codes.length - 4
-    val tlen = table.numElements() - 1
+    if (table.numElements() < 2 || table.getDouble(0) != m.toDouble) return null
+    val tlen = table.numElements() - 2
     if (tlen <= 0 || tlen % m != 0) return null
     val ksub = tlen / m
     var dot = 0.0d
@@ -588,14 +593,14 @@ object PqKernel {
     while (j < m) {
       val c = codes(j) & 0xFF
       if (c >= ksub) return null
-      dot += table.getDouble(1 + j * ksub + c)
+      dot += table.getDouble(2 + j * ksub + c)
       j += 1
     }
     val bits = (codes(m) & 0xFF) | ((codes(m + 1) & 0xFF) << 8) |
       ((codes(m + 2) & 0xFF) << 16) | ((codes(m + 3) & 0xFF) << 24)
     val recon = java.lang.Float.intBitsToFloat(bits).toDouble
     java.lang.Double.valueOf(
-      dot / math.max(table.getDouble(0) * recon, 1e-12d))
+      dot / math.max(table.getDouble(1) * recon, 1e-12d))
   }
 }
 

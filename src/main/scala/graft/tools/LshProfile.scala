@@ -25,13 +25,12 @@ object LshProfile {
     val corpus = d.filter(col("doc_id") % 3 =!= 0).cache()
     val batch = d.filter(col("doc_id") % 3 === 0).cache()
     t("counts") { (corpus.count(), batch.count()) }
-    val one = sys.env.getOrElse("GRAFT_PROF_DIR", "/tmp") + "/graft_prof_one"
     val split = sys.env.getOrElse("GRAFT_PROF_DIR", "/tmp") + "/graft_prof_split"
     def rm(p: String) = {
       val pp = new org.apache.hadoop.fs.Path(p)
       pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
     }
-    rm(one); rm(split)
+    rm(split)
     t("write-half") { LshIndex.write(corpus.filter(col("doc_id") % 3 === 1), split, numBuckets = 64) }
     t("append-half") { LshIndex.append(corpus.filter(col("doc_id") % 3 === 2), split) }
     def sig(rows: org.apache.spark.sql.DataFrame) = rows
@@ -48,7 +47,7 @@ object LshProfile {
     }
     t("novel") { LshIndex.novelDocs(spark, split, batch, corpus, Some(verified)).count() }
     verified.unpersist()
-    rm(one); rm(split)
+    rm(split)
     spark.stop()
   }
 }

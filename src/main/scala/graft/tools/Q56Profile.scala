@@ -50,10 +50,10 @@ object Q56Profile {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) =>
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
           if (!b.isEmpty) {
             t(s"ingest-batch-$batchNo") {
-              LshIndex.ingestNovel(b.sparkSession, ix, kept, b, buckets)
+              LshIndex.ingestNovel(b.sparkSession, ix, kept, b, batchId, buckets)
             }
             batchNo += 1
             ()

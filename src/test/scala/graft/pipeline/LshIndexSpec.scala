@@ -164,7 +164,20 @@ class LshIndexSpec extends AnyFunSuite {
       // EARLIER-kept doc is an exact near-dup; same-batch docs never shadow
       for (i <- 0 to 2)
         LshIndex.ingestNovel(spark, ix, kept, d.filter(col("doc_id") % 3 === i),
-          numBuckets = 16)
+          batchId = i.toLong, numBuckets = 16)
+      // replaying a committed batch is a no-op: the marker short-circuits
+      // (the foreachBatch replay contract) — both stores byte-unchanged
+      def storeSig(): (Long, Long) = {
+        def one(p: String) = spark.read.parquet(p)
+          .agg(expr("bit_xor(xxhash64(doc_id))")).head.getLong(0)
+        (one(ix), one(kept))
+      }
+      val before = storeSig()
+      val replayKept = LshIndex.ingestNovel(spark, ix, kept,
+        d.filter(col("doc_id") % 3 === 1), batchId = 1L, numBuckets = 16)
+      assert(storeSig() === before, "replay of a committed batch must not mutate stores")
+      assert(replayKept === spark.read.parquet(s"$kept/batch=1").count(),
+        "replay must report the originally-recorded kept count")
       val keptIds = spark.read.parquet(kept).select(col("doc_id"))
       val pairs = TextPipeline.exactJaccardPairs(d).select(col("doc_a"), col("doc_b"))
       val both = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))

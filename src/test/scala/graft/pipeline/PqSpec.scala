@@ -137,6 +137,11 @@ class PqSpec extends AnyFunSuite {
     // table/blob arity mismatch (m=8 table vs 6-code blob) -> null
     val mism = Seq(Tuple1(Array.fill[Byte](10)(0))).toDF("pq")
     assert(mism.select(pqAdcCosineNative(tab, col("pq"))).head.isNullAt(0))
+    // cross-m books mismatch where DIVISIBILITY holds (m=8·ksub=64 table
+    // has 512 entries; an m=16 blob divides it: 512 % 16 == 0) — the m
+    // header must refuse it instead of silently scoring garbage
+    val m16blob = Seq(Tuple1(Array.fill[Byte](20)(0))).toDF("pq")
+    assert(m16blob.select(pqAdcCosineNative(tab, col("pq"))).head.isNullAt(0))
   }
 
   private def deleteTmp(dir: String): Unit = {
