@@ -287,6 +287,104 @@ object LshIndex {
     n
   }
 
+  /** Index observability: per-bucket row/doc/file counts straight from
+    * the partitioned layout, plus the bucket's share of the index. The
+    * fragmentation signal for [[compact]]: every [[append]] (and every
+    * [[ingestNovel]] batch) lands one new file per touched bucket, so
+    * after thousands of ingest steps a probe of one bucket opens
+    * thousands of files. Doc counts surface banding skew (a degenerate
+    * shingle set — empty docs all hash to the same band keys — shows as
+    * a hot bucket). One scan of the key columns; payload-free. */
+  def lshIndexStats(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    readVerifiedMeta(spark, path)
+    val rows = spark.read.parquet(path)
+      // input_file_name() is non-deterministic and must be PROJECTED
+      // before it can feed an aggregate
+      .select(col("bucket"), col("doc_id"), input_file_name().as("__file"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("__file")).as("n_files"))
+    rows
+      .withColumn("share_bp", (col("n_rows") * 10000L /
+        sum(col("n_rows")).over(Window.partitionBy())).cast("long"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Compact a fragmented index into `destPath`: each bucket's accreted
+    * small files ([[lshIndexStats]]' n_files is the signal) are shuffled
+    * onto one task and rewritten coalesced, then the SAME sidecar is
+    * reinstalled (bucket fan-out and hash family travel unchanged —
+    * compaction is a physical rewrite, never a re-band). Band rows are
+    * also `.distinct()`ed: the one legal duplicate source is the torn
+    * ingest replay [[ingestNovel]] documents (a batch appended twice
+    * before its marker landed), and (doc_id, band) is unique within any
+    * single append, so dedup here removes exactly that residue. The
+    * `_ingested` replay markers are copied over so a resumed ingest
+    * loop keeps its idempotency history. Writes to a NEW path on
+    * purpose — the atomic swap is [[compactLshIndexVersioned]]'s
+    * manifest flip. destPath must not exist. */
+  def compact(spark: SparkSession, srcPath: String, destPath: String): Unit = {
+    val meta = readVerifiedMeta(spark, srcPath)
+    spark.read.parquet(srcPath)
+      .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      .distinct()
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("errorifexists").parquet(destPath)
+    writeMeta(spark, destPath, meta.buckets)
+    val srcMarkers = new org.apache.hadoop.fs.Path(s"$srcPath/_ingested")
+    val fs = srcMarkers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(srcMarkers))
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcMarkers, fs,
+        new org.apache.hadoop.fs.Path(s"$destPath/_ingested"),
+        false, spark.sparkContext.hadoopConfiguration)
+  }
+
+  // ------------------------------------------- versioned index lifecycle
+  // Same generational root + atomic manifest flip as the IVF index —
+  // the shared [[IndexManifest]] (root/_manifest/vNNNNNNNN points at
+  // root/gen-NNNNNNNN, install is one no-overwrite file create).
+
+  /** Current index DATA path under a versioned root — probe, append and
+    * ingest entry points take this resolved path. */
+  def currentLshIndexPath(spark: SparkSession, rootPath: String): String =
+    IndexManifest.currentPath(spark, rootPath, "LshIndex.writeVersioned")
+
+  /** Build generation 1 of a versioned index root: full index write
+    * (band rows + `_lshmeta` sidecar) into a fresh generation dir, THEN
+    * the manifest flip — a crash before the flip leaves no manifest
+    * entry, so readers never see the partial build. Returns the data
+    * path. */
+  def writeVersioned(docs: DataFrame, rootPath: String,
+      numBuckets: Int = NumBuckets): String = {
+    val spark = docs.sparkSession
+    val gen = IndexManifest.nextGenName(spark, rootPath)
+    write(docs, s"$rootPath/$gen", numBuckets)
+    IndexManifest.installGeneration(spark, rootPath, gen)
+    s"$rootPath/$gen"
+  }
+
+  /** Compact the CURRENT generation into a new one and flip the
+    * manifest — the complete defragmentation lifecycle for an accreting
+    * ingest index ([[lshIndexStats]] signals it, [[compact]] rewrites,
+    * this installs). The old generation is left on disk for in-flight
+    * readers; call [[retireLshIndexGenerations]] once their horizon
+    * passes. Returns the new data path. */
+  def compactLshIndexVersioned(spark: SparkSession, rootPath: String): String = {
+    val src = currentLshIndexPath(spark, rootPath)
+    val gen = IndexManifest.nextGenName(spark, rootPath)
+    compact(spark, src, s"$rootPath/$gen")
+    IndexManifest.installGeneration(spark, rootPath, gen)
+    s"$rootPath/$gen"
+  }
+
+  /** Delete every generation dir strictly older than the current one —
+    * the retire half of the swap (see [[IndexManifest.retireOldGenerations]]
+    * for why strictly-older). Returns the deleted paths. */
+  def retireLshIndexGenerations(spark: SparkSession, rootPath: String): Seq[String] =
+    IndexManifest.retireOldGenerations(spark, rootPath, "LshIndex.writeVersioned")
+
   /** Exact-verified near-dup pairs of a batch against the indexed corpus:
     * LSH candidates → shingle-overlap verify join restricted to candidate
     * doc ids (never the full corpus), Jaccard ≥ 1/2 in integer arithmetic

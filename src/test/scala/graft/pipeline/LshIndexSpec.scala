@@ -200,6 +200,89 @@ class LshIndexSpec extends AnyFunSuite {
     } finally { rm(base); d.unpersist() }
   }
 
+  test("versioned root: fragmenting appends -> compact+flip dedups replay residue -> retire") {
+    val d = docs.cache()
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val root = "/tmp/graft_test_lsh_root"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      rm(root)
+      // not-a-root fails fast, not with a missing-parquet stack
+      intercept[IllegalArgumentException](LshIndex.currentLshIndexPath(spark, root))
+      val gen1 = LshIndex.writeVersioned(
+        corpus.filter(col("doc_id") % 3 === 1), root, numBuckets = 16)
+      assert(LshIndex.currentLshIndexPath(spark, root) === gen1)
+      val rest = corpus.filter(col("doc_id") % 3 === 2)
+      LshIndex.append(rest, gen1)
+      // torn-replay residue: the same batch appended twice (crash after
+      // the index write, before the marker) — the one legal dup source
+      LshIndex.append(rest, gen1)
+      val cands1 = LshIndex.probeCandidates(spark, gen1, batch).cache()
+      cands1.count()
+      // fragmentation visible pre-compaction: appends accrete files
+      assert(LshIndex.lshIndexStats(spark, gen1)
+        .agg(max(col("n_files"))).head.getLong(0) > 1L,
+        "appends should have fragmented at least one bucket")
+      val rawBefore = spark.read.parquet(gen1).count()
+
+      val gen2 = LshIndex.compactLshIndexVersioned(spark, root)
+      assert(gen2 !== gen1)
+      assert(LshIndex.currentLshIndexPath(spark, root) === gen2)
+      assert(LshIndex.lshIndexStats(spark, gen2)
+        .agg(max(col("n_files"))).head.getLong(0) === 1L,
+        "compacted generation must be one file per bucket")
+      assert(spark.read.parquet(gen2).count() < rawBefore,
+        "compaction must drop the torn-replay duplicate band rows")
+      // post-compaction content == the clean from-scratch projection
+      val got = spark.read.parquet(gen2)
+        .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      val want = LshIndex.indexRows(corpus, 16)
+        .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "compacted index must hold exactly the dup-free band-row set")
+      // readers resolving the root answer identically post-flip
+      val cands2 = LshIndex.probeCandidates(spark,
+        LshIndex.currentLshIndexPath(spark, root), batch)
+      assert(cands1.exceptAll(cands2).isEmpty && cands2.exceptAll(cands1).isEmpty,
+        "post-flip probe must answer identically")
+      // old generation stays on disk for in-flight readers until retired
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(gen1)))
+      val retired = LshIndex.retireLshIndexGenerations(spark, root)
+      assert(retired === Seq(gen1), s"expected to retire only $gen1, got $retired")
+      assert(!hfs.exists(new org.apache.hadoop.fs.Path(gen1)))
+      val cands3 = LshIndex.probeCandidates(spark,
+        LshIndex.currentLshIndexPath(spark, root), batch)
+      assert(cands1.exceptAll(cands3).isEmpty && cands3.exceptAll(cands1).isEmpty)
+      cands1.unpersist()
+    } finally { rm(root); d.unpersist() }
+  }
+
+  test("compaction preserves the _ingested replay markers") {
+    val d = docs.cache()
+    val base = "/tmp/graft_test_lsh_compact_markers"
+    val root = s"$base/root"; val kept = s"$base/kept"
+    try {
+      rm(base)
+      // generation 1 from a base corpus, then one ingest batch (its
+      // replay marker lands inside the generation dir)
+      val gen1 = LshIndex.writeVersioned(
+        d.filter(col("doc_id") % 3 === 0), root, numBuckets = 16)
+      LshIndex.ingestNovel(spark, gen1, kept, d.filter(col("doc_id") % 3 === 1),
+        batchId = 1L, numBuckets = 16)
+      val gen2 = LshIndex.compactLshIndexVersioned(spark, root)
+      // a replay against the COMPACTED generation still short-circuits
+      def sig(p: String) = spark.read.parquet(p)
+        .agg(expr("bit_xor(xxhash64(doc_id))")).head.getLong(0)
+      val before = (sig(gen2), sig(kept))
+      LshIndex.ingestNovel(spark, gen2, kept, d.filter(col("doc_id") % 3 === 1),
+        batchId = 1L, numBuckets = 16)
+      assert((sig(gen2), sig(kept)) === before,
+        "replay against the compacted generation must not mutate stores")
+    } finally { rm(base); d.unpersist() }
+  }
+
   test("missing or tampered _lshmeta refuses to probe or append") {
     val d = docs.limit(50).cache()
     val path = "/tmp/graft_test_lsh_meta"
