@@ -38,11 +38,11 @@ object PipelineEntries {
       .getContentSummary(path).getLength
   }
 
-  /** Order-independent content signature of an LSH band-row relation —
-    * the shared comparator of the q55/q56 index-consistency gates. */
-  private def bandIndexSig(rows: DataFrame): (Long, Long) = {
+  /** Order-independent content signature of a band-row relation — the
+    * shared comparator of the q55/q56/q57 index-consistency gates. */
+  private def bandIndexSig(rows: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
     val r = rows.agg(
-      expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"), count(lit(1))).head
+      expr(s"bit_xor(xxhash64($idCol, band, bkey, bucket))"), count(lit(1))).head
     (r.getLong(0), r.getLong(1))
   }
 
@@ -1245,6 +1245,72 @@ object PipelineEntries {
         d.unpersist()
       }
     }),
+
+    // Persisted SRP embedding index (round 5): the dense-vector sibling
+    // of q55 over the SAME shared band-index core — near-dup ingest gate
+    // for embeddings. The fixture embeddings are mutually near-orthogonal
+    // (max natural cos ≈ 0.6), so near-dups are PLANTED deterministically
+    // (the q48 injected-PII rule): the probe batch carries a ±5%
+    // perturbation of every vec_id%5==0 corpus vector (cos ≈ 0.9996 —
+    // re-encoded-content shape) and a NEGATION of every vec_id%5==1
+    // vector (cos ≤ 0.61 to the whole corpus — guaranteed novel). Gates:
+    //  (a) append_equivalent — half-build + half-append xor-signs
+    //      identical to the from-scratch projection (the q55 gate);
+    //  (b) pair_set_exact — index-probe + exact-cosine verify recovers
+    //      EXACTLY the brute-force cos≥0.9 cross-pair set (both
+    //      anti-join directions empty): planted recall AND zero
+    //      surviving false positives;
+    //  (c) n_true_pairs / n_novel — DuckDB recomputes both counts from
+    //      the planting arithmetic (each perturbed vector pairs with
+    //      exactly its source; each negation with nothing), a genuine
+    //      value-level cross-check that the construction behaves.
+    "q57_srp_index_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = VectorPipeline.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")).cache()
+      val batch = VectorPipeline
+        .perturbEmbeddings(emb.filter(col("vec_id") % 5 === 0), 1000000L)
+        .unionByName(VectorPipeline
+          .negateEmbeddings(emb.filter(col("vec_id") % 5 === 1), 2000000L))
+        .cache()
+      val nBatch = batch.count()
+      val split = scratchDir("graft_q57_split")
+      try {
+        // the q55 sizing rule: 64 buckets at bench scale; 256+ at corpus
+        // scale for finer probe pruning
+        graft.pipeline.SrpIndex.write(
+          emb.filter(col("vec_id") % 2 === 0), split, numBuckets = 64)
+        graft.pipeline.SrpIndex.append(emb.filter(col("vec_id") % 2 === 1), split)
+        val appendEq =
+          bandIndexSig(s.read.parquet(split), "vec_id") ==
+          bandIndexSig(graft.pipeline.SrpIndex.indexRows(emb, 64), "vec_id")
+        // exact truth: brute-force cosine over the (batch × corpus) cross —
+        // bounded by the fixture; the scale path is exactly what the index
+        // replaces, which is the point of gating against it
+        val truth = batch
+          .select(col("vec_id").as("vec_new"), col("embedding").as("__en"))
+          .crossJoin(emb.select(col("vec_id").as("vec_old"), col("embedding").as("__eo")))
+          .filter(graft.spark.catalyst.cosineNative(col("__en"), col("__eo"))
+            >= graft.pipeline.SrpIndex.DefaultTau)
+          .select(col("vec_new"), col("vec_old")).cache()
+        val nTrue = truth.count()
+        val verified = graft.pipeline.SrpIndex
+          .verifiedDupPairs(s, split, batch, emb).cache()
+        val pairs = verified.select(col("vec_new"), col("vec_old"))
+        val pairSetExact =
+          pairs.join(truth, Seq("vec_new", "vec_old"), "left_anti").count() == 0 &&
+          truth.join(pairs, Seq("vec_new", "vec_old"), "left_anti").count() == 0
+        val nNovel = graft.pipeline.SrpIndex
+          .novelVecs(s, split, batch, emb, verifiedPairs = Some(verified)).count()
+        verified.unpersist(); truth.unpersist()
+        Seq((nBatch, nTrue, nNovel, pairSetExact, appendEq))
+          .toDF("n_batch", "n_true_pairs", "n_novel", "pair_set_exact",
+            "append_equivalent")
+      } finally {
+        deleteTmpDir(s, split)
+        emb.unpersist(); batch.unpersist()
+      }
+    }),
   )
 
   private val C = Transcripts.Cte
@@ -1475,5 +1541,15 @@ object PipelineEntries {
          |(SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_kept_t1,
          |(SELECT CAST(COUNT(*) AS BIGINT) FROM k2) AS n_kept_t2,
          |true AS stream_eq_batch, true AS index_consistent""".stripMargin.replace("\n", " ")),
+    // The planting arithmetic IS the oracle: each perturbed vector
+    // (vec_id%5=0) pairs with exactly its source at cos≈0.9996, each
+    // negation (vec_id%5=1) with nothing — the Spark side recomputes
+    // both counts by brute-force exact cosine, so a planting or recall
+    // defect breaks the value-level compare, not just a boolean.
+    "q57_srp_index_dedup" ->
+      ("""SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 <= 1) AS n_batch,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 0) AS n_true_pairs,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 1) AS n_novel,
+         |true AS pair_set_exact, true AS append_equivalent""".stripMargin.replace("\n", " ")),
   )
 }

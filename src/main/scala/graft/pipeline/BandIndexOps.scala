@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical machinery shared by the persisted BAND indexes — the
+  * MinHash-LSH text index ([[LshIndex]]) and the SRP dense-embedding
+  * index ([[SrpIndex]]). Both store (id, band, bkey) rows under a
+  * `bucket = bkey & (N-1)` partition column and answer batch probes by
+  * a bucket-pruned equi-join, so the bucket layout, probe pruning,
+  * fragmentation stats and compaction rewrite are one implementation;
+  * what differs per index — the signature projection (shingle+minhash
+  * vs signed-random-projection), the sidecar schema, and the exact
+  * verify criterion (Jaccard vs cosine) — stays in the owning object.
+  * The split mirrors [[IndexManifest]] (one generational lifecycle for
+  * every index family in the library).
+  */
+private[pipeline] object BandIndexOps {
+
+  /** Bucket fan-out must be a power of two: the bucket is the low bits
+    * of the 64-bit band key, so membership in a bucket is a bitmask —
+    * stable under any future fan-out *growth* by splitting. */
+  def requirePow2(numBuckets: Int): Unit =
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+
+  /** The bucket column of a band-key column under fan-out N. */
+  def bucketOf(bkey: Column, numBuckets: Int): Column =
+    bkey.bitwiseAND(lit((numBuckets - 1).toLong)).cast("int")
+
+  /** Land band rows inside the partitioned layout. `append` lands new
+    * files inside existing bucket=… dirs, so probes see old + new rows
+    * with the same pruning. */
+  def writeRows(rows: DataFrame, path: String, mode: String): Unit =
+    rows.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(mode).parquet(path)
+
+  /** Bucket-pruned candidate join: probe band rows (band, bkey, bucket,
+    * `newCol`) against the on-disk index, emitting distinct
+    * (`newCol`, `oldCol`) id pairs. The probe relation is eagerly
+    * materialized via localCheckpoint — it feeds BOTH the touched-bucket
+    * collect and the band join, and checkpointed blocks are
+    * ContextCleaner-reclaimed (safe inside ingest LOOPS, where `.cache()`
+    * plan entries would accrete until an explicit unpersist). The
+    * touched-bucket collect is bounded by the index's fan-out (≤ a few
+    * hundred), never the batch. `broadcastProbe` ships the batch's band
+    * rows to the index scan — the daily-ingest shape where Δ ≪ corpus;
+    * pass false for corpus-sized backfills (degrades to the shuffle-hash
+    * equi-join the from-scratch candidate paths use). */
+  def probeJoin(spark: SparkSession, path: String, probeRows: DataFrame,
+      idCol: String, newCol: String, oldCol: String,
+      broadcastProbe: Boolean): DataFrame = {
+    val probe = probeRows.localCheckpoint(true)
+    val touched = probe.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(path)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    val probeSide = if (broadcastProbe) broadcast(probe) else probe.hint("shuffle_hash")
+    lists.join(probeSide, Seq("band", "bkey", "bucket"))
+      .filter(col(idCol) =!= col(newCol))
+      .select(col(newCol), col(idCol).as(oldCol))
+      .distinct()
+  }
+
+  /** Per-bucket row/id/file counts + the bucket's share of the index —
+    * the fragmentation signal for [[compactRows]] (every append lands
+    * one new file per touched bucket; after thousands of ingest steps a
+    * probe of one bucket opens thousands of files) and the skew signal
+    * (degenerate signatures — empty docs, zero vectors — show as a hot
+    * bucket). One scan of the key columns; payload-free. */
+  def stats(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.read.parquet(path)
+      // input_file_name() is non-deterministic and must be PROJECTED
+      // before it can feed an aggregate
+      .select(col("bucket"), col(idCol), input_file_name().as("__file"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_docs"),
+        countDistinct(col("__file")).as("n_files"))
+    rows
+      .withColumn("share_bp", (col("n_rows") * 10000L /
+        sum(col("n_rows")).over(Window.partitionBy())).cast("long"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Compact a fragmented index's band rows into `destPath`: each
+    * bucket's accreted small files are shuffled onto one task and
+    * rewritten coalesced. Rows are `.distinct()`ed — the one legal
+    * duplicate source is a torn ingest replay (a batch appended twice
+    * before its marker landed), and (id, band) is unique within any
+    * single append, so dedup removes exactly that residue. Sidecar
+    * reinstall and marker copy-over are the caller's (they are
+    * index-family-specific). destPath must not exist. */
+  def compactRows(spark: SparkSession, srcPath: String, destPath: String,
+      cols: Seq[String]): Unit = {
+    spark.read.parquet(srcPath)
+      .select(cols.map(col): _*)
+      .distinct()
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("errorifexists").parquet(destPath)
+  }
+
+  /** Copy a replay-marker dir (e.g. `_ingested`) from one generation to
+    * the next so a resumed ingest loop keeps its idempotency history
+    * across compaction. No-op when absent. */
+  def copyMarkers(spark: SparkSession, srcPath: String, destPath: String,
+      markerDir: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$srcPath/$markerDir")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(src))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(s"$destPath/$markerDir"),
+        false, spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+}
+
+/** Access-ordered LRU of VERIFIED sidecar reads keyed by the sidecar
+  * dir's on-disk identity (every data file's path, mtime and length) —
+  * an ingest loop probes + appends the SAME index per batch, and each
+  * verified read costs a parquet job + collect, pure fixed cost at any
+  * corpus size. A rebuilt/overwritten sidecar changes its file status,
+  * so stale entries can never be returned. Eviction is per-entry
+  * (`removeEldestEntry`), never wholesale — the BloomProbeHelper rule;
+  * 64 live indexes per JVM is far beyond any real ingest loop. */
+private[pipeline] final class SidecarCache[M](maxEntries: Int = 64) {
+  private val memo =
+    new java.util.LinkedHashMap[Seq[(String, Long, Long)], M](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[(String, Long, Long)], M]): Boolean =
+        size() > maxEntries
+    }
+
+  /** The verified value for the sidecar at `dir`, loading (and caching)
+    * via `load` on miss. `fs`/`dir` must point at the sidecar dir whose
+    * part-files define the cache identity. */
+  def getOrLoad(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)(load: => M): M = {
+    val key = fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
+      .sortBy(_._1).toSeq
+    memo.synchronized {
+      val hit = memo.get(key)
+      if (hit != null) return hit
+    }
+    val v = load
+    memo.synchronized { memo.put(key, v); () }
+    v
+  }
+}

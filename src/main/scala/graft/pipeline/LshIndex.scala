@@ -78,15 +78,13 @@ object LshIndex {
     * from-scratch projection (q55's append-equivalence signature) without
     * materializing a second index. */
   def indexRows(docs: DataFrame, numBuckets: Int = NumBuckets): DataFrame = {
-    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
-      s"numBuckets must be a power of two, got $numBuckets")
+    BandIndexOps.requirePow2(numBuckets)
     TextPipeline.withShingles(docs, "__sh")
       .select(col("doc_id"),
         posexplode_outer(graft.spark.catalyst.minhashBandKeys(col("__sh")))
           .as(Seq("band", "bkey")))
       .filter(col("bkey").isNotNull)
-      .withColumn("bucket",
-        col("bkey").bitwiseAND(lit((numBuckets - 1).toLong)).cast("int"))
+      .withColumn("bucket", BandIndexOps.bucketOf(col("bkey"), numBuckets))
   }
 
   private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit = {
@@ -107,53 +105,32 @@ object LshIndex {
     require(fs.exists(p),
       s"no $MetaDir sidecar at $path — not an LSH index (or the write did " +
         "not complete); build with LshIndex.write")
-    // Memo keyed by the sidecar's on-disk identity (every file's path,
-    // mtime and length): an ingest loop probes + appends the SAME index
-    // per batch, and each verified read costs a parquet job + collect —
-    // pure fixed cost at any corpus size. A rebuilt/overwritten sidecar
-    // changes its file status, so stale entries can never be returned;
-    // bounded access-ordered LRU (the BloomProbeHelper rule).
-    val key = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
-      .map(s => (s.getPath.toString, s.getModificationTime, s.getLen))
-      .sortBy(_._1).toSeq
-    metaMemo.synchronized {
-      val hit = metaMemo.get(key)
-      if (hit != null) return hit
+    // memoized on the sidecar's on-disk file identity — see SidecarCache
+    metaMemo.getOrLoad(fs, p) {
+      val rows = spark.read.parquet(s"$path/$MetaDir").collect()
+      require(rows.length == 1,
+        s"$MetaDir sidecar at $path carries ${rows.length} rows — corrupt")
+      val r = rows.head
+      val stored = Meta(r.getAs[Int]("rows_per_band"), r.getAs[Int]("bands"),
+        r.getAs[Int]("buckets"), r.getAs[Int]("shingle_width"))
+      require(stored.fingerprint == r.getAs[Long]("__fingerprint"),
+        s"$MetaDir sidecar at $path fails its own fingerprint — corrupt sidecar")
+      val cur = currentMeta(stored.buckets)
+      require(stored.family == cur.family,
+        s"LSH banding mismatch at $path: index built with $stored, this " +
+          s"library produces $cur — band keys are not comparable " +
+          "across hash-family shapes; rebuild the index")
+      stored
     }
-    val rows = spark.read.parquet(s"$path/$MetaDir").collect()
-    require(rows.length == 1,
-      s"$MetaDir sidecar at $path carries ${rows.length} rows — corrupt")
-    val r = rows.head
-    val stored = Meta(r.getAs[Int]("rows_per_band"), r.getAs[Int]("bands"),
-      r.getAs[Int]("buckets"), r.getAs[Int]("shingle_width"))
-    require(stored.fingerprint == r.getAs[Long]("__fingerprint"),
-      s"$MetaDir sidecar at $path fails its own fingerprint — corrupt sidecar")
-    val cur = currentMeta(stored.buckets)
-    require(stored.family == cur.family,
-      s"LSH banding mismatch at $path: index built with $stored, this " +
-        s"library produces $cur — band keys are not comparable " +
-        "across hash-family shapes; rebuild the index")
-    metaMemo.synchronized { metaMemo.put(key, stored); () }
-    stored
   }
 
-  /** Access-ordered LRU of VERIFIED sidecars by on-disk file identity —
-    * see [[readVerifiedMeta]]. 64 live indexes per JVM is far beyond any
-    * real ingest loop; eviction is per-entry, never wholesale. */
-  private val metaMemo =
-    new java.util.LinkedHashMap[Seq[(String, Long, Long)], Meta](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Seq[(String, Long, Long)], Meta]): Boolean =
-        size() > 64
-    }
+  private val metaMemo = new SidecarCache[Meta]()
 
   /** Build the index over a corpus. Data first, then the sidecar — a torn
     * write leaves a probe-refusing directory, never a silently
     * half-probed one. */
   def write(docs: DataFrame, path: String, numBuckets: Int = NumBuckets): Unit = {
-    indexRows(docs, numBuckets)
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    BandIndexOps.writeRows(indexRows(docs, numBuckets), path, "overwrite")
     writeMeta(docs.sparkSession, path, numBuckets)
   }
 
@@ -163,9 +140,7 @@ object LshIndex {
     * pure function of the text). */
   def append(batch: DataFrame, path: String): Unit = {
     val meta = readVerifiedMeta(batch.sparkSession, path)
-    indexRows(batch, meta.buckets)
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("append").parquet(path)
+    BandIndexOps.writeRows(indexRows(batch, meta.buckets), path, "append")
   }
 
   /** Candidate near-dup pairs (doc_new, doc_old) of a probe batch against
@@ -182,26 +157,10 @@ object LshIndex {
   def probeCandidates(spark: SparkSession, path: String, batch: DataFrame,
       broadcastProbe: Boolean = true): DataFrame = {
     val meta = readVerifiedMeta(spark, path)
-    // eagerly materialized: the probe relation feeds the touched-bucket
-    // collect AND the band join — one signature pass over the batch, not
-    // two. localCheckpoint (not .cache()) because this runs inside ingest
-    // LOOPS: cached-plan entries survive until an explicit unpersist,
-    // growing without bound over thousands of batches, while checkpointed
-    // blocks are reclaimed by the ContextCleaner once unreferenced.
-    val probe = indexRows(batch, meta.buckets)
-      .select(col("band"), col("bkey"), col("bucket"), col("doc_id").as("doc_new"))
-      .localCheckpoint(true)
-    // bounded collect: the bucket domain is meta.buckets (≤ a few hundred),
-    // never the batch — prunes the index scan to touched partitions
-    val touched = probe.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val lists = spark.read.parquet(path)
-      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-    val probeSide = if (broadcastProbe) broadcast(probe) else probe.hint("shuffle_hash")
-    lists.join(probeSide, Seq("band", "bkey", "bucket"))
-      .filter(col("doc_id") =!= col("doc_new"))
-      .select(col("doc_new"), col("doc_id").as("doc_old"))
-      .distinct()
+    BandIndexOps.probeJoin(spark, path,
+      indexRows(batch, meta.buckets)
+        .select(col("band"), col("bkey"), col("bucket"), col("doc_id").as("doc_new")),
+      idCol = "doc_id", newCol = "doc_new", oldCol = "doc_old", broadcastProbe)
   }
 
   /** Novelty filter — the ingest-gate shape: batch docs with NO exact
@@ -296,20 +255,8 @@ object LshIndex {
     * shingle set — empty docs all hash to the same band keys — shows as
     * a hot bucket). One scan of the key columns; payload-free. */
   def lshIndexStats(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     readVerifiedMeta(spark, path)
-    val rows = spark.read.parquet(path)
-      // input_file_name() is non-deterministic and must be PROJECTED
-      // before it can feed an aggregate
-      .select(col("bucket"), col("doc_id"), input_file_name().as("__file"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        countDistinct(col("__file")).as("n_files"))
-    rows
-      .withColumn("share_bp", (col("n_rows") * 10000L /
-        sum(col("n_rows")).over(Window.partitionBy())).cast("long"))
-      .orderBy(col("bucket"))
+    BandIndexOps.stats(spark, path, idCol = "doc_id")
   }
 
   /** Compact a fragmented index into `destPath`: each bucket's accreted
@@ -327,18 +274,10 @@ object LshIndex {
     * manifest flip. destPath must not exist. */
   def compact(spark: SparkSession, srcPath: String, destPath: String): Unit = {
     val meta = readVerifiedMeta(spark, srcPath)
-    spark.read.parquet(srcPath)
-      .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
-      .distinct()
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("errorifexists").parquet(destPath)
+    BandIndexOps.compactRows(spark, srcPath, destPath,
+      Seq("doc_id", "band", "bkey", "bucket"))
     writeMeta(spark, destPath, meta.buckets)
-    val srcMarkers = new org.apache.hadoop.fs.Path(s"$srcPath/_ingested")
-    val fs = srcMarkers.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(srcMarkers))
-      org.apache.hadoop.fs.FileUtil.copy(fs, srcMarkers, fs,
-        new org.apache.hadoop.fs.Path(s"$destPath/_ingested"),
-        false, spark.sparkContext.hadoopConfiguration)
+    BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
   }
 
   // ------------------------------------------- versioned index lifecycle

@@ -22,6 +22,33 @@ object VectorPipeline {
   def embeddings(spark: SparkSession, source: graft.spark.TableSource): DataFrame =
     source.table(spark, "embeddings")
 
+  /** Deterministic ±amp/2 multiplicative per-dimension perturbation of
+    * (vec_id, embedding) rows, ids shifted by `idOffset`: for unit-norm
+    * inputs the perturbed vector sits at cos ≈ 1 − amp²/24 to its source
+    * (≈ 0.9996 at the 0.1 default) while its cosine to every OTHER
+    * vector moves only O(amp). Seeded by xxHash64 of (source vec_id,
+    * dimension) — no RNG, identical on every executor and run. The
+    * near-dup PLANTING fixture for the SRP-index gates (q57,
+    * SrpIndexSpec): the driver testdata embeddings are mutually
+    * near-orthogonal (max natural cos ≈ 0.6), so high-cosine duplicate
+    * pairs must be constructed, the q48 injected-PII rule. */
+  def perturbEmbeddings(vecs: DataFrame, idOffset: Long,
+      amp: Double = 0.1): DataFrame =
+    vecs.select((col("vec_id") + idOffset).as("vec_id"),
+      // outer CAST back to FLOAT: Spark's fractional `/` always widens to
+      // double, which would silently turn the array into array<double>
+      expr(("transform(embedding, (x, i) -> CAST(x * (1.0D + " +
+        s"$amp * " +
+        "(CAST(((xxhash64(vec_id, i) % 101) + 101) % 101 AS DOUBLE) " +
+        "/ 101.0D - 0.5D)) AS FLOAT))")).as("embedding"))
+
+  /** Negated copies (ids shifted by `idOffset`): cos to every corpus
+    * vector is the NEGATED natural cosine — guaranteed-novel probes at
+    * any high-τ near-dup criterion over a near-orthogonal corpus. */
+  def negateEmbeddings(vecs: DataFrame, idOffset: Long): DataFrame =
+    vecs.select((col("vec_id") + idOffset).as("vec_id"),
+      expr("transform(embedding, x -> -x)").as("embedding"))
+
   /** Cosine similarity of two float-array columns — the native codegen'd
     * CosineSim expression (one fused primitive loop inside whole-stage
     * codegen). Bit-identical to the zip_with/aggregate higher-order form

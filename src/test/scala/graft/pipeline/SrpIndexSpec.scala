@@ -1,0 +1,251 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted SRP band index (SrpIndex) — the dense-embedding sibling
+  * of LshIndexSpec, over the same shared physical core (BandIndexOps).
+  * The fixture embeddings are unit-norm with natural pairwise cos ≤ ~0.6,
+  * so near-dups are PLANTED deterministically: multiplicative ±5%
+  * per-dimension perturbations (cos ≈ 0.999 to the source, ≤ ~0.65 to
+  * everything else) and negated vectors as guaranteed-novel probes
+  * (cos ≤ 0.56 to all of the corpus). Pins:
+  *   1. EQUIVALENCE — index-probe candidates equal the from-scratch
+  *      `srpCandidates(corpus ∪ batch)` cross pairs;
+  *   2. APPEND — build-half + append-half row-identical to one-shot;
+  *      fan-out is an index property (different fan-outs answer alike);
+  *   3. PRUNING — a single-vector probe physically reads only its
+  *      touched buckets' files;
+  *   4. VERIFY — exact-cosine verification recovers exactly the planted
+  *      pair set; the novelty filter keeps exactly the non-planted vecs;
+  *   5. SIDECAR SAFETY — missing/tampered `_srpmeta` refuses to probe;
+  *   6. LIFECYCLE — fragmenting appends → compact+flip dedups torn-replay
+  *      residue → retire, probes identical across the flip.
+  */
+class SrpIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-srp-index-test")
+    .getOrCreate()
+
+  private def vecs = VectorPipeline.embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id"), col("embedding"))
+
+  /** ±5% multiplicative perturbation (cos ≈ 0.9996 to the source, far
+    * below τ to all others) — VectorPipeline's planting fixture. */
+  private def perturb(v: DataFrame, idOffset: Long): DataFrame =
+    VectorPipeline.perturbEmbeddings(v, idOffset)
+
+  /** Negation: cos = −cos(src, ·) ≤ 0.56 against the whole corpus —
+    * guaranteed novel at τ = 0.9. */
+  private def negate(v: DataFrame, idOffset: Long): DataFrame =
+    VectorPipeline.negateEmbeddings(v, idOffset)
+
+  private def rm(p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    ()
+  }
+
+  test("index-probe candidates equal the from-scratch SRP cross pairs") {
+    val corpus = vecs.cache()
+    val batch = perturb(corpus.filter(col("vec_id") % 5 === 0), 100000)
+      .unionByName(negate(corpus.filter(col("vec_id") % 5 === 1), 200000))
+      .cache()
+    val path = "/tmp/graft_test_srp_equiv"
+    try {
+      SrpIndex.write(corpus, path, numBuckets = 32)
+      val viaIndex = SrpIndex.probeCandidates(spark, path, batch)
+      // from-scratch reference: all-pairs SRP over the union, restricted
+      // to (batch, corpus) cross pairs (batch ids are offset ≥ 100000)
+      val scratch = VectorPipeline.srpCandidates(corpus.unionByName(batch))
+        .filter((col("id_a") >= 100000) =!= (col("id_b") >= 100000))
+        .select(
+          when(col("id_a") >= 100000, col("id_a")).otherwise(col("id_b")).as("vec_new"),
+          when(col("id_a") >= 100000, col("id_b")).otherwise(col("id_a")).as("vec_old"))
+      assert(viaIndex.exceptAll(scratch).isEmpty && scratch.exceptAll(viaIndex).isEmpty,
+        "index probe must produce exactly the from-scratch SRP cross-candidate set")
+      // every planted near-dup is recalled as its own candidate pair
+      val planted = corpus.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_new"), col("vec_id").as("vec_old"))
+      assert(planted.exceptAll(viaIndex).isEmpty,
+        "SRP at 16x32 banding must recall all planted cos~0.999 pairs")
+      // shuffle-hash (non-broadcast) probe shape answers identically
+      val big = SrpIndex.probeCandidates(spark, path, batch, broadcastProbe = false)
+      assert(big.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(big).isEmpty)
+    } finally { rm(path); corpus.unpersist(); batch.unpersist() }
+  }
+
+  test("append-half == one-shot build; fan-out is an index property") {
+    val corpus = vecs.cache()
+    val batch = perturb(corpus.filter(col("vec_id") % 5 === 0), 100000).cache()
+    val one = "/tmp/graft_test_srp_once"
+    val acc = "/tmp/graft_test_srp_accreted"
+    val b16 = "/tmp/graft_test_srp_b16"
+    try {
+      SrpIndex.write(corpus, one, numBuckets = 32)
+      SrpIndex.write(corpus.filter(col("vec_id") % 2 === 0), acc, numBuckets = 32)
+      SrpIndex.append(corpus.filter(col("vec_id") % 2 === 1), acc)
+      def rows(p: String) = spark.read.parquet(p)
+        .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
+      assert(rows(one).exceptAll(rows(acc)).isEmpty &&
+        rows(acc).exceptAll(rows(one)).isEmpty,
+        "accreted index must be row-identical to the one-shot build")
+      // different fan-out: append reads N from the sidecar; probes agree
+      SrpIndex.write(corpus.filter(col("vec_id") % 2 === 0), b16, numBuckets = 16)
+      SrpIndex.append(corpus.filter(col("vec_id") % 2 === 1), b16)
+      val a = SrpIndex.probeCandidates(spark, acc, batch)
+      val b = SrpIndex.probeCandidates(spark, b16, batch)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "probe results must be fan-out-independent")
+      val e = intercept[IllegalArgumentException](SrpIndex.write(corpus, b16, 100))
+      assert(e.getMessage.contains("power of two"))
+    } finally { rm(one); rm(acc); rm(b16); corpus.unpersist(); batch.unpersist() }
+  }
+
+  test("single-vector probe is bucket-pruned: unprobed buckets' files unread") {
+    val corpus = vecs.cache()
+    val path = "/tmp/graft_test_srp_prune"
+    try {
+      SrpIndex.write(corpus, path)
+      val totalFiles = spark.read.parquet(path).inputFiles.length
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val oneVec = perturb(corpus.orderBy(col("vec_id")).limit(1), 100000)
+      val cands = SrpIndex.probeCandidates(spark, path, oneVec)
+      try cands.collect()
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val scans = cands.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_test_srp_prune")) => f
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec over the index")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+        s"scan must carry a bucket partition filter, got: ${scan.partitionFilters}")
+      assert(scan.metrics("numFiles").value < totalFiles,
+        s"pruned probe read ${scan.metrics("numFiles").value} of $totalFiles files")
+    } finally { rm(path); corpus.unpersist() }
+  }
+
+  test("verified pairs recover exactly the planted set; novelty filter complements") {
+    val corpus = vecs.cache()
+    val batch = perturb(corpus.filter(col("vec_id") % 5 === 0), 100000)
+      .unionByName(negate(corpus.filter(col("vec_id") % 5 === 1), 200000))
+      .cache()
+    val path = "/tmp/graft_test_srp_verify"
+    try {
+      SrpIndex.write(corpus, path, numBuckets = 32)
+      // exact truth: brute-force cosine over the (batch x corpus) cross —
+      // bounded by the fixture, the oracle side of the gate
+      val truth = batch.select(col("vec_id").as("vec_new"), col("embedding").as("__en"))
+        .crossJoin(corpus.select(col("vec_id").as("vec_old"), col("embedding").as("__eo")))
+        .filter(graft.spark.catalyst.cosineNative(col("__en"), col("__eo")) >= SrpIndex.DefaultTau)
+        .select(col("vec_new"), col("vec_old"))
+        .cache()
+      // the planted construction IS the truth set (margins: 0.999 vs 0.65)
+      val planted = corpus.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_new"), col("vec_id").as("vec_old"))
+      assert(truth.exceptAll(planted).isEmpty && planted.exceptAll(truth).isEmpty,
+        "planted perturbations must be exactly the exact-cosine pair set")
+      val got = SrpIndex.verifiedDupPairs(spark, path, batch, corpus)
+        .select(col("vec_new"), col("vec_old"))
+      assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+        "verified dup pairs must equal the exact cos>=tau cross-pair set")
+      val novel = SrpIndex.novelVecs(spark, path, batch, corpus)
+      val expectNovel = batch.join(truth.select(col("vec_new").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      assert(novel.select("vec_id").exceptAll(expectNovel.select("vec_id")).isEmpty &&
+        expectNovel.select("vec_id").exceptAll(novel.select("vec_id")).isEmpty,
+        "novelty filter must keep exactly the batch vectors with no dup")
+      truth.unpersist()
+    } finally { rm(path); corpus.unpersist(); batch.unpersist() }
+  }
+
+  test("missing or tampered _srpmeta refuses to probe or append") {
+    val corpus = vecs.limit(50).cache()
+    val path = "/tmp/graft_test_srp_meta"
+    try {
+      SrpIndex.write(corpus, path, numBuckets = 32)
+      // tamper: a WRONG-family but internally consistent sidecar (the
+      // fingerprint recomputed to match) -> the family-mismatch error.
+      val fp = {
+        var h = 0x529L
+        for (v <- Seq(8, 32, 256, 4096))
+          h = graft.core.Hashing.xxHash64Long(v.toLong, h)
+        h
+      }
+      import spark.implicits._
+      Seq((8, 32, 256, 4096, fp))
+        .toDF("band_bits", "bands", "buckets", "max_dim", "__fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_srpmeta")
+      val e1 = intercept[IllegalArgumentException](
+        SrpIndex.probeCandidates(spark, path, corpus).collect())
+      assert(e1.getMessage.contains("family mismatch"))
+      // corrupt: fingerprint that fails self-verification
+      Seq((16, 32, 256, 4096, 0L))
+        .toDF("band_bits", "bands", "buckets", "max_dim", "__fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_srpmeta")
+      val e2 = intercept[IllegalArgumentException](SrpIndex.append(corpus, path))
+      assert(e2.getMessage.contains("fingerprint"))
+      rm(s"$path/_srpmeta")
+      val e3 = intercept[IllegalArgumentException](
+        SrpIndex.probeCandidates(spark, path, corpus).collect())
+      assert(e3.getMessage.contains("no _srpmeta"))
+    } finally { rm(path); corpus.unpersist() }
+  }
+
+  test("versioned root: fragmenting appends -> compact+flip dedups residue -> retire") {
+    val corpus = vecs.cache()
+    val batch = perturb(corpus.filter(col("vec_id") % 5 === 0), 100000).cache()
+    val root = "/tmp/graft_test_srp_root"
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      rm(root)
+      intercept[IllegalArgumentException](SrpIndex.currentSrpIndexPath(spark, root))
+      val gen1 = SrpIndex.writeVersioned(
+        corpus.filter(col("vec_id") % 2 === 0), root, numBuckets = 16)
+      assert(SrpIndex.currentSrpIndexPath(spark, root) === gen1)
+      val rest = corpus.filter(col("vec_id") % 2 === 1)
+      SrpIndex.append(rest, gen1)
+      // torn-replay residue: the same batch appended twice
+      SrpIndex.append(rest, gen1)
+      val cands1 = SrpIndex.probeCandidates(spark, gen1, batch).cache()
+      cands1.count()
+      assert(SrpIndex.srpIndexStats(spark, gen1)
+        .agg(max(col("n_files"))).head.getLong(0) > 1L,
+        "appends should have fragmented at least one bucket")
+      val rawBefore = spark.read.parquet(gen1).count()
+
+      val gen2 = SrpIndex.compactSrpIndexVersioned(spark, root)
+      assert(gen2 !== gen1)
+      assert(SrpIndex.currentSrpIndexPath(spark, root) === gen2)
+      assert(SrpIndex.srpIndexStats(spark, gen2)
+        .agg(max(col("n_files"))).head.getLong(0) === 1L,
+        "compacted generation must be one file per bucket")
+      assert(spark.read.parquet(gen2).count() < rawBefore,
+        "compaction must drop the torn-replay duplicate band rows")
+      val got = spark.read.parquet(gen2)
+        .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
+      val want = SrpIndex.indexRows(corpus, 16)
+        .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "compacted index must hold exactly the dup-free band-row set")
+      val cands2 = SrpIndex.probeCandidates(spark,
+        SrpIndex.currentSrpIndexPath(spark, root), batch)
+      assert(cands1.exceptAll(cands2).isEmpty && cands2.exceptAll(cands1).isEmpty,
+        "post-flip probe must answer identically")
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(gen1)))
+      val retired = SrpIndex.retireSrpIndexGenerations(spark, root)
+      assert(retired === Seq(gen1), s"expected to retire only $gen1, got $retired")
+      assert(!hfs.exists(new org.apache.hadoop.fs.Path(gen1)))
+      cands1.unpersist()
+    } finally { rm(root); corpus.unpersist(); batch.unpersist() }
+  }
+}
