@@ -101,6 +101,80 @@ private[pipeline] object BandIndexOps {
       .write.partitionBy("bucket").mode("errorifexists").parquet(destPath)
   }
 
+  /** One step of a streaming ingest novelty gate (the q56 shape),
+    * generic over the index family: keep only the batch rows with no
+    * exact-verified near-dup already kept, then accrete BOTH stores —
+    * the kept-payload table (`keptDir`, what the verify join reads) and
+    * the band index (`indexPath`). First call bootstraps both. Returns
+    * the number of rows kept.
+    *
+    * Dedup is greedy-sequential (the production ingest contract): a
+    * batch's rows are judged against everything kept BEFORE the batch,
+    * never against each other — the kept set is a deterministic function
+    * of batch order, and a dropped row can never shadow a later one
+    * (only kept representatives are indexed).
+    *
+    * IDEMPOTENT per `batchId` (the foreachBatch replay contract —
+    * Structured Streaming re-executes a micro-batch after a failure or
+    * restart from checkpoint, so a two-store update that blindly appends
+    * would double-count on replay):
+    *  - a committed batch leaves an `_ingested/batch-<id>` marker inside
+    *    the index dir, written LAST; a replay that finds it returns the
+    *    recorded kept count without touching either store;
+    *  - the novelty corpus explicitly EXCLUDES the batch's own ids
+    *    (`kept ∖ batch` — the "kept BEFORE the batch" contract made
+    *    literal), so recomputing the decision is correct even when a
+    *    torn previous attempt already appended this batch somewhere;
+    *  - writes land index FIRST, then the kept rows as an OVERWRITTEN
+    *    per-batch partition (`batch=<id>`), then the marker. The only
+    *    torn-replay residue is duplicate band rows in the index —
+    *    harmless for novelty (candidates are `.distinct()`ed, and a
+    *    same-batch candidate cannot exact-verify because its payload is
+    *    not in the kept corpus) and removable by the family's compact.
+    *    The kept table — the store the greedy semantics read — is exact.
+    *
+    * Family-specific seams: `payloadCols` (the kept table's schema, id
+    * first), `bootstrap`/`append` (the index write paths), and `novel`
+    * (batch, keptBefore) → novel batch rows (probe + exact verify +
+    * anti-join, e.g. [[LshIndex.novelDocs]] / [[SrpIndex.novelVecs]]). */
+  def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
+      batch: DataFrame, batchId: Long, payloadCols: Seq[String],
+      bootstrap: DataFrame => Unit, append: DataFrame => Unit,
+      novel: (DataFrame, DataFrame) => DataFrame): Long = {
+    val idCol = payloadCols.head
+    val ixP = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = ixP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_ingested/batch-$batchId")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try return in.readLong() finally in.close()
+    }
+    val keptP = new org.apache.hadoop.fs.Path(keptDir)
+    val isBootstrap = !fs.exists(ixP)
+    val nv0 =
+      if (isBootstrap) batch
+      else {
+        val keptBefore =
+          if (fs.exists(keptP))
+            spark.read.parquet(keptDir).select(payloadCols.map(col): _*)
+              .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+          else batch.select(payloadCols.map(col): _*).limit(0)
+        novel(batch, keptBefore)
+      }
+    // materialize BEFORE mutating either store: the novelty decision must
+    // be taken against the pre-batch state, and the index append below
+    // must not re-evaluate the probe over a half-updated kept table
+    val nv = nv0.localCheckpoint(true)
+    if (isBootstrap) bootstrap(nv) else append(nv)
+    // one file per ingest step: the kept table accretes one small parquet
+    // per batch instead of one per task; per-batch overwrite = replay-safe
+    nv.coalesce(1).write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+    val n = nv.count()
+    val out = fs.create(marker, true)
+    try out.writeLong(n) finally out.close()
+    n
+  }
+
   /** Copy a replay-marker dir (e.g. `_ingested`) from one generation to
     * the next so a resumed ingest loop keeps its idempotency history
     * across compaction. No-op when absent. */

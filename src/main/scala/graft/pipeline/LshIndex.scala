@@ -178,73 +178,22 @@ object LshIndex {
     batchDocs.join(dups, Seq("doc_id"), "left_anti")
   }
 
-  /** One step of the streaming ingest novelty gate (the q56 shape): keep
-    * only the batch docs with no exact-verified near-dup already kept,
-    * then accrete BOTH stores — the kept-docs table (`keptDir`, the text
-    * the verify join needs) and the band index (`indexPath`). First call
-    * bootstraps both. Returns the number of docs kept.
-    *
-    * Dedup here is greedy-sequential (the production ingest contract): a
-    * batch's docs are judged against everything kept BEFORE the batch,
-    * never against each other — so the kept set is a deterministic
-    * function of the batch ORDER, and a dropped doc can never shadow a
-    * later one (only kept representatives are indexed). q56 gates the
-    * streamed kept set against a batch recomputation of the same greedy
-    * rule and the final index content against `indexRows(kept)`.
-    *
-    * IDEMPOTENT per `batchId` (the foreachBatch replay contract —
-    * Structured Streaming re-executes a micro-batch after a failure or
-    * restart from checkpoint, so a two-store update that blindly appends
-    * would double-count on replay):
-    *  - a committed batch leaves a `_ingested/batch-<id>` marker inside
-    *    the index dir, written LAST; a replay that finds it returns the
-    *    recorded kept count without touching either store;
-    *  - the novelty corpus explicitly EXCLUDES the batch's own doc ids
-    *    (`kept ∖ batch` — the "kept BEFORE the batch" contract made
-    *    literal), so recomputing the decision is correct even when a torn
-    *    previous attempt already appended this batch somewhere;
-    *  - writes land index FIRST, then the kept rows as an OVERWRITTEN
-    *    per-batch partition (`batch=<id>`), then the marker. The only
-    *    torn-replay residue is duplicate band rows in the index —
-    *    harmless for novelty (candidates are `.distinct()`ed, and a
-    *    same-batch candidate cannot exact-verify because its text is not
-    *    in the kept corpus) and removable by rebuilding from kept. The
-    *    kept table — the store the greedy semantics read — is exact. */
+  /** One step of the streaming ingest novelty gate (the q56 shape):
+    * greedy-sequential micro-batch dedup against the kept corpus, both
+    * stores accreted, replay-IDEMPOTENT per `batchId` — the full
+    * contract (greedy order, marker protocol, torn-replay residue
+    * analysis) is [[BandIndexOps.ingestNovel]]'s scaladoc; this binds
+    * the text family's seams (Jaccard ≥ 1/2 novelty via [[novelDocs]],
+    * (doc_id, text) payload). q56 gates the streamed kept set against a
+    * batch recomputation of the same greedy rule and the final index
+    * content against `indexRows(kept)`. */
   def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
-      batch: DataFrame, batchId: Long, numBuckets: Int = NumBuckets): Long = {
-    val ixP = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = ixP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_ingested/batch-$batchId")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try return in.readLong() finally in.close()
-    }
-    val keptP = new org.apache.hadoop.fs.Path(keptDir)
-    val bootstrap = !fs.exists(ixP)
-    val novel =
-      if (bootstrap) batch
-      else {
-        val keptBefore =
-          if (fs.exists(keptP))
-            spark.read.parquet(keptDir).select(col("doc_id"), col("text"))
-              .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          else batch.select(col("doc_id"), col("text")).limit(0)
-        novelDocs(spark, indexPath, batch, keptBefore)
-      }
-    // materialize BEFORE mutating either store: the novelty decision must
-    // be taken against the pre-batch state, and the index append below
-    // must not re-evaluate the probe over a half-updated kept table
-    val nv = novel.localCheckpoint(true)
-    if (bootstrap) write(nv, indexPath, numBuckets)
-    else append(nv, indexPath)
-    // one file per ingest step: the kept table accretes one small parquet
-    // per batch instead of one per task; per-batch overwrite = replay-safe
-    nv.coalesce(1).write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
-    val n = nv.count()
-    val out = fs.create(marker, true)
-    try out.writeLong(n) finally out.close()
-    n
-  }
+      batch: DataFrame, batchId: Long, numBuckets: Int = NumBuckets): Long =
+    BandIndexOps.ingestNovel(spark, indexPath, keptDir, batch, batchId,
+      payloadCols = Seq("doc_id", "text"),
+      bootstrap = nv => write(nv, indexPath, numBuckets),
+      append = nv => append(nv, indexPath),
+      novel = (b, keptBefore) => novelDocs(spark, indexPath, b, keptBefore))
 
   /** Index observability: per-bucket row/doc/file counts straight from
     * the partitioned layout, plus the bucket's share of the index. The

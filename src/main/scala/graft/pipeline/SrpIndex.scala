@@ -193,6 +193,22 @@ object SrpIndex {
     batchVecs.join(dups, Seq("vec_id"), "left_anti")
   }
 
+  /** One step of a streaming embedding-ingest novelty gate: the vector
+    * binding of [[BandIndexOps.ingestNovel]] (full contract — greedy
+    * order, `_ingested` marker protocol, torn-replay residue — in its
+    * scaladoc), with cos ≥ `tau` novelty via [[novelVecs]] and a
+    * (vec_id, embedding) kept payload. Returns the number of vectors
+    * kept. The on-disk index always holds exactly the kept
+    * representatives' band rows (dropped vectors are never indexed). */
+  def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
+      batch: DataFrame, batchId: Long, tau: Double = DefaultTau,
+      numBuckets: Int = NumBuckets): Long =
+    BandIndexOps.ingestNovel(spark, indexPath, keptDir, batch, batchId,
+      payloadCols = Seq("vec_id", "embedding"),
+      bootstrap = nv => write(nv, indexPath, numBuckets),
+      append = nv => append(nv, indexPath),
+      novel = (b, keptBefore) => novelVecs(spark, indexPath, b, keptBefore, tau))
+
   /** Index observability — see [[BandIndexOps.stats]]. (`n_docs` counts
     * distinct vec_ids; a hot bucket signals near-axis-aligned embedding
     * mass, the SRP analogue of degenerate shingle sets.) */
@@ -210,6 +226,7 @@ object SrpIndex {
     BandIndexOps.compactRows(spark, srcPath, destPath,
       Seq("vec_id", "band", "bkey", "bucket"))
     writeMeta(spark, destPath, meta.buckets)
+    BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
   }
 
   // ------------------------------------------- versioned index lifecycle

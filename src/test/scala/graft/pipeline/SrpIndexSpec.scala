@@ -200,6 +200,57 @@ class SrpIndexSpec extends AnyFunSuite {
     } finally { rm(path); corpus.unpersist() }
   }
 
+  test("ingestNovel: greedy novelty gate over embedding batches, replay-idempotent") {
+    val corpus = vecs.cache()
+    val base = "/tmp/graft_test_srp_ingest"
+    val ix = s"$base/index"; val kept = s"$base/kept"
+    try {
+      rm(base)
+      // t0: the corpus bootstraps both stores (all kept). t1: perturbed
+      // copies of A (dups of kept t0 -> dropped) + negations of B (novel
+      // -> kept). t2: re-perturbed A (still cos>=0.999 to t0 via two
+      // +/-5% compositions -> dropped), perturbations of the KEPT t1
+      // negations (dup of t1 -> dropped), negations of C (novel -> kept).
+      val a = corpus.filter(col("vec_id") % 5 === 0)
+      val b = corpus.filter(col("vec_id") % 5 === 1)
+      val c = corpus.filter(col("vec_id") % 5 === 2)
+      val t1 = perturb(a, 100000).unionByName(negate(b, 200000))
+      val t2 = perturb(perturb(a, 100000), 200000)
+        .unionByName(perturb(negate(b, 200000), 200000))
+        .unionByName(negate(c, 500000))
+      val n0 = SrpIndex.ingestNovel(spark, ix, kept, corpus, batchId = 0L, numBuckets = 16)
+      val n1 = SrpIndex.ingestNovel(spark, ix, kept, t1, batchId = 1L, numBuckets = 16)
+      val n2 = SrpIndex.ingestNovel(spark, ix, kept, t2, batchId = 2L, numBuckets = 16)
+      assert(n0 === corpus.count())
+      assert(n1 === b.count(), "t1 must keep exactly the negations")
+      assert(n2 === c.count(), "t2 must keep exactly the fresh negations")
+      val keptIds = spark.read.parquet(kept).select(col("vec_id"))
+      val expect = corpus.select(col("vec_id"))
+        .unionByName(b.select((col("vec_id") + 200000).as("vec_id")))
+        .unionByName(c.select((col("vec_id") + 500000).as("vec_id")))
+      assert(keptIds.exceptAll(expect).isEmpty && expect.exceptAll(keptIds).isEmpty,
+        "kept set must be exactly corpus + novel negations")
+      // replaying a committed batch is a no-op (the foreachBatch replay
+      // contract): marker short-circuits, both stores byte-unchanged
+      def storeSig(): (Long, Long) = {
+        def one(p: String) = spark.read.parquet(p)
+          .agg(expr("bit_xor(xxhash64(vec_id))")).head.getLong(0)
+        (one(ix), one(kept))
+      }
+      val before = storeSig()
+      val replayKept = SrpIndex.ingestNovel(spark, ix, kept, t1, batchId = 1L, numBuckets = 16)
+      assert(storeSig() === before, "replay of a committed batch must not mutate stores")
+      assert(replayKept === n1, "replay must report the originally-recorded kept count")
+      // the index holds exactly the kept vectors' band rows — dropped
+      // vectors are never indexed (the greedy contract's observable half)
+      val got = spark.read.parquet(ix)
+        .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
+      val want = SrpIndex.indexRows(spark.read.parquet(kept), 16)
+        .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally { rm(base); corpus.unpersist() }
+  }
+
   test("versioned root: fragmenting appends -> compact+flip dedups residue -> retire") {
     val corpus = vecs.cache()
     val batch = perturb(corpus.filter(col("vec_id") % 5 === 0), 100000).cache()
