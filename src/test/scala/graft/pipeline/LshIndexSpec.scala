@@ -166,11 +166,18 @@ class LshIndexSpec extends AnyFunSuite {
         LshIndex.ingestNovel(spark, ix, kept, d.filter(col("doc_id") % 3 === i),
           batchId = i.toLong, numBuckets = 16)
       // replaying a committed batch is a no-op: the marker short-circuits
-      // (the foreachBatch replay contract) — both stores byte-unchanged
-      def storeSig(): (Long, Long) = {
-        def one(p: String) = spark.read.parquet(p)
-          .agg(expr("bit_xor(xxhash64(doc_id))")).head.getLong(0)
-        (one(ix), one(kept))
+      // (the foreachBatch replay contract) — both stores byte-unchanged.
+      // Index signature hashes the FULL band row AND carries a count —
+      // xor of xxhash64(doc_id) alone cancels to 0 (42 identical hashes
+      // per doc, an even number), which would make the index half of
+      // this guard vacuously stable under any mutation.
+      def storeSig(): ((Long, Long), (Long, Long)) = {
+        def one(p: String, cols: String) = {
+          val r = spark.read.parquet(p)
+            .agg(expr(s"bit_xor(xxhash64($cols))"), count(lit(1))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        (one(ix, "doc_id, band, bkey, bucket"), one(kept, "doc_id"))
       }
       val before = storeSig()
       val replayKept = LshIndex.ingestNovel(spark, ix, kept,
@@ -272,13 +279,18 @@ class LshIndexSpec extends AnyFunSuite {
       LshIndex.ingestNovel(spark, gen1, kept, d.filter(col("doc_id") % 3 === 1),
         batchId = 1L, numBuckets = 16)
       val gen2 = LshIndex.compactLshIndexVersioned(spark, root)
-      // a replay against the COMPACTED generation still short-circuits
-      def sig(p: String) = spark.read.parquet(p)
-        .agg(expr("bit_xor(xxhash64(doc_id))")).head.getLong(0)
-      val before = (sig(gen2), sig(kept))
+      // a replay against the COMPACTED generation still short-circuits.
+      // Full-row hash + count (bare xxhash64(doc_id) xor cancels to 0
+      // over the 42 identical hashes per doc — see the ingestNovel test)
+      def sig(p: String, cols: String) = {
+        val r = spark.read.parquet(p)
+          .agg(expr(s"bit_xor(xxhash64($cols))"), count(lit(1))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val before = (sig(gen2, "doc_id, band, bkey, bucket"), sig(kept, "doc_id"))
       LshIndex.ingestNovel(spark, gen2, kept, d.filter(col("doc_id") % 3 === 1),
         batchId = 1L, numBuckets = 16)
-      assert((sig(gen2), sig(kept)) === before,
+      assert((sig(gen2, "doc_id, band, bkey, bucket"), sig(kept, "doc_id")) === before,
         "replay against the compacted generation must not mutate stores")
     } finally { rm(base); d.unpersist() }
   }

@@ -231,11 +231,18 @@ class SrpIndexSpec extends AnyFunSuite {
       assert(keptIds.exceptAll(expect).isEmpty && expect.exceptAll(keptIds).isEmpty,
         "kept set must be exactly corpus + novel negations")
       // replaying a committed batch is a no-op (the foreachBatch replay
-      // contract): marker short-circuits, both stores byte-unchanged
-      def storeSig(): (Long, Long) = {
-        def one(p: String) = spark.read.parquet(p)
-          .agg(expr("bit_xor(xxhash64(vec_id))")).head.getLong(0)
-        (one(ix), one(kept))
+      // contract): marker short-circuits, both stores byte-unchanged.
+      // Index signature hashes the FULL band row AND carries a count —
+      // xor of xxhash64(vec_id) alone cancels to 0 (32 identical hashes
+      // per vector, an even number), which would make the index half of
+      // this guard vacuously stable under any mutation.
+      def storeSig(): ((Long, Long), (Long, Long)) = {
+        def one(p: String, cols: String) = {
+          val r = spark.read.parquet(p)
+            .agg(expr(s"bit_xor(xxhash64($cols))"), count(lit(1))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        (one(ix, "vec_id, band, bkey, bucket"), one(kept, "vec_id"))
       }
       val before = storeSig()
       val replayKept = SrpIndex.ingestNovel(spark, ix, kept, t1, batchId = 1L, numBuckets = 16)
