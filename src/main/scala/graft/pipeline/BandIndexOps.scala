@@ -175,6 +175,28 @@ private[pipeline] object BandIndexOps {
     n
   }
 
+  /** Re-bucket an index's band rows into `destPath` at a NEW fan-out —
+    * the capacity-growth half of the lifecycle (compaction is the
+    * defragmentation half). Because the band KEY is stored and the
+    * bucket is a pure function of it (`bkey & (N-1)`), growing the
+    * fan-out recomputes one column and rewrites the layout: NO
+    * re-shingling / re-projection of the corpus — O(index) work, not
+    * O(corpus · signature cost), the entire point of persisting keys
+    * rather than buckets alone. Rows are `.distinct()`ed in the same
+    * pass (torn-replay residue removed, as in [[compactRows]]). The
+    * sidecar reinstall (same family, new bucket count) and marker
+    * copy-over are the caller's. destPath must not exist. */
+  def rebucketRows(spark: SparkSession, srcPath: String, destPath: String,
+      newBuckets: Int, cols: Seq[String]): Unit = {
+    requirePow2(newBuckets)
+    spark.read.parquet(srcPath)
+      .select(cols.filterNot(_ == "bucket").map(col): _*)
+      .withColumn("bucket", bucketOf(col("bkey"), newBuckets))
+      .distinct()
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("errorifexists").parquet(destPath)
+  }
+
   /** Copy a replay-marker dir (e.g. `_ingested`) from one generation to
     * the next so a resumed ingest loop keeps its idempotency history
     * across compaction. No-op when absent. */

@@ -229,6 +229,32 @@ object LshIndex {
     BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
   }
 
+  /** Re-bucket into `destPath` at a new fan-out — capacity growth
+    * without re-shingling (see [[BandIndexOps.rebucketRows]]: the band
+    * key is stored, the bucket is recomputed from it). The sidecar is
+    * reinstalled with the new bucket count (same hash family); the
+    * `_ingested` replay markers travel. Probes answer identically at
+    * any fan-out (spec-pinned: fan-out is an index layout property). */
+  def rebucket(spark: SparkSession, srcPath: String, destPath: String,
+      newBuckets: Int): Unit = {
+    readVerifiedMeta(spark, srcPath)
+    BandIndexOps.rebucketRows(spark, srcPath, destPath, newBuckets,
+      Seq("doc_id", "band", "bkey", "bucket"))
+    writeMeta(spark, destPath, newBuckets)
+    BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
+  }
+
+  /** Re-bucket the CURRENT generation into a new one at `newBuckets`
+    * and flip the manifest — the atomic fan-out-growth swap. */
+  def rebucketLshIndexVersioned(spark: SparkSession, rootPath: String,
+      newBuckets: Int): String = {
+    val src = currentLshIndexPath(spark, rootPath)
+    val gen = IndexManifest.nextGenName(spark, rootPath)
+    rebucket(spark, src, s"$rootPath/$gen", newBuckets)
+    IndexManifest.installGeneration(spark, rootPath, gen)
+    s"$rootPath/$gen"
+  }
+
   // ------------------------------------------- versioned index lifecycle
   // Same generational root + atomic manifest flip as the IVF index —
   // the shared [[IndexManifest]] (root/_manifest/vNNNNNNNN points at

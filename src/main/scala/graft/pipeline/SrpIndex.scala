@@ -229,6 +229,30 @@ object SrpIndex {
     BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
   }
 
+  /** Re-bucket into `destPath` at a new fan-out — capacity growth
+    * without re-projecting any embedding (see
+    * [[BandIndexOps.rebucketRows]]); sidecar reinstalled with the new
+    * bucket count, `_ingested` markers travel. */
+  def rebucket(spark: SparkSession, srcPath: String, destPath: String,
+      newBuckets: Int): Unit = {
+    readVerifiedMeta(spark, srcPath)
+    BandIndexOps.rebucketRows(spark, srcPath, destPath, newBuckets,
+      Seq("vec_id", "band", "bkey", "bucket"))
+    writeMeta(spark, destPath, newBuckets)
+    BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
+  }
+
+  /** Re-bucket the CURRENT generation into a new one at `newBuckets`
+    * and flip the manifest — the atomic fan-out-growth swap. */
+  def rebucketSrpIndexVersioned(spark: SparkSession, rootPath: String,
+      newBuckets: Int): String = {
+    val src = currentSrpIndexPath(spark, rootPath)
+    val gen = IndexManifest.nextGenName(spark, rootPath)
+    rebucket(spark, src, s"$rootPath/$gen", newBuckets)
+    IndexManifest.installGeneration(spark, rootPath, gen)
+    s"$rootPath/$gen"
+  }
+
   // ------------------------------------------- versioned index lifecycle
   // Same generational root + atomic manifest flip as the IVF and LSH
   // indexes — the shared [[IndexManifest]].

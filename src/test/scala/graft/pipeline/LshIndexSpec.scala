@@ -266,6 +266,48 @@ class LshIndexSpec extends AnyFunSuite {
     } finally { rm(root); d.unpersist() }
   }
 
+  test("rebucket: fan-out growth without re-shingling, probes identical, appends follow") {
+    val d = docs.cache()
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val root = "/tmp/graft_test_lsh_rebucket"
+    try {
+      rm(root)
+      val gen1 = LshIndex.writeVersioned(
+        corpus.filter(col("doc_id") % 3 === 1), root, numBuckets = 16)
+      val cands1 = LshIndex.probeCandidates(spark, gen1, batch).cache()
+      cands1.count()
+      // grow 16 -> 64: pure column rewrite of the stored band keys
+      val gen2 = LshIndex.rebucketLshIndexVersioned(spark, root, 64)
+      assert(LshIndex.currentLshIndexPath(spark, root) === gen2)
+      // layout really is 64-wide: stats reach buckets past the old 16
+      assert(LshIndex.lshIndexStats(spark, gen2)
+        .agg(max(col("bucket"))).head.getInt(0) > 15,
+        "rebucketed index must occupy the new bucket range")
+      // content == the from-scratch projection AT THE NEW FAN-OUT
+      val got = spark.read.parquet(gen2)
+        .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      val want = LshIndex.indexRows(corpus.filter(col("doc_id") % 3 === 1), 64)
+        .select(col("doc_id"), col("band"), col("bkey"), col("bucket"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "rebucket must be exactly a bucket-column recompute")
+      // probes answer identically across the flip
+      val cands2 = LshIndex.probeCandidates(spark, gen2, batch)
+      assert(cands1.exceptAll(cands2).isEmpty && cands2.exceptAll(cands1).isEmpty)
+      // a post-rebucket append reads the NEW fan-out from the sidecar
+      LshIndex.append(corpus.filter(col("doc_id") % 3 === 2), gen2)
+      val cands3 = LshIndex.probeCandidates(spark, gen2, batch)
+      val scratch = "/tmp/graft_test_lsh_rebucket_scratch"
+      rm(scratch)
+      LshIndex.write(corpus, scratch, numBuckets = 64)
+      val expect = LshIndex.probeCandidates(spark, scratch, batch)
+      assert(cands3.exceptAll(expect).isEmpty && expect.exceptAll(cands3).isEmpty,
+        "post-rebucket appends + probes must equal a from-scratch 64-bucket index")
+      rm(scratch)
+      cands1.unpersist()
+    } finally { rm(root); d.unpersist() }
+  }
+
   test("compaction preserves the _ingested replay markers") {
     val d = docs.cache()
     val base = "/tmp/graft_test_lsh_compact_markers"

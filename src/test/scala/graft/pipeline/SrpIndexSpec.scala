@@ -258,6 +258,30 @@ class SrpIndexSpec extends AnyFunSuite {
     } finally { rm(base); corpus.unpersist() }
   }
 
+  test("rebucket: fan-out growth is a bucket-column recompute, probes identical") {
+    val corpus = vecs.cache()
+    val batch = perturb(corpus.filter(col("vec_id") % 5 === 0), 100000).cache()
+    val root = "/tmp/graft_test_srp_rebucket"
+    try {
+      rm(root)
+      val gen1 = SrpIndex.writeVersioned(corpus, root, numBuckets = 16)
+      val cands1 = SrpIndex.probeCandidates(spark, gen1, batch).cache()
+      cands1.count()
+      val gen2 = SrpIndex.rebucketSrpIndexVersioned(spark, root, 64)
+      val got = spark.read.parquet(gen2)
+        .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
+      val want = SrpIndex.indexRows(corpus, 64)
+        .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "rebucket must be exactly a bucket-column recompute at the new fan-out")
+      val cands2 = SrpIndex.probeCandidates(spark,
+        SrpIndex.currentSrpIndexPath(spark, root), batch)
+      assert(cands1.exceptAll(cands2).isEmpty && cands2.exceptAll(cands1).isEmpty,
+        "probes must answer identically across the rebucket flip")
+      cands1.unpersist()
+    } finally { rm(root); corpus.unpersist(); batch.unpersist() }
+  }
+
   test("versioned root: fragmenting appends -> compact+flip dedups residue -> retire") {
     val corpus = vecs.cache()
     val batch = perturb(corpus.filter(col("vec_id") % 5 === 0), 100000).cache()
