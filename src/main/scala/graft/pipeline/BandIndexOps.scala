@@ -147,7 +147,24 @@ private[pipeline] object BandIndexOps {
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_ingested/batch-$batchId")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      try return in.readLong() finally in.close()
+      val recorded =
+        try Some(in.readLong())
+        catch { case _: java.io.EOFException => None } // torn marker
+        finally in.close()
+      recorded match {
+        case Some(n) => return n
+        case None =>
+          // A marker that exists but carries no count is a crash between
+          // its create and its writeLong — and the marker is written
+          // AFTER both store writes, so the batch's kept partition is on
+          // disk and authoritative. Recover the count from it and heal
+          // the marker; without this, every replay of the batch would
+          // die on the same EOF and wedge the ingest loop permanently.
+          val n = spark.read.parquet(s"$keptDir/batch=$batchId").count()
+          val out = fs.create(marker, true)
+          try out.writeLong(n) finally out.close()
+          return n
+      }
     }
     val keptP = new org.apache.hadoop.fs.Path(keptDir)
     val isBootstrap = !fs.exists(ixP)

@@ -255,6 +255,20 @@ class SrpIndexSpec extends AnyFunSuite {
       val want = SrpIndex.indexRows(spark.read.parquet(kept), 16)
         .select(col("vec_id"), col("band"), col("bkey"), col("bucket"))
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      // TORN marker (crash between create and writeLong — marker exists,
+      // empty): the marker lands AFTER both stores, so the kept partition
+      // is authoritative; replay must recover the count, heal the marker,
+      // and leave both stores unchanged instead of dying on EOF forever
+      val fs = new org.apache.hadoop.fs.Path(ix)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m2 = new org.apache.hadoop.fs.Path(s"$ix/_ingested/batch-2")
+      fs.create(m2, true).close() // truncate to zero bytes
+      val healed = SrpIndex.ingestNovel(spark, ix, kept, t2, batchId = 2L, numBuckets = 16)
+      assert(healed === n2, "torn-marker replay must recover the recorded count")
+      assert(storeSig() === before, "torn-marker recovery must not mutate stores")
+      val in2 = fs.open(m2)
+      try assert(in2.readLong() === n2, "marker must be healed with the count")
+      finally in2.close()
     } finally { rm(base); corpus.unpersist() }
   }
 
