@@ -204,10 +204,10 @@ private[pipeline] object BandIndexOps {
     * sidecar reinstall (same family, new bucket count) and marker
     * copy-over are the caller's. destPath must not exist. */
   def rebucketRows(spark: SparkSession, srcPath: String, destPath: String,
-      newBuckets: Int, cols: Seq[String]): Unit = {
+      newBuckets: Int, idCol: String): Unit = {
     requirePow2(newBuckets)
     spark.read.parquet(srcPath)
-      .select(cols.filterNot(_ == "bucket").map(col): _*)
+      .select(col(idCol), col("band"), col("bkey"))
       .withColumn("bucket", bucketOf(col("bkey"), newBuckets))
       .distinct()
       .repartition(col("bucket"))

@@ -239,7 +239,7 @@ object LshIndex {
       newBuckets: Int): Unit = {
     readVerifiedMeta(spark, srcPath)
     BandIndexOps.rebucketRows(spark, srcPath, destPath, newBuckets,
-      Seq("doc_id", "band", "bkey", "bucket"))
+      idCol = "doc_id")
     writeMeta(spark, destPath, newBuckets)
     BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
   }

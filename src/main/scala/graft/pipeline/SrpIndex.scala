@@ -237,7 +237,7 @@ object SrpIndex {
       newBuckets: Int): Unit = {
     readVerifiedMeta(spark, srcPath)
     BandIndexOps.rebucketRows(spark, srcPath, destPath, newBuckets,
-      Seq("vec_id", "band", "bkey", "bucket"))
+      idCol = "vec_id")
     writeMeta(spark, destPath, newBuckets)
     BandIndexOps.copyMarkers(spark, srcPath, destPath, "_ingested")
   }

@@ -46,6 +46,9 @@ object SrpIndexBench {
       .master("local[32]")
       .appName("graft-srp-index-bench")
       .config("spark.sql.shuffle.partitions", "32")
+      // identical Spark settings to LshIndexBench so the two families'
+      // speedup numbers in BENCH.md are measured like for like
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -55,6 +58,20 @@ object SrpIndexBench {
     val corpusPath = "/dev/shm/graft-spark/srp_bench_corpus"
     val batchPath = "/dev/shm/graft-spark/srp_bench_batch"
     val indexPath = "/dev/shm/graft-spark/srp_bench_index"
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // RAM-backed tmpfs: delete on EVERY exit path (a failed run must not
+    // pin corpus+index bytes in /dev/shm, which shuffle writes share)
+    def cleanup(): Unit =
+      for (p <- Seq(corpusPath, batchPath, indexPath))
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    try {
+    // the replica id scheme and the isNew boundary both assume source
+    // ids below the stride — fail loudly instead of mislabeling rows
+    val maxId = VectorPipeline.embeddings(spark, sfDir)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    require(maxId < IdStride,
+      s"source vec_id $maxId >= IdStride $IdStride — replica ids would collide")
     flipped(spark, sfDir, e).write.mode("overwrite").parquet(corpusPath)
     // batch: perturbed replica-0 (rep 0 flips too — same flip both sides)
     VectorPipeline.perturbEmbeddings(
@@ -88,8 +105,6 @@ object SrpIndexBench {
     require(nViaIndex == nScratch,
       s"candidate sets disagree: index $nViaIndex vs scratch $nScratch")
 
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val indexBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(indexPath)).getLength
 
@@ -99,9 +114,9 @@ object SrpIndexBench {
       s""""scratch_secs":$scratchSecs,""" +
       s""""speedup":${scratchSecs / probeSecs},""" +
       s""""cross_candidates":$nViaIndex,"index_bytes":$indexBytes}""")
-    fs.delete(new org.apache.hadoop.fs.Path(corpusPath), true)
-    fs.delete(new org.apache.hadoop.fs.Path(batchPath), true)
-    fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
-    spark.stop()
+    } finally {
+      cleanup()
+      spark.stop()
+    }
   }
 }
