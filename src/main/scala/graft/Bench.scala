@@ -11,6 +11,26 @@ import org.apache.spark.sql.functions._
   *     reported as turns/sec at both + efficiency = tpHi / (4 · tpLo).
   *     (No real cluster in the sandbox — two parallelism levels stand in
   *     for N vs 4N executors, per driver instruction; see BENCH.md.)
+  *
+  * BUDGETED (round 6): the round-5 official artifact was rc=124 — the
+  * driver's outer timeout killed the process mid-ladder and NO JSON was
+  * emitted, because the protocol (3 query rounds × 57 queries + unbounded
+  * >40%-spread re-runs + a 5-round ladder with per-round warm-ups) had no
+  * notion of a deadline. The protocol is now phased against a wall-clock
+  * budget (`SPARK_GRAFT_BENCH_BUDGET_SECS`, default 540 s — sized well
+  * under any plausible outer timeout, sbt/JVM startup included):
+  *   guaranteed phases — one timed round of every query, the bench-input
+  *     materialization, one full ladder round (with warm-ups + hw burns),
+  *     and the single-core kernel calibration;
+  *   budget-funded extras, in noise-robustness order — query rounds 2–3
+  *     and ladder rounds 2–3 temporally interleaved, then outlier re-runs
+  *     CAPPED at the 8 widest-spread queries × 1 run (round 5's uncapped
+  *     rule re-ran 43 queries × 2), then the udaf-path comparison point.
+  * Every extra run is guarded per-item (`remaining > reserve + 2×` the
+  * item's own fastest observed time), min-of-N is preserved where rounds
+  * complete, and the JSON line ALWAYS prints, carrying `query_runs` /
+  * `ladder_rounds` / `elapsed_secs` / `budget_secs` so the artifact is
+  * honest about how much protocol the window funded.
   */
 object Bench {
 
@@ -105,6 +125,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wall0) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "540").toDouble
+    // teardown + print headroom; nothing new starts inside the reserve
+    val reserve = 20.0
+    def remaining: Double = budget - elapsed
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Target ~30M ladder turns REGARDLESS of the input SF: big enough
@@ -122,30 +149,13 @@ object Bench {
       case _ => Seq(math.max(1, cpusHi / 4), cpusHi)
     }
 
-    // ---- 1. materialize the expanded bench input once (64 files so every
-    // parallelism level gets full scan parallelism from the source)
-    val benchInput = "/tmp/graft_bench_input.parquet"
-    var spark = session(cpusHi)
-    val base = Transcripts.load(spark, sfDir)
-    val baseTurns = base.count()
-    val expand = sys.env.get("SPARK_GRAFT_BENCH_EXPAND").map(_.toInt)
-      .getOrElse(math.max(1, math.ceil(targetTurns.toDouble / baseTurns).toInt))
-    val turns = baseTurns * expand
-    base.crossJoin(spark.range(0, expand).toDF("rep"))
-      .withColumn("conv_id", concat(col("conv_id"), lit("r"), col("rep")))
-      .drop("rep")
-      .repartition(64)
-      .write.mode("overwrite").parquet(benchInput)
-
-    // ---- 2. per-query timings at cpusHi on the raw sf dir: MIN-OF-N
-    // with the rounds INTERLEAVED across queries (q1..qN, q1..qN, ...),
-    // so an ambient load spike on this shared VM (the same query has
-    // measured 6s and 30s minutes apart under a neighbor burst) hits
-    // every query equally instead of poisoning whichever query it lands
-    // on. The emitted JSON carries the min per query and records the
-    // round count as "query_runs" — the official bench artifact is the
-    // min-of-N protocol, not a single hostage window.
-    val queryRounds = 3
+    // ---- phase 1 (guaranteed): one timed round of every query at cpusHi
+    // on the raw sf dir. Extra rounds are budget-funded below; rounds are
+    // INTERLEAVED across queries (q1..qN, q1..qN, ...) so an ambient load
+    // spike on this shared VM hits every query equally instead of
+    // poisoning whichever query it lands on. The emitted JSON carries the
+    // min per query and the completed round count as "query_runs".
+    val maxQueryRounds = 3
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val querySamples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
@@ -156,6 +166,7 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    var spark = session(cpusHi)
     def timeQuery(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
       // each run guarded separately: one transient failure must not
       // discard another run's valid timing
@@ -169,62 +180,88 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
       if (secs >= 0) querySamples(name) ::= secs
     }
-    for (_ <- 1 to queryRounds; (name, fn) <- sortedQueries) timeQuery(name, fn)
-    // OUTLIER RE-RUNS (round 5 — the r04 artifact carried two >2× entries
-    // on unchanged code): a query whose min-of-3 spread exceeds 40% was
-    // visibly hit by ambient load on this shared VM in EVERY round it
-    // spread across, so its min is not yet trustworthy — give it two more
-    // runs in a later (hopefully quieter) window and min over all five.
-    // Deterministic, bounded (≤2·|queries| extra runs), and strictly
-    // min-preserving: a re-run can only lower a query's reported time.
-    val outlierSpread = 0.4
-    val requeried = sortedQueries.filter { case (name, _) =>
+    // a query's cost guess for deadline guards: its own fastest observed
+    // run, or a conservative default before it has one
+    def qEst(name: String): Double = {
       val s = querySamples(name)
-      s.nonEmpty && (s.max - s.min) / math.max(s.min, 1e-9) > outlierSpread
+      if (s.isEmpty) 15.0 else s.min
     }
-    for (_ <- 1 to 2; (name, fn) <- requeried) timeQuery(name, fn)
-    val queryTimes = sortedQueries.map { case (name, _) =>
-      name -> (if (querySamples(name).isEmpty) -1.0 else querySamples(name).min)
+    // the guaranteed phases after the query suite (input materialization,
+    // ladder round 1 with warm-ups, calibration) need ~140 s in a quiet
+    // window; round 1 leaves room for them even if the query suite alone
+    // would eat the budget
+    val ladderReserve = 180.0
+    var queryRoundsDone = 0
+    var aborted = false
+    for ((name, fn) <- sortedQueries) {
+      if (!aborted && remaining > reserve + ladderReserve + 1.5 * qEst(name))
+        timeQuery(name, fn)
+      else aborted = true
     }
-    // GC seconds OF THE FASTEST RUN per query — the diagnosis channel for
-    // artifact-window drift: a min run that is 2× slower than last round
-    // WITH proportional GC time points at memory pressure/neighbor load,
-    // one without GC points at the code.
-    val queryGc = sortedQueries.map { case (name, _) =>
-      val pairs = querySamples(name).zip(gcSamples(name))
-      name -> (if (pairs.isEmpty) -1.0 else pairs.minBy(_._1)._2)
-    }
+    if (!aborted) queryRoundsDone = 1
     spark.stop()
 
-    // ---- 3. the scaling ladder: identical job + input per level.
-    // Rounds are INTERLEAVED across levels (A B C, A B C, ...) so ambient
-    // noise on this shared VM hits every level equally; min-of-rounds is
-    // robust to GC and neighbor spikes. Fresh session + warm-up per round.
-    // 5 rounds (up from 3): the 8→32 pair rides the VM's effective-core
-    // ceiling, so its estimate needs the extra samples.
-    val rounds = 5
+    // ---- phase 2 (guaranteed, budget permitting): materialize the
+    // expanded bench input once (64 files so every parallelism level gets
+    // full scan parallelism). ~30–60 s — skipped (with the whole ladder)
+    // only when the window is so starved that attempting it would blow
+    // straight through the budget.
+    val benchInput = "/tmp/graft_bench_input.parquet"
+    val ladderFeasible = remaining > reserve + 60
+    var turns = 0L
+    if (ladderFeasible) {
+      spark = session(cpusHi)
+      val base = Transcripts.load(spark, sfDir)
+      val baseTurns = base.count()
+      val expand = sys.env.get("SPARK_GRAFT_BENCH_EXPAND").map(_.toInt)
+        .getOrElse(math.max(1, math.ceil(targetTurns.toDouble / baseTurns).toInt))
+      turns = baseTurns * expand
+      base.crossJoin(spark.range(0, expand).toDF("rep"))
+        .withColumn("conv_id", concat(col("conv_id"), lit("r"), col("rep")))
+        .drop("rep")
+        .repartition(64)
+        .write.mode("overwrite").parquet(benchInput)
+      spark.stop()
+    }
+
+    // ---- phase 3 (guaranteed): ladder round 1 — identical job + input
+    // per level, warm-up (JIT + codegen cache, both JVM-wide so later
+    // rounds skip it) and the hw-ceiling burn INTERLEAVED with the job it
+    // normalizes (ambient load varies minute-to-minute; a ceiling measured
+    // in a separate window can make eff_over_hw lie in either direction).
     val samples = scala.collection.mutable.Map.empty[Int, List[Double]]
       .withDefaultValue(Nil)
     val burnSamples = scala.collection.mutable.Map.empty[Int, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to rounds; cpus <- levels) {
-      spark = session(cpus)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      sketchBuild(spark, benchInput, turns) // warm-up (JIT, codegen cache)
-      samples(cpus) ::= sketchBuild(spark, benchInput, turns)
-      spark.stop()
-      // hw-ceiling burn INTERLEAVED with the job it normalizes: ambient
-      // load on this shared VM varies minute-to-minute, so measuring the
-      // ceiling in a separate window after the ladder (as before) can
-      // make eff_over_hw lie in either direction
-      burnSamples(cpus) ::= burnSecs(cpus)
+    def lEst(cpus: Int): Double = {
+      val s = samples(cpus)
+      if (s.isEmpty) 20.0 else s.min
     }
-    burnSamples(1) = (1 to 2).map(_ => burnSecs(1)).toList
-    val jobSecs = levels.map(c => c -> samples(c).min).toMap
-    // single-core kernel baseline: the reference crate is single-threaded
+    def ladderRound(first: Boolean): Boolean = {
+      var complete = true
+      for (cpus <- levels) {
+        val need = (if (first) 2.5 else 1.5) * lEst(cpus) + 2.0
+        if (remaining > reserve + need) {
+          spark = session(cpus)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          if (first) sketchBuild(spark, benchInput, turns) // warm-up
+          samples(cpus) ::= sketchBuild(spark, benchInput, turns)
+          spark.stop()
+          burnSamples(cpus) ::= burnSecs(cpus)
+        } else complete = false
+      }
+      complete
+    }
+    var ladderRoundsDone =
+      if (ladderFeasible && ladderRound(first = true)) 1 else 0
+
+    // ---- phase 4 (guaranteed, cheap ~8 s): single-thread burn +
+    // single-core kernel baseline. The reference crate is single-threaded
     // by construction (&mut self), so one core is its ceiling — report the
-    // same 3-sketch per-row work as a pure in-memory loop for context
-    val kernelRps = {
+    // same 3-sketch per-row work as a pure in-memory loop for context.
+    if (remaining > 10)
+      burnSamples(1) = (1 to 2).map(_ => burnSecs(1)).toList
+    val kernelRps = if (remaining <= 5) -1.0 else {
       val rows = 5000000
       def pass(): Double = {
         val bloom = graft.core.KMBloomSketch(rows.toLong, 0.001)
@@ -245,12 +282,71 @@ object Bench {
       pass() // warm-up
       pass()
     }
-    // one comparison point: Aggregator/udaf path at max parallelism
+
+    // ---- phase 5 (budget-funded extras, noise-robustness order):
+    // query rounds 2..3 and ladder rounds 2..3 temporally interleaved —
+    // min-of-N with the rounds spread across the window is the protocol
+    // that absorbed every previous round's neighbor-load bursts.
     spark = session(cpusHi)
-    sketchBuildUdaf(spark, benchInput, turns) // warm-up
-    val udafSecs = (1 to 2).map(_ => sketchBuildUdaf(spark, benchInput, turns)).min
+    def queryRound(): Boolean = {
+      var complete = true
+      for ((name, fn) <- sortedQueries) {
+        if (remaining > reserve + 1.5 * qEst(name)) timeQuery(name, fn)
+        else complete = false
+      }
+      complete
+    }
+    for (r <- 2 to maxQueryRounds) {
+      if (queryRoundsDone == r - 1 && remaining > reserve + 30) {
+        if (queryRound()) queryRoundsDone = r
+        if (ladderFeasible && ladderRoundsDone == r - 1 && remaining > reserve + 30) {
+          spark.stop()
+          if (ladderRound(first = false)) ladderRoundsDone = r
+          spark = session(cpusHi)
+        }
+      }
+    }
+    // outlier re-runs, CAPPED: the 8 widest-spread queries get ONE more
+    // run each (a re-run can only lower a query's reported min). Round
+    // 5's uncapped >40%-spread rule re-ran 43 queries × 2 in a noisy
+    // window and blew the driver's outer timeout.
+    val outlierSpread = 0.4
+    val requeried =
+      if (queryRoundsDone < 2) Seq.empty
+      else sortedQueries.filter { case (name, _) =>
+        val s = querySamples(name)
+        s.size >= 2 && (s.max - s.min) / math.max(s.min, 1e-9) > outlierSpread
+      }.sortBy { case (name, _) =>
+        val s = querySamples(name)
+        -(s.max - s.min) / math.max(s.min, 1e-9)
+      }.take(8)
+    for ((name, fn) <- requeried)
+      if (remaining > reserve + 1.5 * qEst(name)) timeQuery(name, fn)
+    // one comparison point: Aggregator/udaf path at max parallelism
+    val udafSecs =
+      if (ladderFeasible && remaining > reserve + 45) {
+        sketchBuildUdaf(spark, benchInput, turns) // warm-up
+        (1 to 2).map(_ => sketchBuildUdaf(spark, benchInput, turns)).min
+      } else -1.0
     spark.stop()
-    val burn = (levels :+ 1).map(c => c -> burnSamples(c).min).toMap
+
+    // ---- emit. Every aggregate below tolerates missing samples (a level
+    // the budget never reached reports -1 and its eff pair is omitted).
+    val queryTimes = sortedQueries.map { case (name, _) =>
+      name -> (if (querySamples(name).isEmpty) -1.0 else querySamples(name).min)
+    }
+    // GC seconds OF THE FASTEST RUN per query — the diagnosis channel for
+    // artifact-window drift: a min run that is 2× slower than last round
+    // WITH proportional GC time points at memory pressure/neighbor load,
+    // one without GC points at the code.
+    val queryGc = sortedQueries.map { case (name, _) =>
+      val pairs = querySamples(name).zip(gcSamples(name))
+      name -> (if (pairs.isEmpty) -1.0 else pairs.minBy(_._1)._2)
+    }
+    val measuredLevels = levels.filter(samples(_).nonEmpty)
+    val jobSecs = measuredLevels.map(c => c -> samples(c).min).toMap
+    val burn = (measuredLevels :+ 1).filter(burnSamples(_).nonEmpty)
+      .map(c => c -> burnSamples(c).min).toMap
 
     def eff(lo: Int, hi: Int, secs: Map[Int, Double]): Double =
       (turns / secs(hi)) / ((hi.toDouble / lo) * (turns / secs(lo)))
@@ -259,7 +355,8 @@ object Bench {
       (hi * burn(1) / burn(hi)) / ((hi.toDouble / lo) * (lo * burn(1) / burn(lo)))
 
     val effPairs = Seq((4, 16), (8, 32)).filter { case (lo, hi) =>
-      levels.contains(lo) && levels.contains(hi) }
+      jobSecs.contains(lo) && jobSecs.contains(hi) &&
+        burn.contains(lo) && burn.contains(hi) && burn.contains(1) }
     // eff_over_hw is FIRST-CLASS (not prose): job efficiency divided by
     // what raw arithmetic scales to on this box at the same pair — the
     // north-rule ≥0.8 claim should be read against this where the VM
@@ -270,10 +367,12 @@ object Bench {
       f""""eff_${lo}_to_$hi":$e%.3f,"hw_ceiling_${lo}_to_$hi":$hw%.3f""" +
         f""","eff_over_hw_${lo}_to_$hi":${e / hw}%.3f"""
     }.mkString(",")
-    val levelJson = levels.map { c =>
+    val levelJson = measuredLevels.map { c =>
       f""""local_$c":{"secs":${jobSecs(c)}%.3f,"turns_per_sec":${turns / jobSecs(c)}%.0f}"""
     }.mkString(",")
-    val bestEff = effPairs.map { case (lo, hi) => eff(lo, hi, jobSecs) }.max
+    val bestEff =
+      if (effPairs.isEmpty) -1.0
+      else effPairs.map { case (lo, hi) => eff(lo, hi, jobSecs) }.max
 
     val total = queryTimes.map(_._2).filter(_ > 0).sum
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -281,12 +380,17 @@ object Bench {
     val qgc = queryGc.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val requeriedJson = requeried.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val scaling =
-      f"""{"turns":$turns,$levelJson,$pairs,"scaling_efficiency":$bestEff%.3f,""" +
-        f""""udaf_path_secs_at_$cpusHi":$udafSecs%.3f,""" +
-        f""""single_core_kernel_rows_per_sec":$kernelRps%.0f,""" +
-        f""""note":"N-to-4N parallelism on one shared VM; hw_ceiling = what raw arithmetic scales to on this box"}"""
+    val scaling = Seq(
+      s""""turns":$turns""",
+      levelJson,
+      pairs,
+      f""""scaling_efficiency":$bestEff%.3f""",
+      s""""ladder_rounds":$ladderRoundsDone""",
+      f""""udaf_path_secs_at_$cpusHi":$udafSecs%.3f""",
+      f""""single_core_kernel_rows_per_sec":$kernelRps%.0f""",
+      """"note":"N-to-4N parallelism on one shared VM; hw_ceiling = what raw arithmetic scales to on this box""""
+    ).filter(_.nonEmpty).mkString("{", ",", "}")
     println(
-      f"""{"metric":"sketch-build throughput + query suite","value":$total%.3f,"unit":"sec","query_runs":$queryRounds,"queries":$qs,"query_gc_secs":$qgc,"requeried":$requeriedJson,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"sketch-build throughput + query suite","value":$total%.3f,"unit":"sec","query_runs":$queryRoundsDone,"queries":$qs,"query_gc_secs":$qgc,"requeried":$requeriedJson,"budget_secs":$budget%.0f,"elapsed_secs":$elapsed%.1f,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

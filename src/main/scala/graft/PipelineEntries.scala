@@ -41,8 +41,11 @@ object PipelineEntries {
   /** Order-independent content signature of a band-row relation — the
     * shared comparator of the q55/q56/q57 index-consistency gates. */
   private def bandIndexSig(rows: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
+    // coalesce: bit_xor over an empty relation is NULL — an empty index
+    // or projection must sign as (0, 0) and fail the compare, not NPE
     val r = rows.agg(
-      expr(s"bit_xor(xxhash64($idCol, band, bkey, bucket))"), count(lit(1))).head
+      expr(s"coalesce(bit_xor(xxhash64($idCol, band, bkey, bucket)), 0L)"),
+      count(lit(1))).head
     (r.getLong(0), r.getLong(1))
   }
 
@@ -672,6 +675,37 @@ object PipelineEntries {
         .agg(countDistinct(col("user_id")).as("n_users"),
           sum(col("new_session")).cast("bigint").as("n_sessions"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // As-of join (round 6): every purchase enriched with the user's most
+    // recent prior-or-same-instant signup — the event-time nearest-
+    // predecessor join (pandas merge_asof / kdb aj / Flink temporal join).
+    // Spark-first plan: NO join node — union-tag + ONE running
+    // last-non-null window per user (AsOfJoin.backward's scaladoc has the
+    // 100 TB argument vs the BroadcastNestedLoopJoin a theta-join
+    // degenerates to). Every output is DuckDB-exact: match count, total
+    // gap in µs, and the ≤1-day-tolerance count computed through the
+    // operator's OWN tolerance path (so the oracle value-gates it too).
+    "q59_asof_join" -> ((s, dir) => {
+      val ev = Transcripts.events(s, dir)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val right = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val j = graft.spark.AsOfJoin.backward(left, right,
+        keys = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
+        payload = Seq("event_id"))
+      val jTol = graft.spark.AsOfJoin.backward(left, right,
+        keys = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
+        payload = Seq("event_id"), toleranceSecs = Some(86400L))
+      val a = j.agg(
+        count(lit(1)).as("n_left"),
+        count(col("asof_ts")).as("n_matched"),
+        coalesce(sum(unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("asof_ts").cast("timestamp"))),
+          lit(0L)).as("total_gap_us"))
+      val b = jTol.agg(count(col("asof_ts")).as("n_within_1d"))
+      a.crossJoin(b)
     }),
 
     // Top-k heavy hitters: CMS-ranked candidates resolved against exact
@@ -1445,6 +1479,20 @@ object PipelineEntries {
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM " +
         "(SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) g"),
+    "q59_asof_join" ->
+      ("WITH u AS (" +
+        "SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'signup' " +
+        "UNION ALL " +
+        "SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'), " +
+        "m AS (SELECT side, ts, " +
+        "MAX(CASE WHEN side = 0 THEN ts END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, side, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mts FROM u) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_left, " +
+        "CAST(COUNT(mts) AS BIGINT) AS n_matched, " +
+        "CAST(COALESCE(SUM(epoch_us(ts) - epoch_us(mts)), 0) AS BIGINT) AS total_gap_us, " +
+        "CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(mts) <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1d " +
+        "FROM m WHERE side = 1"),
     "q26_native_sketch" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS zero_fn, true AS hll_ok FROM transcripts",
     "q28_cms_topk" ->

@@ -345,6 +345,56 @@ object SparkEntry {
         .toDF("n_windows", "total_new", "total_retained", "flux_within_bound")
     }),
 
+    // Counting Bloom with DELETION (round 6) — the one membership
+    // operation neither reference variant offers (insert-only by design;
+    // lib.rs:180–234 has no remove). Signed-stream shape: every turn key
+    // inserts (+1); every turn of a conversation that ever errored
+    // retracts (−1) — a retraction matches its insert exactly, the Fan
+    // et al. "Summary Cache" contract. ONE aggregation pass over the
+    // signed union (retractions may arrive before their inserts across
+    // partitions — the two-filter buffer absorbs any order). Gates:
+    //  (a) kept_all_present — zero FN for every surviving key;
+    //  (b) retracted_fpr_ok — fully-retracted keys probe true only at
+    //      FPR rates (q02's bound shape);
+    //  (c) collapse_eq_direct — the counting filter COLLAPSED to a bit
+    //      filter is BYTE-IDENTICAL to a plain KM filter built over the
+    //      surviving keys alone (canonical codec ⇒ bit-exact state).
+    "q58_cbf_retraction" -> ((s, dir) => {
+      import s.implicits._
+      val t = Transcripts.load(s, dir).cache()
+      val n = t.count()
+      // retraction set: the error turns themselves (~20% of rows) — each
+      // key inserted exactly once (+1) and retracted exactly once (−1)
+      val bad = col("tool") === "error"
+      val signed = t.select(key2("conv_id", "turn_idx").as("k"), lit(1L).as("m"))
+        .unionByName(t.filter(bad)
+          .select(key2("conv_id", "turn_idx").as("k"), lit(-1L).as("m")))
+      val cbfBlob = signed
+        .agg(gf.cbfAgg(cap(n), P)(col("k"), col("m")).as("cbf"))
+        .head.getAs[Array[Byte]]("cbf")
+      val directBlob = t.filter(!bad)
+        .agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      // ONE probe pass over the raw table: kept/retracted counts and both
+      // probe tallies in a single aggregation
+      val hit = gf.cbfProbe(cbfBlob)(key2("conv_id", "turn_idx"))
+      val r = t.agg(
+        sum(when(!bad, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_gone"),
+        sum(when(!bad && hit, 1L).otherwise(0L)).as("kept_hits"),
+        sum(when(bad && hit, 1L).otherwise(0L)).as("fp")).head
+      val (nKept, nGone) = (r.getAs[Long]("n_kept"), r.getAs[Long]("n_gone"))
+      val fprOk = r.getAs[Long]("fp") <=
+        nGone * P * 1.05 + 3 * math.sqrt(nGone * P) + 1
+      val collapseEq = java.util.Arrays.equals(
+        SketchCodec.encodeBloom(SketchCodec.decodeCountingBloom(cbfBlob).collapse()),
+        directBlob)
+      t.unpersist()
+      Seq((n, nGone, nKept, r.getAs[Long]("kept_hits") == nKept, fprOk, collapseEq))
+        .toDF("n_turns", "n_retracted", "n_kept", "kept_all_present",
+          "retracted_fpr_ok", "collapse_eq_direct")
+    }),
+
     // Theta (KMV) sketch: distinct counts under SET ALGEBRA — the
     // cardinality analogue of the reference's union/intersect pair
     // (km_bloom_filter.rs:184–263), plus difference (impossible on Bloom
@@ -780,6 +830,12 @@ object SparkEntry {
         "(SELECT conv_id FROM transcripts GROUP BY conv_id HAVING COUNT(DISTINCT turn_idx % 2) = 2) b"),
     "q05_bloom_seeded" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, true AS zero_fn, true AS fpr_ok FROM transcripts",
+    "q58_cbf_retraction" ->
+      (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, " +
+        "CAST(SUM(CASE WHEN tool = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_retracted, " +
+        "CAST(SUM(CASE WHEN tool = 'error' THEN 0 ELSE 1 END) AS BIGINT) AS n_kept, " +
+        "true AS kept_all_present, true AS retracted_fpr_ok, true AS collapse_eq_direct " +
+        "FROM transcripts"),
     "q31_theta_setops" ->
       (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, " +
         "CAST(SUM(CASE WHEN turn_idx % 2 = 0 AND turn_idx <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_both, " +

@@ -36,6 +36,7 @@ object SketchCodec {
     val BottomK: Byte = 7
     val Mg: Byte = 8
     val WeightedBottomK: Byte = 9
+    val CountingBloom: Byte = 10
   }
   // Versions are PER TYPE — and, for HLL/CMS, PER BLOB:
   //   - Bloom: DENSE blobs are v2 (carries the KM hash-pair id, see
@@ -118,6 +119,7 @@ object SketchCodec {
       case TypeId.BottomK => decodeBottomK(bytes).toString
       case TypeId.Mg => decodeMg(bytes).toString
       case TypeId.WeightedBottomK => decodeWeightedBottomK(bytes).toString
+      case TypeId.CountingBloom => decodeCountingBloom(bytes).toString
       case other => s"unknown sketch type $other (${bytes.length} bytes)"
     } catch {
       case e: Exception =>
@@ -648,5 +650,110 @@ object SketchCodec {
       (r, h, kb)
     }
     WeightedBottomKSketch.fromEntries(k, es)
+  }
+
+  // ----------------------------------------------------- Counting Bloom
+  // v1: keyMode(1) hasherId(1) capacity(8) fpp(8) layout(1) body
+  //   layout 0 (dense):  nCells(4), cell bytes
+  //   layout 1 (sparse): nOccupied(4), then per occupied cell a LEB128
+  //     varint DELTA of the ascending cell index (first delta = first
+  //     index) followed by the cell's count byte.
+  // CANONICAL by the Bloom/HLL/CMS rule: the layout is a pure function
+  // of the cell state (sparse iff strictly smaller), so equal filters
+  // encode to equal bytes under any merge tree. A counting filter at
+  // its design fill (~48% of cells occupied at optimal k) encodes
+  // dense; grouped/windowed small filters — the states that dominate a
+  // sketch table — go sparse at ≤ ~20% fill (5 bytes worst-case per
+  // occupied cell vs 1 byte per cell dense).
+  def encodeCountingBloom(s: CountingBloomSketch,
+      keyMode: Byte = KeyMode.Bytes): Array[Byte] = {
+    require(s.hasherId >= 0,
+      "custom (unregistered) hash pairs cannot cross the codec — register " +
+        "the pair with a stable id in KMHashPair to use it in Spark aggregation")
+    val cells = s.cells
+    val n = cells.length
+    var sparseBody = 4
+    var nz = 0
+    var prev = 0
+    var j = 0
+    while (j < n) {
+      if (cells(j) != 0) {
+        sparseBody += varintSize((if (nz == 0) j else j - prev).toLong) + 1
+        prev = j
+        nz += 1
+      }
+      j += 1
+    }
+    val header = 2 + 16 + 1
+    val densePayload = header + 4 + n
+    val sparsePayload = header + sparseBody
+    def putHeader(bb: ByteBuffer, layout: Byte): Unit = {
+      bb.put(keyMode); bb.put(s.hasherId)
+      bb.putLong(s.config.capacity); bb.putDouble(s.config.fpp)
+      bb.put(layout)
+    }
+    if (sparsePayload < densePayload) {
+      val bb = writer(TypeId.CountingBloom, sparsePayload, MinVersion)
+      putHeader(bb, 1)
+      bb.putInt(nz)
+      prev = 0
+      var first = true
+      j = 0
+      while (j < n) {
+        if (cells(j) != 0) {
+          putVarint(bb, (if (first) j else j - prev).toLong)
+          bb.put(cells(j))
+          prev = j
+          first = false
+        }
+        j += 1
+      }
+      bb.array()
+    } else {
+      val bb = writer(TypeId.CountingBloom, densePayload, MinVersion)
+      putHeader(bb, 0)
+      bb.putInt(n)
+      bb.put(cells)
+      bb.array()
+    }
+  }
+
+  def decodeCountingBloom(bytes: Array[Byte]): CountingBloomSketch = {
+    val bb = reader(bytes, TypeId.CountingBloom)
+    bb.get() // keyMode — surfaced via countingBloomKeyMode
+    val hasherId = bb.get()
+    val capacity = bb.getLong()
+    val fpp = bb.getDouble()
+    val config = BloomConfig(capacity, fpp)
+    val layout = bb.get()
+    val cells = layout match {
+      case 0 =>
+        val n = bb.getInt()
+        require(n.toLong == config.totalBits,
+          s"counting blob cell count $n != configured ${config.totalBits}")
+        val c = new Array[Byte](n)
+        bb.get(c)
+        c
+      case 1 =>
+        val c = new Array[Byte](config.totalBits.toInt)
+        val nz = bb.getInt()
+        var idx = 0L
+        var i = 0
+        while (i < nz) {
+          idx += getVarint(bb)
+          c(idx.toInt) = bb.get()
+          i += 1
+        }
+        c
+      case other => throw new IllegalArgumentException(
+        s"unknown counting-Bloom layout $other")
+    }
+    new CountingBloomSketch(config, cells, KMHashPair.byId(hasherId))
+  }
+
+  /** KeyMode byte of an encoded counting-Bloom blob (probe-path guard,
+    * same contract as the Bloom/CMS key-mode sniffers). */
+  def countingBloomKeyMode(bytes: Array[Byte]): Byte = {
+    reader(bytes, TypeId.CountingBloom).get()
   }
 }

@@ -139,6 +139,7 @@ private[pipeline] object BandIndexOps {
     * anti-join, e.g. [[LshIndex.novelDocs]] / [[SrpIndex.novelVecs]]). */
   def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
       batch: DataFrame, batchId: Long, payloadCols: Seq[String],
+      metaDir: String,
       bootstrap: DataFrame => Unit, append: DataFrame => Unit,
       novel: (DataFrame, DataFrame) => DataFrame): Long = {
     val idCol = payloadCols.head
@@ -167,7 +168,15 @@ private[pipeline] object BandIndexOps {
       }
     }
     val keptP = new org.apache.hadoop.fs.Path(keptDir)
-    val isBootstrap = !fs.exists(ixP)
+    // Bootstrap is decided on the SIDECAR's presence, not the dir's: the
+    // sidecar is written LAST by every family's build, so a crash between
+    // bootstrap's band-row write and its sidecar write leaves the dir
+    // present but sidecar-less — dir-existence would then route every
+    // replay down the append path, where readVerifiedMeta throws forever
+    // (a permanent wedge). No `_ingested` marker can exist before the
+    // first batch commits, so sidecar-absent ⟹ genuinely pre-bootstrap,
+    // and re-running bootstrap's overwrite write self-heals the torn dir.
+    val isBootstrap = !fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$metaDir"))
     val nv0 =
       if (isBootstrap) batch
       else {

@@ -190,7 +190,7 @@ object LshIndex {
   def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
       batch: DataFrame, batchId: Long, numBuckets: Int = NumBuckets): Long =
     BandIndexOps.ingestNovel(spark, indexPath, keptDir, batch, batchId,
-      payloadCols = Seq("doc_id", "text"),
+      payloadCols = Seq("doc_id", "text"), metaDir = MetaDir,
       bootstrap = nv => write(nv, indexPath, numBuckets),
       append = nv => append(nv, indexPath),
       novel = (b, keptBefore) => novelDocs(spark, indexPath, b, keptBefore))

@@ -204,7 +204,7 @@ object SrpIndex {
       batch: DataFrame, batchId: Long, tau: Double = DefaultTau,
       numBuckets: Int = NumBuckets): Long =
     BandIndexOps.ingestNovel(spark, indexPath, keptDir, batch, batchId,
-      payloadCols = Seq("vec_id", "embedding"),
+      payloadCols = Seq("vec_id", "embedding"), metaDir = MetaDir,
       bootstrap = nv => write(nv, indexPath, numBuckets),
       append = nv => append(nv, indexPath),
       novel = (b, keptBefore) => novelVecs(spark, indexPath, b, keptBefore, tau))

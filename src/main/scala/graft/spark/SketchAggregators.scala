@@ -83,3 +83,40 @@ class KllAggregator(k: Int = KLLSketch.DefaultK)
   override def bufferEncoder: Encoder[KLLSketch] = Encoders.kryo[KLLSketch]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
+
+/** Counting-Bloom aggregation over a SIGNED stream: rows are
+  * (key, multiplicity) with multiplicity > 0 for inserts and < 0 for
+  * retractions (the CDC/upsert-feed shape). Inserts and retractions
+  * accumulate into two separate counting filters — each a commutative
+  * monoid under saturating per-cell add, so partial/final merges are
+  * legal in any tree order and a retraction seen BEFORE its insert
+  * (routine across partitions) can never floor a cell — and the net
+  * filter is computed once at finish via floored subtraction
+  * (CountingBloomSketch.subtractInPlace). Exact (and collapse-to-bit
+  * filter bit-exact) whenever no cell accumulates 255 hits on either
+  * side. */
+class CbfAggregator(capacity: Long, fpp: Double,
+    hashers: KMHashPair = KMHashPair.XxMurmur)
+    extends Aggregator[(Array[Byte], Long), (CountingBloomSketch, CountingBloomSketch), Array[Byte]] {
+  override def zero: (CountingBloomSketch, CountingBloomSketch) =
+    (CountingBloomSketch(capacity, fpp, hashers), CountingBloomSketch(capacity, fpp, hashers))
+  override def reduce(b: (CountingBloomSketch, CountingBloomSketch),
+      row: (Array[Byte], Long)): (CountingBloomSketch, CountingBloomSketch) = {
+    val (key, mult) = row
+    if (key != null && mult != 0L) {
+      val target = if (mult > 0L) b._1 else b._2
+      var i = 0L
+      val n = math.abs(mult)
+      while (i < n) { target.insert(key); i += 1 }
+    }
+    b
+  }
+  override def merge(a: (CountingBloomSketch, CountingBloomSketch),
+      b: (CountingBloomSketch, CountingBloomSketch)): (CountingBloomSketch, CountingBloomSketch) =
+    (a._1.mergeInPlace(b._1), a._2.mergeInPlace(b._2))
+  override def finish(b: (CountingBloomSketch, CountingBloomSketch)): Array[Byte] =
+    SketchCodec.encodeCountingBloom(b._1.subtractInPlace(b._2))
+  override def bufferEncoder: Encoder[(CountingBloomSketch, CountingBloomSketch)] =
+    Encoders.kryo[(CountingBloomSketch, CountingBloomSketch)]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

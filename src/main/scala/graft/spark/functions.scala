@@ -52,6 +52,15 @@ object functions {
   def kllAgg(v: Column, k: Int = KLLSketch.DefaultK): Column =
     udaf(new KllAggregator(k)).apply(v)
 
+  /** Counting-Bloom aggregation over a SIGNED stream (key, multiplicity):
+    * positive multiplicities insert, negative retract — the DELETION
+    * surface neither reference filter variant has. Commutative in any
+    * merge/arrival order (see CbfAggregator). `cbfAgg(...)(key)` with no
+    * sign column is plain insertion (multiplicity 1/row). */
+  def cbfAgg(capacity: Long, fpp: Double)(key: Column,
+      multiplicity: Column = lit(1L)): Column =
+    udaf(new CbfAggregator(capacity, fpp)).apply(key, multiplicity.cast("long"))
+
   // --------------------------------------------------------- decode cache
   /** Executor-local decoded-sketch cache keyed by (length, xxhash) of the
     * blob. Bounded; cleared wholesale on overflow (sketch-table
@@ -81,6 +90,10 @@ object functions {
     DecodeCache.get(b, SketchCodec.decodeTDigest(_)).asInstanceOf[TDigestSketch]
   private def kllOf(b: Array[Byte]): KLLSketch =
     DecodeCache.get(b, SketchCodec.decodeKll(_)).asInstanceOf[KLLSketch]
+
+  private def cbfOf(b: Array[Byte]): CountingBloomSketch =
+    DecodeCache.get(b, SketchCodec.decodeCountingBloom(_))
+      .asInstanceOf[CountingBloomSketch]
 
   // ----------------------------------------------------- scalar functions
   /** Probe a sketch column (per-shard sketch tables). For probing ONE
@@ -119,6 +132,42 @@ object functions {
 
   def bloomIntersect(a: Column, b: Column): Column =
     udf((x: Array[Byte], y: Array[Byte]) => mergeBlobs(x, y, intersect = true)).apply(a, b)
+
+  /** Probe a counting-Bloom column. Same never-false-negative contract as
+    * the bit filters, PROVIDED retractions only ever matched inserts. */
+  def cbfMightContain(sketch: Column, key: Column): Column =
+    udf((s: Array[Byte], k: Array[Byte]) =>
+      if (s == null || k == null) false
+      else {
+        require(SketchCodec.countingBloomKeyMode(s) == SketchCodec.KeyMode.Bytes,
+          "counting filter was built with native row-hash keys")
+        cbfOf(s).mightContain(k)
+      }).apply(sketch, key)
+
+  /** Broadcast-style counting-filter probe: decode once on the driver,
+    * ship the decoded filter in the UDF closure (the bloomProbe shape). */
+  def cbfProbe(sketchBytes: Array[Byte])(key: Column): Column = {
+    require(SketchCodec.countingBloomKeyMode(sketchBytes) == SketchCodec.KeyMode.Bytes,
+      "counting filter was built with native row-hash keys")
+    val sketch = SketchCodec.decodeCountingBloom(sketchBytes)
+    udf((k: Array[Byte]) => k != null && sketch.mightContain(k)).apply(key)
+  }
+
+  /** Collapse a counting-Bloom blob to a PLAIN KM Bloom blob — bit-exact
+    * to a filter built over the net (inserted − retracted) multiset when
+    * no cell saturated. The bridge into every existing bloom_* probe,
+    * union and estimator surface. */
+  def cbfToBloom(sketch: Column): Column =
+    udf((s: Array[Byte]) =>
+      if (s == null) null
+      else SketchCodec.encodeBloom(
+        SketchCodec.decodeCountingBloom(s).collapse(),
+        SketchCodec.countingBloomKeyMode(s))).apply(sketch)
+
+  def cbfElementCount(sketch: Column): Column =
+    udf((s: Array[Byte]) =>
+      if (s == null) null else Double.box(cbfOf(s).approximateElementCount))
+      .apply(sketch)
 
   def bloomElementCount(sketch: Column): Column =
     udf((s: Array[Byte]) => bloomOf(s).approximateElementCount).apply(sketch)
@@ -268,5 +317,15 @@ object functions {
     spark.udf.register("weighted_sample_strings", (s: Array[Byte]) =>
       if (s == null) null else SketchCodec.decodeWeightedBottomK(s).sample
         .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
+    spark.udf.register("cbf_agg",
+      udaf(new CbfAggregator(defaultCapacity, defaultFpp)))
+    spark.udf.register("cbf_might_contain", (s: Array[Byte], k: Array[Byte]) =>
+      s != null && k != null && cbfOf(s).mightContain(k))
+    spark.udf.register("cbf_to_bloom", (s: Array[Byte]) =>
+      if (s == null) null
+      else SketchCodec.encodeBloom(SketchCodec.decodeCountingBloom(s).collapse(),
+        SketchCodec.countingBloomKeyMode(s)))
+    spark.udf.register("cbf_element_count", (s: Array[Byte]) =>
+      if (s == null) null else Double.box(cbfOf(s).approximateElementCount))
   }
 }

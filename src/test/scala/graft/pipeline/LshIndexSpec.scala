@@ -154,6 +154,40 @@ class LshIndexSpec extends AnyFunSuite {
     } finally { rm(pA); rm(pB); d.unpersist() }
   }
 
+  test("ingestNovel: a torn bootstrap (band rows, no sidecar) self-heals on replay") {
+    val d = docs.cache()
+    val base = "/tmp/graft_test_lsh_torn_bootstrap"
+    val ix = s"$base/index"; val kept = s"$base/kept"
+    try {
+      rm(base)
+      val batch0 = d.filter(col("doc_id") % 3 === 0)
+      // clean bootstrap, then reproduce the crash point: band rows on
+      // disk, but the LAST-written artifacts (_lshmeta sidecar, kept
+      // partition, _ingested marker) all missing — bootstrap's write
+      // order makes exactly this the torn state
+      val cleanKept = LshIndex.ingestNovel(spark, ix, kept, batch0,
+        batchId = 0L, numBuckets = 16)
+      val cleanSig = spark.read.parquet(ix)
+        .agg(expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"),
+          count(lit(1))).head
+      rm(s"$ix/_lshmeta"); rm(s"$ix/_ingested"); rm(kept)
+      // replay MUST take the bootstrap path again (sidecar-absent ⟹
+      // pre-bootstrap) — deciding on dir existence instead would route to
+      // append, where readVerifiedMeta throws on every retry forever
+      val healedKept = LshIndex.ingestNovel(spark, ix, kept, batch0,
+        batchId = 0L, numBuckets = 16)
+      assert(healedKept === cleanKept)
+      val healedSig = spark.read.parquet(ix)
+        .agg(expr("bit_xor(xxhash64(doc_id, band, bkey, bucket))"),
+          count(lit(1))).head
+      assert(healedSig === cleanSig,
+        "healed index must be row-identical to the clean bootstrap (overwrite semantics)")
+      // and the healed index is fully functional: next batch appends
+      LshIndex.ingestNovel(spark, ix, kept, d.filter(col("doc_id") % 3 === 1),
+        batchId = 1L, numBuckets = 16)
+    } finally { rm(base); d.unpersist() }
+  }
+
   test("ingestNovel: sequential novelty gate equals the batch greedy rule, index tracks kept docs") {
     val d = docs.cache()
     val base = "/tmp/graft_test_lsh_ingest"

@@ -1,0 +1,95 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AsOfJoin.backward — event-time nearest-predecessor join. Pins the
+  * merge_asof semantics (backward-inclusive, left-outer, tolerance,
+  * largest-tiebreak ties) and the SCALE-DEFINING plan property: no join
+  * node, exactly one shuffle. */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-asof-test")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tsDf(rows: Seq[(Long, String, Long)], extra: Seq[(String, Long => Any)] = Nil) =
+    rows.toDF("k", "ts", "id").withColumn("ts", col("ts").cast("timestamp"))
+
+  test("backward match, left-outer nulls, no cross-key leakage") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L),
+      (1L, "2026-01-01 12:00:00", 101L), (2L, "2026-01-01 09:00:00", 102L)))
+    val right = tsDf(Seq((1L, "2026-01-01 09:30:00", 200L),
+      (1L, "2026-01-01 11:00:00", 201L), (3L, "2026-01-01 08:00:00", 202L)))
+    val j = AsOfJoin.backward(left, right, Seq("k"), "ts", "id", Seq("id"))
+      .orderBy(col("id")).collect()
+    assert(j.map(r => Option(r.getAs[Any]("asof_id")).orNull).toSeq ===
+      Seq(200L, 201L, null))
+  }
+
+  test("backward is INCLUSIVE: right row at the exact left ts matches") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
+    val right = tsDf(Seq((1L, "2026-01-01 10:00:00", 200L)))
+    val j = AsOfJoin.backward(left, right, Seq("k"), "ts", "id", Seq("id")).head
+    assert(j.getAs[Long]("asof_id") === 200L)
+  }
+
+  test("equal (key, ts) right rows resolve to the LARGEST tiebreak") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 201L),
+      (1L, "2026-01-01 09:00:00", 205L), (1L, "2026-01-01 09:00:00", 203L)))
+    val j = AsOfJoin.backward(left, right, Seq("k"), "ts", "id", Seq("id")).head
+    assert(j.getAs[Long]("asof_id") === 205L,
+      "pandas merge_asof keeps the last occurrence; ours is the max tiebreak")
+  }
+
+  test("tolerance nulls stale matches but keeps the rows (merge_asof contract)") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L),
+      (1L, "2026-01-02 12:00:00", 101L)))
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 200L)))
+    val j = AsOfJoin.backward(left, right, Seq("k"), "ts", "id", Seq("id"),
+      toleranceSecs = Some(2 * 3600L)).orderBy(col("id")).collect()
+    assert(j.length === 2, "tolerance must never drop left rows")
+    assert(j(0).getAs[Long]("asof_id") === 200L, "1h-old match inside 2h tolerance")
+    assert(j(1).getAs[Any]("asof_id") === null, "27h-old match beyond 2h tolerance")
+  }
+
+  test("null payload values cannot desync from the matched timestamp") {
+    val left = Seq((1L, "2026-01-01 10:00:00", 100L))
+      .toDF("k", "ts", "id").withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq((1L, "2026-01-01 08:00:00", 200L, "old"),
+      (1L, "2026-01-01 09:00:00", 201L, null.asInstanceOf[String]))
+      .toDF("k", "ts", "id", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val j = AsOfJoin.backward(left, right, Seq("k"), "ts", "id", Seq("id", "v")).head
+    // the matched right ROW is the 09:00 one — its null v must surface as
+    // null, NOT fall back to the older row's value (the struct carry)
+    assert(j.getAs[Long]("asof_id") === 201L)
+    assert(j.getAs[Any]("asof_v") === null)
+  }
+
+  test("plan: no join node, exactly one exchange (the 100 TB shape)") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 200L)))
+    val j = AsOfJoin.backward(left, right, Seq("k"), "ts", "id", Seq("id"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"as-of must not plan a join node:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("asof_* name collision on the left is rejected") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
+      .withColumn("asof_x", lit(1))
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 200L)))
+    intercept[IllegalArgumentException](
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "id", Seq("id")))
+  }
+}
