@@ -698,14 +698,25 @@ object PipelineEntries {
       val jTol = graft.spark.AsOfJoin.backward(left, right,
         keys = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
         payload = Seq("event_id"), toleranceSecs = Some(86400L))
+      val jFw = graft.spark.AsOfJoin.forward(left, right,
+        keys = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
+        payload = Seq("event_id"))
+      val jNear = graft.spark.AsOfJoin.nearest(left, right,
+        keys = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
+        payload = Seq("event_id"))
+      def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
       val a = j.agg(
         count(lit(1)).as("n_left"),
         count(col("asof_ts")).as("n_matched"),
-        coalesce(sum(unix_micros(col("ts").cast("timestamp")) -
-          unix_micros(col("asof_ts").cast("timestamp"))),
-          lit(0L)).as("total_gap_us"))
+        coalesce(sum(us(col("ts")) - us(col("asof_ts"))), lit(0L)).as("total_gap_us"))
       val b = jTol.agg(count(col("asof_ts")).as("n_within_1d"))
-      a.crossJoin(b)
+      val c = jFw.agg(
+        count(col("asof_ts")).as("n_matched_fw"),
+        coalesce(sum(us(col("asof_ts")) - us(col("ts"))), lit(0L)).as("total_gap_fw_us"))
+      val d = jNear.agg(
+        coalesce(sum(abs(us(col("ts")) - us(col("asof_ts")))), lit(0L))
+          .as("total_gap_near_us"))
+      a.crossJoin(b).crossJoin(c).crossJoin(d)
     }),
 
     // Top-k heavy hitters: CMS-ranked candidates resolved against exact
@@ -1487,11 +1498,18 @@ object PipelineEntries {
         "m AS (SELECT side, ts, " +
         "MAX(CASE WHEN side = 0 THEN ts END) OVER (" +
         "PARTITION BY user_id ORDER BY ts, side, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mts FROM u) " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mts, " +
+        "MIN(CASE WHEN side = 0 THEN ts END) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, side DESC, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS mts_fw FROM u) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_left, " +
         "CAST(COUNT(mts) AS BIGINT) AS n_matched, " +
         "CAST(COALESCE(SUM(epoch_us(ts) - epoch_us(mts)), 0) AS BIGINT) AS total_gap_us, " +
-        "CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(mts) <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1d " +
+        "CAST(SUM(CASE WHEN epoch_us(ts) - epoch_us(mts) <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1d, " +
+        "CAST(COUNT(mts_fw) AS BIGINT) AS n_matched_fw, " +
+        "CAST(COALESCE(SUM(epoch_us(mts_fw) - epoch_us(ts)), 0) AS BIGINT) AS total_gap_fw_us, " +
+        "CAST(COALESCE(SUM(LEAST(COALESCE(epoch_us(ts) - epoch_us(mts), epoch_us(mts_fw) - epoch_us(ts)), " +
+        "COALESCE(epoch_us(mts_fw) - epoch_us(ts), epoch_us(ts) - epoch_us(mts)))), 0) AS BIGINT) AS total_gap_near_us " +
         "FROM m WHERE side = 1"),
     "q26_native_sketch" ->
       s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS zero_fn, true AS hll_ok FROM transcripts",

@@ -85,6 +85,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
   }
 
+  test("forward: earliest at-or-after match, inclusive, largest tiebreak") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L),
+      (1L, "2026-01-01 23:00:00", 101L)))
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 200L),
+      (1L, "2026-01-01 12:00:00", 201L), (1L, "2026-01-01 12:00:00", 205L),
+      (1L, "2026-01-01 10:00:00", 202L)))
+    val j = AsOfJoin.forward(left, right, Seq("k"), "ts", "id", Seq("id"))
+      .orderBy(col("id")).collect()
+    assert(j(0).getAs[Long]("asof_id") === 202L, "same-ts right row matches (inclusive)")
+    assert(j(1).getAs[Any]("asof_id") === null, "no following right row")
+    val left2 = tsDf(Seq((1L, "2026-01-01 11:00:00", 100L)))
+    val j2 = AsOfJoin.forward(left2, right, Seq("k"), "ts", "id", Seq("id")).head
+    assert(j2.getAs[Long]("asof_id") === 205L,
+      "equal-ts right duplicates resolve to the largest tiebreak")
+  }
+
+  test("nearest: closest of both directions; equal gaps take backward") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L), // bw 1h, fw 3h
+      (1L, "2026-01-01 14:00:00", 101L),                   // bw 1h, fw 1h (tie)
+      (2L, "2026-01-01 10:00:00", 102L)))                  // fw only
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 200L),
+      (1L, "2026-01-01 13:00:00", 201L), (1L, "2026-01-01 15:00:00", 202L),
+      (2L, "2026-01-01 11:00:00", 203L)))
+    val j = AsOfJoin.nearest(left, right, Seq("k"), "ts", "id", Seq("id"))
+      .orderBy(col("id")).collect()
+    assert(j(0).getAs[Long]("asof_id") === 200L, "backward 1h beats forward 3h")
+    assert(j(1).getAs[Long]("asof_id") === 201L, "equal gaps take the backward match")
+    assert(j(2).getAs[Long]("asof_id") === 203L, "forward-only still matches")
+    // tolerance applies per direction BEFORE the choice
+    val jt = AsOfJoin.nearest(left, right, Seq("k"), "ts", "id", Seq("id"),
+      toleranceSecs = Some(30 * 60L)).orderBy(col("id")).collect()
+    assert(jt.forall(_.getAs[Any]("asof_id") == null), "30min tolerance kills all")
+  }
+
+  test("nearest plan: still exactly one exchange (shared key partitioning)") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 200L)))
+    val j = AsOfJoin.nearest(left, right, Seq("k"), "ts", "id", Seq("id"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"no join node:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"both windows must share one shuffle, got $exchanges:\n$plan")
+  }
+
   test("asof_* name collision on the left is rejected") {
     val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
       .withColumn("asof_x", lit(1))
