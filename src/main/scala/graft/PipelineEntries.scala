@@ -1189,6 +1189,50 @@ object PipelineEntries {
       }
     }),
 
+    // Cross-index dedup (round 6): dataset-vs-dataset near-dup discovery
+    // between TWO persisted LSH indexes — the contamination-sweep shape
+    // at corpus × corpus scale. Neither corpus is re-shingled: both sides
+    // of the candidate join are scans of already-persisted 8-byte band
+    // keys (BandIndexOps.crossIndexCandidates has the O(|A|+|B|) vs
+    // O(corpus·signature) argument). Fan-outs DELIBERATELY differ (32 vs
+    // 64) — bucket layout is an index-local property; the band keys join.
+    // Gate: exact-verified cross pairs ≡ the exact Jaccard ≥ 1/2 cross
+    // pair set, both anti-join directions empty (recall AND zero false
+    // positives); candidate-set ≡ from-scratch LSH is pinned in
+    // LshIndexSpec at sf0.001. n_true_pairs is DuckDB-recomputed.
+    "q60_cross_index_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val a = d.filter(col("doc_id") % 2 === 0).cache()
+      val b = d.filter(col("doc_id") % 2 =!= 0).cache()
+      val base = scratchDir("graft_q60")
+      try {
+        graft.pipeline.LshIndex.write(a, s"$base/ixA", numBuckets = 32)
+        graft.pipeline.LshIndex.write(b, s"$base/ixB", numBuckets = 64)
+        val verified = graft.pipeline.LshIndex
+          .verifiedCrossPairs(s, s"$base/ixA", s"$base/ixB", a, b)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val isA = (c: org.apache.spark.sql.Column) => c % 2 === 0
+        val truth = TextPipeline.exactJaccardPairs(d)
+          .filter(isA(col("doc_a")) =!= isA(col("doc_b")))
+          .select(
+            when(isA(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+            when(isA(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
+          .cache()
+        val nTrue = truth.count()
+        val pairExact =
+          verified.join(truth, Seq("doc_a", "doc_b"), "left_anti").count() == 0 &&
+          truth.join(verified, Seq("doc_a", "doc_b"), "left_anti").count() == 0
+        val res = Seq((a.count(), b.count(), nTrue, pairExact))
+          .toDF("n_docs_a", "n_docs_b", "n_true_pairs", "pair_set_exact")
+        verified.unpersist(); truth.unpersist()
+        res
+      } finally {
+        deleteTmpDir(s, base)
+        a.unpersist(); b.unpersist()
+      }
+    }),
+
     // Streaming ingest novelty gate (round 5): the PRODUCTION shape of the
     // q55 index — documents arrive as a stream, each micro-batch is
     // novelty-filtered against the accreted index via foreachBatch
@@ -1591,6 +1635,12 @@ object PipelineEntries {
          |(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0
          | AND doc_id NOT IN (SELECT doc_new FROM v)) AS n_novel,
          |true AS pair_set_exact, true AS append_equivalent""".stripMargin.replace("\n", " ")),
+    "q60_cross_index_dedup" ->
+      (s"""SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS n_docs_a,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 1) AS n_docs_b,
+         |(SELECT CAST(COUNT(*) AS BIGINT) FROM ($JaccardPairSql) t
+         | WHERE (doc_a % 2 = 0) <> (doc_b % 2 = 0)) AS n_true_pairs,
+         |true AS pair_set_exact""".stripMargin.replace("\n", " ")),
     "q56_stream_ingest_dedup" ->
       (s"""WITH jp AS (SELECT doc_a, doc_b FROM ($JaccardPairSql) t
          |             WHERE doc_a < 1500 AND doc_b < 1500),

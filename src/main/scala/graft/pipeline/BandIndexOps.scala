@@ -62,6 +62,34 @@ private[pipeline] object BandIndexOps {
       .distinct()
   }
 
+  /** Corpus × corpus candidate pairs between TWO persisted band indexes —
+    * dataset-vs-dataset near-dup discovery (train-vs-benchmark
+    * contamination sweeps, snapshot-vs-snapshot dedup) WITHOUT
+    * re-signing either corpus: both sides are scans of already-persisted
+    * 8-byte-key band rows, equi-joined on (band, bkey). At 10⁹-document
+    * corpora the signature I/O is O(|indexA| + |indexB|) — the
+    * alternative re-shingles/re-projects one whole corpus to probe it
+    * against the other's index, O(corpus · signature cost), which is the
+    * entire term persisting keys was built to delete (the same argument
+    * as [[rebucketRows]]). Shuffle-hash join, never broadcast: both
+    * sides are corpus-sized by definition (the Δ≪corpus broadcast shape
+    * is [[probeJoin]]'s). Bucket fan-outs may differ between the two
+    * indexes (bucket is derived from bkey and does not join); the hash
+    * FAMILIES must match — the family wrappers verify both sidecars
+    * before calling this. Emits distinct (aCol, bCol) id pairs; id
+    * namespaces are the caller's contract (cross-corpus ids are
+    * naturally disjoint). */
+  def crossIndexCandidates(spark: SparkSession, pathA: String, pathB: String,
+      idCol: String, aCol: String, bCol: String): DataFrame = {
+    val a = spark.read.parquet(pathA)
+      .select(col("band"), col("bkey"), col(idCol).as(aCol))
+    val b = spark.read.parquet(pathB)
+      .select(col("band"), col("bkey"), col(idCol).as(bCol))
+    a.hint("shuffle_hash").join(b, Seq("band", "bkey"))
+      .select(col(aCol), col(bCol))
+      .distinct()
+  }
+
   /** Per-bucket row/id/file counts + the bucket's share of the index —
     * the fragmentation signal for [[compactRows]] (every append lands
     * one new file per touched bucket; after thousands of ingest steps a

@@ -336,4 +336,50 @@ object LshIndex {
         col("n_common").cast("long").as("n_common"),
         (col("na") + col("nb") - col("n_common")).cast("long").as("n_union"))
   }
+
+  /** Corpus × corpus LSH candidate pairs between TWO persisted indexes —
+    * dataset-vs-dataset near-dup discovery without re-shingling either
+    * corpus (the scale argument and join shape are
+    * [[BandIndexOps.crossIndexCandidates]]'s scaladoc). Both sidecars
+    * are integrity- and family-verified first: each index's banding must
+    * equal what THIS library produces, so the two are mutually
+    * comparable by transitivity (fan-outs may differ — bucket does not
+    * join). doc_id namespaces must be disjoint across the corpora (the
+    * natural cross-corpus contract). Emits distinct (doc_a, doc_b) with
+    * doc_a from `pathA`. */
+  def crossCandidates(spark: SparkSession, pathA: String, pathB: String): DataFrame = {
+    readVerifiedMeta(spark, pathA)
+    readVerifiedMeta(spark, pathB)
+    BandIndexOps.crossIndexCandidates(spark, pathA, pathB,
+      idCol = "doc_id", aCol = "doc_a", bCol = "doc_b")
+  }
+
+  /** Exact-verified cross-corpus near-dup pairs (Jaccard ≥ 1/2): the
+    * [[verifiedDupPairs]] verify stage over [[crossCandidates]] —
+    * shingles recomputed ONLY for docs that appear in some candidate
+    * pair, one sort-merge shingle self-join over that slice. `docsA` /
+    * `docsB` supply (doc_id, text) for their corpora. */
+  def verifiedCrossPairs(spark: SparkSession, pathA: String, pathB: String,
+      docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    val cands = crossCandidates(spark, pathA, pathB).localCheckpoint(true)
+    val restricted = docsA
+      .join(cands.select(col("doc_a").as("doc_id")).distinct(), "doc_id")
+      .unionByName(docsB
+        .join(cands.select(col("doc_b").as("doc_id")).distinct(), "doc_id"))
+    val stats = TextPipeline.pairStatsFromShingled(
+      TextPipeline.withShingles(restricted, "__sh"))
+    // pairStats emits doc_a < doc_b; recover the (A, B) orientation by an
+    // equi-join against the normalized candidates (disjoint namespaces ⇒
+    // orientation unique)
+    val candsN = cands.select(
+      least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+      col("doc_a").as("a_id"), col("doc_b").as("b_id"))
+    stats
+      .filter(lit(2) * col("n_common") >= col("na") + col("nb") - col("n_common"))
+      .join(candsN, Seq("doc_a", "doc_b"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        col("n_common").cast("long").as("n_common"),
+        (col("na") + col("nb") - col("n_common")).cast("long").as("n_union"))
+  }
 }

@@ -180,6 +180,34 @@ object SrpIndex {
       .filter(col("cos") >= tau)
   }
 
+  /** Corpus × corpus SRP candidate pairs between TWO persisted indexes —
+    * the dense-vector sibling of [[LshIndex.crossCandidates]] (scale
+    * argument: [[BandIndexOps.crossIndexCandidates]]). Both sidecars are
+    * verified against THIS library's projection family, so the band keys
+    * are mutually comparable; vec_id namespaces must be disjoint. */
+  def crossCandidates(spark: SparkSession, pathA: String, pathB: String): DataFrame = {
+    readVerifiedMeta(spark, pathA)
+    readVerifiedMeta(spark, pathB)
+    BandIndexOps.crossIndexCandidates(spark, pathA, pathB,
+      idCol = "vec_id", aCol = "vec_a", bCol = "vec_b")
+  }
+
+  /** Exact-verified cross-corpus near-dup pairs (cos ≥ `tau`): the
+    * [[verifiedDupPairs]] verify join over [[crossCandidates]] —
+    * embeddings fetched ONLY for candidate vec ids. */
+  def verifiedCrossPairs(spark: SparkSession, pathA: String, pathB: String,
+      vecsA: DataFrame, vecsB: DataFrame, tau: Double = DefaultTau): DataFrame = {
+    val cands = crossCandidates(spark, pathA, pathB).localCheckpoint(true)
+    cands
+      .join(vecsA.select(col("vec_id").as("vec_a"),
+        col("embedding").as("__e_a")), Seq("vec_a"))
+      .join(vecsB.select(col("vec_id").as("vec_b"),
+        col("embedding").as("__e_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.spark.catalyst.cosineNative(col("__e_a"), col("__e_b")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Novelty filter — the ingest-gate shape: batch vectors with NO
     * exact-verified near-dup (cos ≥ `tau`) already in the corpus. Pass
     * `verifiedPairs` when the caller has already materialized

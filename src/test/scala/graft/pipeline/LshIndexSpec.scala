@@ -154,6 +154,39 @@ class LshIndexSpec extends AnyFunSuite {
     } finally { rm(pA); rm(pB); d.unpersist() }
   }
 
+  test("cross-index candidates equal from-scratch LSH cross pairs (mixed fan-outs)") {
+    val d = docs.cache()
+    val a = d.filter(col("doc_id") % 2 === 0)
+    val b = d.filter(col("doc_id") % 2 =!= 0)
+    val base = "/tmp/graft_test_lsh_cross"
+    try {
+      rm(base)
+      // DIFFERENT fan-outs on purpose: bucket layout is index-local, the
+      // band keys are the join — mixed fan-outs must not change results
+      LshIndex.write(a, s"$base/ixA", numBuckets = 16)
+      LshIndex.write(b, s"$base/ixB", numBuckets = 64)
+      val cross = LshIndex.crossCandidates(spark, s"$base/ixA", s"$base/ixB")
+      val isA = (c: org.apache.spark.sql.Column) => c % 2 === 0
+      val scratch = TextPipeline.minhashCandidates(d)
+        .filter(isA(col("doc_a")) =!= isA(col("doc_b")))
+        .select(
+          when(isA(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+          when(isA(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
+      assert(cross.exceptAll(scratch).isEmpty && scratch.exceptAll(cross).isEmpty,
+        "cross-index candidates must equal the from-scratch LSH cross pairs")
+      // exact verify stage: both directions against the exact pair set
+      val verified = LshIndex.verifiedCrossPairs(spark, s"$base/ixA", s"$base/ixB", a, b)
+        .select(col("doc_a"), col("doc_b"))
+      val truth = TextPipeline.exactJaccardPairs(d)
+        .filter(isA(col("doc_a")) =!= isA(col("doc_b")))
+        .select(
+          when(isA(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+          when(isA(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
+      assert(verified.exceptAll(truth).isEmpty && truth.exceptAll(verified).isEmpty,
+        "verified cross pairs must equal the exact Jaccard cross pair set")
+    } finally { rm(base); d.unpersist() }
+  }
+
   test("ingestNovel: a torn bootstrap (band rows, no sidecar) self-heals on replay") {
     val d = docs.cache()
     val base = "/tmp/graft_test_lsh_torn_bootstrap"

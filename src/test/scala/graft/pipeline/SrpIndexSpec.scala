@@ -167,6 +167,33 @@ class SrpIndexSpec extends AnyFunSuite {
     } finally { rm(path); corpus.unpersist(); batch.unpersist() }
   }
 
+  test("cross-index candidates + verify recover the planted cross pairs (mixed fan-outs)") {
+    val v = vecs.cache()
+    // corpus B: perturbations of every 3rd A vector (planted cross dups,
+    // cos ≈ 0.9996 to exactly their source) + negations (never match)
+    val a = v
+    val b = perturb(v.filter(col("vec_id") % 3 === 0), 1000000L)
+      .unionByName(negate(v.filter(col("vec_id") % 3 === 1), 2000000L)).cache()
+    val base = "/tmp/graft_test_srp_cross"
+    try {
+      rm(base)
+      SrpIndex.write(a, s"$base/ixA", numBuckets = 16)
+      SrpIndex.write(b, s"$base/ixB", numBuckets = 64)
+      val verified = SrpIndex.verifiedCrossPairs(spark, s"$base/ixA", s"$base/ixB", a, b)
+        .select(col("vec_a"), col("vec_b"))
+      // exact truth: brute-force cosine over the cross product
+      val truth = a.select(col("vec_id").as("vec_a"), col("embedding").as("__ea"))
+        .crossJoin(b.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")))
+        .filter(graft.spark.catalyst.cosineNative(col("__ea"), col("__eb"))
+          >= SrpIndex.DefaultTau)
+        .select(col("vec_a"), col("vec_b"))
+      assert(verified.exceptAll(truth).isEmpty && truth.exceptAll(verified).isEmpty,
+        "verified cross pairs must equal the brute-force cosine cross pair set")
+      assert(verified.count() === v.filter(col("vec_id") % 3 === 0).count(),
+        "every planted perturbation pairs with exactly its source")
+    } finally { rm(base); b.unpersist(); v.unpersist() }
+  }
+
   test("missing or tampered _srpmeta refuses to probe or append") {
     val corpus = vecs.limit(50).cache()
     val path = "/tmp/graft_test_srp_meta"
