@@ -196,15 +196,35 @@ private[pipeline] object BandIndexOps {
       }
     }
     val keptP = new org.apache.hadoop.fs.Path(keptDir)
-    // Bootstrap is decided on the SIDECAR's presence, not the dir's: the
-    // sidecar is written LAST by every family's build, so a crash between
-    // bootstrap's band-row write and its sidecar write leaves the dir
-    // present but sidecar-less — dir-existence would then route every
-    // replay down the append path, where readVerifiedMeta throws forever
-    // (a permanent wedge). No `_ingested` marker can exist before the
-    // first batch commits, so sidecar-absent ⟹ genuinely pre-bootstrap,
-    // and re-running bootstrap's overwrite write self-heals the torn dir.
-    val isBootstrap = !fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$metaDir"))
+    // Bootstrap is decided on a COMMITTED SIDECAR's presence, not the
+    // dir's: the sidecar is written LAST by every family's build, so a
+    // crash between bootstrap's band-row write and its sidecar commit
+    // leaves the dir present but sidecar-less — dir-existence would then
+    // route every replay down the append path, where readVerifiedMeta
+    // throws forever (a permanent wedge). Two refinements over a bare
+    // exists() check:
+    //  - "committed" means part-files exist under the sidecar dir — a
+    //    crash DURING the sidecar write leaves $metaDir/ holding only
+    //    _temporary, which exists() would misread as an installed
+    //    sidecar and wedge on the append path all the same;
+    //  - a sidecar-less dir qualifies for the self-healing bootstrap
+    //    OVERWRITE only when its content is recognizably a torn band
+    //    index (bucket=… partition dirs / write temp litter). Anything
+    //    else — a mistyped path pointing at some unrelated dataset —
+    //    must refuse loudly, not be destroyed by the overwrite.
+    val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/$metaDir")
+    val hasCommittedSidecar = fs.exists(metaP) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$metaP/part-*")).nonEmpty
+    val isBootstrap = !hasCommittedSidecar
+    if (isBootstrap && fs.exists(ixP)) {
+      val foreign = fs.listStatus(ixP).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("bucket=") || n == metaDir ||
+          n == "_temporary" || n.startsWith("_SUCCESS") || n.startsWith("."))
+      require(foreign.isEmpty,
+        s"$indexPath exists without a committed $metaDir sidecar and holds " +
+          s"non-band-index content (${foreign.take(3).mkString(", ")}…) — " +
+          "refusing to overwrite; pass an empty/new path or a torn index dir")
+    }
     val nv0 =
       if (isBootstrap) batch
       else {

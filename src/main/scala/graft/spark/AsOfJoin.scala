@@ -58,6 +58,8 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(_.startsWith("asof_")),
       "left side already carries asof_* columns")
+    require(!(leftCols ++ right.columns).exists(_.startsWith("__asof_")),
+      "__asof_* column names are reserved by AsOfJoin internals")
     val rightStruct = struct(
       col(tsCol).as(s"asof_$tsCol") +: payload.map(c => col(c).as(s"asof_$c")): _*)
     val r = right.select(

@@ -105,9 +105,17 @@ class CbfAggregator(capacity: Long, fpp: Double,
     val (key, mult) = row
     if (key != null && mult != 0L) {
       val target = if (mult > 0L) b._1 else b._2
+      // hash the key ONCE — repeated insert(key) would re-run both base
+      // hashes per multiplicity step. The loop is also capped at 255:
+      // cells saturate there, so iteration n>255 is a provable no-op
+      // (any touched cell is already 255 either way), and the cap makes
+      // a pathological multiplicity (10^12, or Long.MinValue whose abs
+      // is negative) finite instead of a hang.
+      val h1 = target.hashers.h1(key)
+      val h2 = target.hashers.h2(key)
       var i = 0L
-      val n = math.abs(mult)
-      while (i < n) { target.insert(key); i += 1 }
+      val n = math.min(255L, if (mult > 0L) mult else -math.max(mult, -255L))
+      while (i < n) { target.insertHashes(h1, h2); i += 1 }
     }
     b
   }

@@ -160,8 +160,10 @@ object functions {
   def cbfToBloom(sketch: Column): Column =
     udf((s: Array[Byte]) =>
       if (s == null) null
-      else SketchCodec.encodeBloom(
-        SketchCodec.decodeCountingBloom(s).collapse(),
+      // cbfOf: DecodeCache — a sketch-table scan collapsing the same few
+      // blobs over many rows must not re-parse the cell array per row
+      // (collapse() reads, never mutates, the cached sketch)
+      else SketchCodec.encodeBloom(cbfOf(s).collapse(),
         SketchCodec.countingBloomKeyMode(s))).apply(sketch)
 
   def cbfElementCount(sketch: Column): Column =
@@ -323,7 +325,7 @@ object functions {
       s != null && k != null && cbfOf(s).mightContain(k))
     spark.udf.register("cbf_to_bloom", (s: Array[Byte]) =>
       if (s == null) null
-      else SketchCodec.encodeBloom(SketchCodec.decodeCountingBloom(s).collapse(),
+      else SketchCodec.encodeBloom(cbfOf(s).collapse(),
         SketchCodec.countingBloomKeyMode(s)))
     spark.udf.register("cbf_element_count", (s: Array[Byte]) =>
       if (s == null) null else Double.box(cbfOf(s).approximateElementCount))

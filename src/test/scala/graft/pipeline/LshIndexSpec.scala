@@ -221,6 +221,47 @@ class LshIndexSpec extends AnyFunSuite {
     } finally { rm(base); d.unpersist() }
   }
 
+  test("ingestNovel: a sidecar torn MID-WRITE (dir with only _temporary) also self-heals") {
+    val d = docs.cache()
+    val base = "/tmp/graft_test_lsh_torn_midwrite"
+    val ix = s"$base/index"; val kept = s"$base/kept"
+    try {
+      rm(base)
+      val batch0 = d.filter(col("doc_id") % 3 === 0)
+      val cleanKept = LshIndex.ingestNovel(spark, ix, kept, batch0,
+        batchId = 0L, numBuckets = 16)
+      // crash DURING the sidecar write: $ix/_lshmeta exists but holds no
+      // committed part-files — a bare exists() check would misroute this
+      // to the append path and wedge on every replay
+      val fs = new org.apache.hadoop.fs.Path(ix)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rm(s"$ix/_lshmeta"); rm(s"$ix/_ingested"); rm(kept)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ix/_lshmeta/_temporary"))
+      val healedKept = LshIndex.ingestNovel(spark, ix, kept, batch0,
+        batchId = 0L, numBuckets = 16)
+      assert(healedKept === cleanKept,
+        "mid-write torn sidecar must re-bootstrap, not wedge")
+      LshIndex.probeCandidates(spark, ix, d.filter(col("doc_id") % 3 === 1)).count()
+    } finally { rm(base); d.unpersist() }
+  }
+
+  test("ingestNovel refuses to bootstrap-overwrite a dir that is not a band index") {
+    val d = docs.cache()
+    val base = "/tmp/graft_test_lsh_wrongpath"
+    try {
+      rm(base)
+      // an unrelated parquet dataset at the "index" path — a mistyped
+      // path must refuse loudly, never be destroyed by the overwrite
+      d.limit(5).write.parquet(s"$base/not_an_index")
+      val e = intercept[IllegalArgumentException](
+        LshIndex.ingestNovel(spark, s"$base/not_an_index", s"$base/kept",
+          d.filter(col("doc_id") % 3 === 0), batchId = 0L, numBuckets = 16))
+      assert(e.getMessage.contains("refusing to overwrite"))
+      assert(spark.read.parquet(s"$base/not_an_index").count() === 5,
+        "the unrelated dataset must be untouched")
+    } finally { rm(base); d.unpersist() }
+  }
+
   test("ingestNovel: sequential novelty gate equals the batch greedy rule, index tracks kept docs") {
     val d = docs.cache()
     val base = "/tmp/graft_test_lsh_ingest"

@@ -20,7 +20,7 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private def tsDf(rows: Seq[(Long, String, Long)], extra: Seq[(String, Long => Any)] = Nil) =
+  private def tsDf(rows: Seq[(Long, String, Long)]) =
     rows.toDF("k", "ts", "id").withColumn("ts", col("ts").cast("timestamp"))
 
   test("backward match, left-outer nulls, no cross-key leakage") {
