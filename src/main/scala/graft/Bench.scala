@@ -193,10 +193,12 @@ object Bench {
       if (s.isEmpty) 15.0 else s.min
     }
     // the guaranteed phases after the query suite (input materialization,
-    // ladder round 1 with warm-ups, calibration) need ~140 s in a quiet
-    // window; round 1 leaves room for them even if the query suite alone
-    // would eat the budget
-    val ladderReserve = 180.0
+    // ladder round 1 with warm-ups, calibration) need ~200 s in a quiet
+    // window and gate on remaining > reserve + 280 (all-or-nothing rule
+    // below); round 1 stops early enough to leave them room — the north
+    // rule needs the scaling pair more than it needs the last few
+    // queries of a starved round
+    val ladderReserve = 310.0
     var queryRoundsDone = 0
     var aborted = false
     for ((name, fn) <- sortedQueries) {
@@ -213,7 +215,14 @@ object Bench {
     // only when the window is so starved that attempting it would blow
     // straight through the budget.
     val benchInput = "/tmp/graft_bench_input.parquet"
-    val ladderFeasible = remaining > reserve + 60
+    // ALL-OR-NOTHING: materializing the 30M-turn input only pays off if
+    // at least the 4→16 pair can still run after it (~60 s quiet
+    // materialization + ~150 s for two warmed levels; a loaded window
+    // multiplies both). A window that materialized and then had no
+    // budget left for any level burned minutes for zero scaling
+    // evidence — observed once under a neighbor burst: 340 s of write,
+    // ladder_rounds 0, and a 189 s budget overshoot.
+    val ladderFeasible = remaining > reserve + 280
     var turns = 0L
     if (ladderFeasible) {
       spark = session(cpusHi)
@@ -245,7 +254,12 @@ object Bench {
     }
     def ladderRound(first: Boolean): Boolean = {
       var complete = true
-      for (cpus <- levels) {
+      // round 1 runs the north-rule pair FIRST (4, 16) so a mid-round
+      // budget cut still leaves a reportable 4→16 efficiency instead of
+      // a useless lone level
+      val order =
+        if (first) Seq(4, 16, 8, 32).filter(levels.contains) else levels
+      for (cpus <- order) {
         val need = (if (first) 2.5 else 1.5) * lEst(cpus) + 2.0
         if (remaining > reserve + need) {
           spark = session(cpus)
