@@ -883,7 +883,8 @@ object SparkEntry {
     "q33_stream_batch_equiv" ->
       (s"$C SELECT CAST(COUNT(*) AS BIGINT) AS n_turns, true AS inc_bloom_eq, " +
         "true AS inc_hll_eq, true AS inc_cms_eq, true AS inc_theta_eq, " +
-        "true AS inc_bottomk_eq, true AS inc_wbk_eq, true AS inc_tdigest_ok, " +
+        "true AS inc_bottomk_eq, true AS inc_wbk_eq, true AS inc_cbf_eq, " +
+        "true AS inc_tdigest_ok, " +
         "true AS inc_kll_ok, true AS inc_mg_ok, true AS windowed_eq, " +
         "true AS win_quantiles_ok, true AS win_mg_ok FROM transcripts"),
     "q35_sharded_probe" ->

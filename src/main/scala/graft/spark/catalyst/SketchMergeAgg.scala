@@ -93,6 +93,9 @@ object SketchMergeAgg {
           case SketchCodec.TypeId.Mg => sketch = SketchCodec.decodeMg(bytes)
           case SketchCodec.TypeId.WeightedBottomK =>
             sketch = SketchCodec.decodeWeightedBottomK(bytes)
+          case SketchCodec.TypeId.CountingBloom =>
+            keyMode = SketchCodec.countingBloomKeyMode(bytes)
+            sketch = SketchCodec.decodeCountingBloom(bytes)
           case other => throw new IllegalArgumentException(s"unknown sketch type $other")
         }
       } else {
@@ -121,6 +124,13 @@ object SketchMergeAgg {
           case SketchCodec.TypeId.WeightedBottomK =>
             sketch.asInstanceOf[WeightedBottomKSketch]
               .mergeInPlace(SketchCodec.decodeWeightedBottomK(bytes))
+          case SketchCodec.TypeId.CountingBloom =>
+            require(SketchCodec.countingBloomKeyMode(bytes) == keyMode,
+              "cannot merge counting filters built with different key conventions")
+            // per-cell saturating add — associative + commutative, so the
+            // counting filter is in the bit-identity club alongside Bloom
+            sketch.asInstanceOf[CountingBloomSketch]
+              .mergeInPlace(SketchCodec.decodeCountingBloom(bytes))
         }
       }
     }
@@ -137,6 +147,8 @@ object SketchMergeAgg {
         case SketchCodec.TypeId.Mg => SketchCodec.encodeMg(s.asInstanceOf[MGSketch])
         case SketchCodec.TypeId.WeightedBottomK =>
           SketchCodec.encodeWeightedBottomK(s.asInstanceOf[WeightedBottomKSketch])
+        case SketchCodec.TypeId.CountingBloom =>
+          SketchCodec.encodeCountingBloom(s.asInstanceOf[CountingBloomSketch], keyMode)
       }
     }
   }

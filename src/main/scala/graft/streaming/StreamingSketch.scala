@@ -147,6 +147,15 @@ object StreamingSketch {
     val bkState = new IncrementalState
     val wbkState = new IncrementalState
     val mgState = new IncrementalState
+    // counting Bloom (round 6): per-cell saturating add is associative +
+    // commutative, so the TENTH sketch type joins the BIT-identity club.
+    // Incremental foreachBatch is also the production shape for the
+    // filter's reason to exist — CDC/upsert feeds with retractions; the
+    // windowed-state shape would need a counting TypedImperativeAggregate
+    // with sparse buffer serialization (the state row carries m CELLS,
+    // 8× the bit filter) and is deliberately not wired.
+    val cbfState = new IncrementalState
+    val cbfKey = graft.spark.functions.sketchKey(col("conv_id"), col("turn_idx"))
     val q1 = stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -163,7 +172,8 @@ object StreamingSketch {
             bottomKSampleAgg(256)(col("conv_id")).as("bk"),
             weightedBottomKSampleAgg(256)(col("conv_id"), convWeight(col("conv_id")))
               .as("wbk"),
-            mgAgg(8)(col("tool")).as("mg")).head
+            mgAgg(8)(col("tool")).as("mg"),
+            graft.spark.functions.cbfAgg(capacity, 0.001)(cbfKey).as("cb")).head
           bloomState.merge(r.getAs[Array[Byte]]("b"))
           hllState.merge(r.getAs[Array[Byte]]("h"))
           cmsState.merge(r.getAs[Array[Byte]]("c"))
@@ -173,6 +183,7 @@ object StreamingSketch {
           bkState.merge(r.getAs[Array[Byte]]("bk"))
           wbkState.merge(r.getAs[Array[Byte]]("wbk"))
           mgState.merge(r.getAs[Array[Byte]]("mg"))
+          cbfState.merge(r.getAs[Array[Byte]]("cb"))
         }
         ()
       }
@@ -193,7 +204,8 @@ object StreamingSketch {
       thetaAggNative(col("conv_id")).as("th"),
       bottomKSampleAgg(256)(col("conv_id")).as("bk"),
       weightedBottomKSampleAgg(256)(col("conv_id"), convWeight(col("conv_id")))
-        .as("wbk")).head
+        .as("wbk"),
+      graft.spark.functions.cbfAgg(capacity, 0.001)(cbfKey).as("cb")).head
     def eq(state: IncrementalState, c: String): Boolean =
       state.get.exists(java.util.Arrays.equals(_, batchRow.getAs[Array[Byte]](c)))
 
@@ -371,10 +383,12 @@ object StreamingSketch {
     spark.catalog.dropTempView(sinkName) // memory sink hygiene (all uses materialized)
 
     Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"),
-        eq(thetaState, "th"), eq(bkState, "bk"), eq(wbkState, "wbk"), tdOk,
+        eq(thetaState, "th"), eq(bkState, "bk"), eq(wbkState, "wbk"),
+        eq(cbfState, "cb"), tdOk,
         kllOk, mgOk, windowedEq, winQuantilesOk, winMgOk))
       .toDF("n_turns", "inc_bloom_eq", "inc_hll_eq", "inc_cms_eq",
-        "inc_theta_eq", "inc_bottomk_eq", "inc_wbk_eq", "inc_tdigest_ok",
+        "inc_theta_eq", "inc_bottomk_eq", "inc_wbk_eq", "inc_cbf_eq",
+        "inc_tdigest_ok",
         "inc_kll_ok", "inc_mg_ok", "windowed_eq", "win_quantiles_ok", "win_mg_ok")
   }
 
