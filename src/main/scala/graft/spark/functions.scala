@@ -166,6 +166,39 @@ object functions {
       else SketchCodec.encodeBloom(cbfOf(s).collapse(),
         SketchCodec.countingBloomKeyMode(s))).apply(sketch)
 
+  /** Per-cell floored subtraction of two counting-Bloom blobs — snapshot
+    * algebra: `cbfSubtract(inserts, deletes)` yields the net filter when
+    * the two sides were built as separate daily/periodic aggregates
+    * (exact when no cell saturated; the same finalization
+    * CbfAggregator's signed path runs internally). Configs, hash pairs
+    * and key conventions must match. */
+  def cbfSubtract(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || y == null) null
+      else {
+        val mode = SketchCodec.countingBloomKeyMode(x)
+        require(mode == SketchCodec.countingBloomKeyMode(y),
+          "cannot combine counting filters built with different key conventions")
+        SketchCodec.encodeCountingBloom(
+          SketchCodec.decodeCountingBloom(x).copySketch()
+            .subtractInPlace(SketchCodec.decodeCountingBloom(y)), mode)
+      }).apply(a, b)
+
+  /** Saturating per-cell merge of two counting-Bloom blobs (the
+    * aggregation merge as a query-side binary function, the bloomUnion
+    * sibling). */
+  def cbfMerge(a: Column, b: Column): Column =
+    udf((x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || y == null) null
+      else {
+        val mode = SketchCodec.countingBloomKeyMode(x)
+        require(mode == SketchCodec.countingBloomKeyMode(y),
+          "cannot combine counting filters built with different key conventions")
+        SketchCodec.encodeCountingBloom(
+          SketchCodec.decodeCountingBloom(x).copySketch()
+            .mergeInPlace(SketchCodec.decodeCountingBloom(y)), mode)
+      }).apply(a, b)
+
   def cbfElementCount(sketch: Column): Column =
     udf((s: Array[Byte]) =>
       if (s == null) null else Double.box(cbfOf(s).approximateElementCount))
@@ -329,5 +362,17 @@ object functions {
         SketchCodec.countingBloomKeyMode(s)))
     spark.udf.register("cbf_element_count", (s: Array[Byte]) =>
       if (s == null) null else Double.box(cbfOf(s).approximateElementCount))
+    spark.udf.register("cbf_subtract", (x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || y == null) null
+      else SketchCodec.encodeCountingBloom(
+        SketchCodec.decodeCountingBloom(x).copySketch()
+          .subtractInPlace(SketchCodec.decodeCountingBloom(y)),
+        SketchCodec.countingBloomKeyMode(x)))
+    spark.udf.register("cbf_merge", (x: Array[Byte], y: Array[Byte]) =>
+      if (x == null || y == null) null
+      else SketchCodec.encodeCountingBloom(
+        SketchCodec.decodeCountingBloom(x).copySketch()
+          .mergeInPlace(SketchCodec.decodeCountingBloom(y)),
+        SketchCodec.countingBloomKeyMode(x)))
   }
 }

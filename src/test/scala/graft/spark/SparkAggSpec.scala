@@ -406,4 +406,58 @@ class SparkAggSpec extends AnyFunSuite {
     val keys = df.select(gf.sketchKey($"x", $"y").as("k")).collect().map(_.getAs[Array[Byte]]("k"))
     assert(keys.map(_.toSeq).distinct.length === 3)
   }
+
+  test("counting Bloom: signed agg ≡ snapshot algebra, SQL surface, partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i => (s"k-$i", 1L)) ++
+      (0 until 1000).map(i => (s"k-$i", -1L)) // retract the first quarter
+    val cap = 4000L
+    def signedBlob(parts: Int): Array[Byte] =
+      rows.toDF("k", "m").repartition(parts)
+        .agg(gf.cbfAgg(cap, 0.001)(encode(col("k"), "UTF-8"), col("m")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+    val b1 = signedBlob(1)
+    val b16 = signedBlob(16)
+    assert(java.util.Arrays.equals(b1, b16),
+      "signed counting agg must be merge-tree independent (retracts can precede inserts)")
+    // snapshot algebra: separate insert/delete aggregates composed with
+    // cbfSubtract must equal the one-pass signed build byte-for-byte
+    val ins = rows.filter(_._2 > 0).toDF("k", "m")
+      .agg(gf.cbfAgg(cap, 0.001)(encode(col("k"), "UTF-8")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val del = rows.filter(_._2 < 0).toDF("k", "m")
+      .agg(gf.cbfAgg(cap, 0.001)(encode(col("k"), "UTF-8")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val net = spark.range(1)
+      .select(gf.cbfSubtract(lit(ins), lit(del)).as("n"))
+      .head.getAs[Array[Byte]]("n")
+    assert(java.util.Arrays.equals(net, b1),
+      "cbfSubtract(inserts, deletes) must equal the signed one-pass build")
+    // cbfMerge of two half-builds ≡ whole build
+    val h1 = rows.filter(_._2 > 0).take(2000).toDF("k", "m")
+      .agg(gf.cbfAgg(cap, 0.001)(encode(col("k"), "UTF-8")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val h2 = rows.filter(_._2 > 0).drop(2000).toDF("k", "m")
+      .agg(gf.cbfAgg(cap, 0.001)(encode(col("k"), "UTF-8")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val merged = spark.range(1)
+      .select(gf.cbfMerge(lit(h1), lit(h2)).as("m")).head.getAs[Array[Byte]]("m")
+    assert(java.util.Arrays.equals(merged, ins),
+      "cbfMerge of disjoint halves must equal the whole insert build")
+    // SQL surface: probe + collapse + subtract through spark.sql
+    gf.registerAll(spark, cap)
+    rows.toDF("k", "m").createOrReplaceTempView("cbf_rows")
+    spark.range(1).select(lit(b1).as("cbf")).createOrReplaceTempView("cbf_tbl")
+    val kept = spark.sql(
+      "SELECT count(*) AS c FROM cbf_rows WHERE m > 0 AND " +
+        "cbf_might_contain((SELECT cbf FROM cbf_tbl), encode(k, 'UTF-8'))").head.getLong(0)
+    assert(kept >= 3000, "all 3000 surviving keys must probe true (zero FN)")
+    val bloomed = spark.sql(
+      "SELECT cbf_to_bloom(cbf) AS b FROM cbf_tbl").head.getAs[Array[Byte]]("b")
+    assert(SketchCodec.typeOf(bloomed) == SketchCodec.TypeId.Bloom)
+    val viaSql = spark.sql(
+      s"SELECT cbf_subtract(cbf, cbf) AS z FROM cbf_tbl").head.getAs[Array[Byte]]("z")
+    assert(SketchCodec.decodeCountingBloom(viaSql).countNonZero === 0L,
+      "x subtract x must zero every cell")
+  }
 }
