@@ -82,9 +82,12 @@ object PipelineEntries {
       val sh = TextPipeline.withShingles(docs(s, dir), "__sh").cache()
       val truePairs = TextPipeline.exactJaccardPairsFromShingled(sh)
         .select(col("doc_a"), col("doc_b")).cache()
-      val nTrue = truePairs.count()
+      // r07 (guide §2.6): the truth count and the LSH-candidate recall
+      // join are independent actions over the shared caches — overlap
+      val nTrueF = graft.spark.Par.overlapped(truePairs.count())
       val found = TextPipeline.minhashCandidatesFromShingled(sh)
         .join(truePairs, Seq("doc_a", "doc_b")).count()
+      val nTrue = nTrueF()
       sh.unpersist()
       val out = Seq((nTrue, found == nTrue)).toDF("n_true_pairs", "lsh_recall_ok")
       truePairs.unpersist()
@@ -111,8 +114,12 @@ object PipelineEntries {
       val b = TextPipeline.simhashCandidatesFromSigs(sigs, interleaved = true)
         .filter(TextPipeline.hammingTableUdf(col("sim_a"), col("sim_b")) <= 6)
         .select(col("doc_a"), col("doc_b")).cache()
-      val (na, nb) = (a.count(), b.count())
+      // r07 (guide §2.6): the two path counts and the agreement join are
+      // independent actions over the shared caches — overlap them
+      val naF = graft.spark.Par.overlapped(a.count())
+      val nbF = graft.spark.Par.overlapped(b.count())
       val nBoth = a.join(b, Seq("doc_a", "doc_b")).count()
+      val (na, nb) = (naF(), nbF())
       a.unpersist(); b.unpersist(); sigs.unpersist()
       Seq((nDocs, na == nb && nb == nBoth))
         .toDF("n_docs", "banding_equals_exhaustive")
@@ -145,11 +152,14 @@ object PipelineEntries {
       // membership of a missed pair is a plain filter — no second
       // inverted-index pass
       val truePairs = TextPipeline.exactCosinePairsFromShingled(sh).cache()
-      val nTrue = truePairs.count()
+      // r07 (guide §2.6): the truth count overlaps the candidate-path
+      // anti-join (independent actions over the shared caches)
+      val nTrueF = graft.spark.Par.overlapped(truePairs.count())
       val missed = truePairs
         .join(TextPipeline.minhashCandidatesFromShingled(sh), Seq("doc_a", "doc_b"), "left_anti")
         .cache()
       val missedAll = missed.count()
+      val nTrue = nTrueF()
       val missedCore = missed
         .filter(col("n_common") * 2 >= col("na") + col("nb") - col("n_common"))
         .count()
@@ -198,10 +208,15 @@ object PipelineEntries {
       val evalSh = sh.filter(col("doc_id") < 20).cache()
       val corpusSh = sh.filter(col("doc_id") >= 20)
       val nEvalSh = evalSh.count()
-      // exact path: inverted-index semi-join on shingles
-      val exact = corpusSh.join(evalSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
-        .select(col("doc_id")).distinct().cache()
-      val nExact = exact.count()
+      // r07 (guide §2.6): the exact inverted-index path is independent
+      // of the Bloom build+probe path it verifies — overlap the two;
+      // `bloomed` is cached because BOTH equality counts read it (it
+      // was recomputed per count before)
+      val exactF = graft.spark.Par.overlapped {
+        val e = corpusSh.join(evalSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
+          .select(col("doc_id")).distinct().cache()
+        (e, e.count())
+      }
       // Bloom path: one filter over eval shingles, probed in a scan
       val blob = evalSh
         .agg(bloomAggNative(math.max(nEvalSh, 1000L), 0.0001)(col("sh")))
@@ -210,9 +225,11 @@ object PipelineEntries {
         .filter(bloomMightContainNative(lit(blob), col("sh")))
       val bloomed = candidates
         .join(evalSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
-        .select(col("doc_id")).distinct()
-      val same = bloomed.join(exact, "doc_id").count() == nExact && bloomed.count() == nExact
-      exact.unpersist(); evalSh.unpersist(); sh.unpersist()
+        .select(col("doc_id")).distinct().cache()
+      val nBloomed = bloomed.count()
+      val (exact, nExact) = exactF()
+      val same = bloomed.join(exact, "doc_id").count() == nExact && nBloomed == nExact
+      bloomed.unpersist(); exact.unpersist(); evalSh.unpersist(); sh.unpersist()
       Seq((nExact, same)).toDF("n_contaminated", "bloom_equals_exact")
     }),
 
@@ -386,9 +403,15 @@ object PipelineEntries {
       // overwrite an index another JVM is mid-scan on
       val ixPath = scratchDir("graft_q42_ivf_index")
       try {
+      // r07 (guide §2.6): the float brute-force baseline is independent
+      // of the index build — overlap the two
+      val bfF = graft.spark.Par.overlapped {
+        val x = VectorPipeline.bruteForceTopK(emb, queries, 10)
+          .select(col("q_id"), col("n_id")).cache()
+        x.count(); x
+      }
       VectorPipeline.writeIvfIndex(emb, book, ixPath)
-      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
-        .select(col("q_id"), col("n_id")).cache()
+      val bf = bfF()
       val nq = queries.count()
       // NO `book` argument: routing reads the persisted codebook and
       // fingerprint-verifies it — the round-trip gate below pins that
@@ -441,15 +464,23 @@ object PipelineEntries {
       val nq = queries.count()
       val book = VectorPipeline.trainedCodebookDistributed(emb, 64,
         sampleN = 1 << 15, iters = 10).cache()
-      val book2 = VectorPipeline.trainedCodebookDistributed(
-        emb.repartition(7, col("vec_id") % 3), 64, sampleN = 1 << 15, iters = 10)
-      val deterministic = VectorPipeline.codebookFingerprint(book) ==
-        VectorPipeline.codebookFingerprint(book2)
-      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
-        .select(col("q_id"), col("n_id")).cache()
+      // r07 (guide §2.6): the determinism re-training and the float
+      // brute-force baseline are independent of the index build — both
+      // overlap the writeIvfIndexTwoLevel below
+      val book2F = graft.spark.Par.overlapped(
+        VectorPipeline.trainedCodebookDistributed(
+          emb.repartition(7, col("vec_id") % 3), 64, sampleN = 1 << 15, iters = 10))
+      val bfF = graft.spark.Par.overlapped {
+        val x = VectorPipeline.bruteForceTopK(emb, queries, 10)
+          .select(col("q_id"), col("n_id")).cache()
+        x.count(); x
+      }
       val ixPath = scratchDir("graft_q46_ivf_index")
       try {
         VectorPipeline.writeIvfIndexTwoLevel(emb, book, ixPath, coarseK = 8, probes = 4)
+        val deterministic = VectorPipeline.codebookFingerprint(book) ==
+          VectorPipeline.codebookFingerprint(book2F())
+        val bf = bfF()
         val scored = VectorPipeline
           .ivfScoredCandidatesFromIndex(s, ixPath, queries, 32).cache()
         def recallAt(nprobe: Int): Double = {
@@ -480,11 +511,28 @@ object PipelineEntries {
       val emb = VectorPipeline.embeddings(s, dir).cache()
       val queries = emb.filter(col("vec_id") < 20)
       val nq = queries.count()
-      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
-        .select(col("q_id"), col("n_id")).cache()
+      // r07 (guide §2.6): the float baseline and the storage-ratio
+      // writes are independent of the int8 scoring path — overlap them
+      val bfF = graft.spark.Par.overlapped {
+        val x = VectorPipeline.bruteForceTopK(emb, queries, 10)
+          .select(col("q_id"), col("n_id")).cache()
+        x.count(); x
+      }
+      // honest storage ratio: both columns written as parquet
+      // unique per run (concurrent invocations must not clobber each
+      // other's measurement dirs), removed afterwards
+      val base = scratchDir("graft_q44_size")
+      val ratioF = graft.spark.Par.overlapped {
+        emb.select(col("embedding")).repartition(1)
+          .write.mode("overwrite").parquet(s"$base/f32")
+        emb.select(graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"))
+          .repartition(1).write.mode("overwrite").parquet(s"$base/i8")
+        dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/i8"), 1L)
+      }
       // ONE int8 scoring pass serves both stages: the one-stage top-10
       // and the two-stage candidate set are ranked slices of it
       val scoredI8 = VectorPipeline.bruteForceScoredQuantized(emb, queries).cache()
+      val bf = bfF()
       val qbf = VectorPipeline.topKFromScored(scoredI8, 10)
         .select(col("q_id"), col("n_id"))
       val recall = bf.join(qbf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
@@ -492,17 +540,7 @@ object PipelineEntries {
         .select(col("q_id"), col("n_id"))
       val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
       scoredI8.unpersist()
-      // honest storage ratio: both columns written as parquet
-      // unique per run (concurrent invocations must not clobber each
-      // other's measurement dirs), removed afterwards
-      val base = scratchDir("graft_q44_size")
-      val ratio = try {
-        emb.select(col("embedding")).repartition(1)
-          .write.mode("overwrite").parquet(s"$base/f32")
-        emb.select(graft.spark.catalyst.quantizeI8(col("embedding")).as("qe"))
-          .repartition(1).write.mode("overwrite").parquet(s"$base/i8")
-        dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/i8"), 1L)
-      } finally deleteTmpDir(s, base)
+      val ratio = try ratioF() finally deleteTmpDir(s, base)
       bf.unpersist(); emb.unpersist()
       Seq((nq, recall >= 0.90, recallRerank >= 0.99, ratio >= 2.5))
         .toDF("n_queries", "recall_ok", "recall_rerank_ok", "storage_4x_ok")
@@ -1039,13 +1077,30 @@ object PipelineEntries {
       val queries = emb.filter(col("vec_id") < 20)
       val nq = queries.count()
       val books = VectorPipeline.trainedPqBooks(emb, m = 16, ksub = 256)
-      val deterministic = VectorPipeline.pqBooksFingerprint(books) ==
-        VectorPipeline.pqBooksFingerprint(VectorPipeline.trainedPqBooks(
-          emb.repartition(7, col("vec_id") % 3), m = 16, ksub = 256))
-      val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
-        .select(col("q_id"), col("n_id")).cache()
+      // r07 (guide §2.6): the determinism re-training, the float
+      // brute-force baseline and the storage-ratio writes are mutually
+      // independent of the ADC scoring path — run all three on
+      // background threads and collect at their use sites
+      val deterministicF = graft.spark.Par.overlapped(
+        VectorPipeline.pqBooksFingerprint(books) ==
+          VectorPipeline.pqBooksFingerprint(VectorPipeline.trainedPqBooks(
+            emb.repartition(7, col("vec_id") % 3), m = 16, ksub = 256)))
+      val bfF = graft.spark.Par.overlapped {
+        val x = VectorPipeline.bruteForceTopK(emb, queries, 10)
+          .select(col("q_id"), col("n_id")).cache()
+        x.count(); x
+      }
+      val base = scratchDir("graft_q53_size")
+      val ratioF = graft.spark.Par.overlapped {
+        emb.select(col("embedding")).repartition(1)
+          .write.mode("overwrite").parquet(s"$base/f32")
+        emb.select(graft.spark.catalyst.pqEncodeNative(col("embedding"), books).as("pq"))
+          .repartition(1).write.mode("overwrite").parquet(s"$base/pq")
+        dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/pq"), 1L)
+      }
       // ONE ADC scoring pass serves both stages (the q44 shape)
       val scoredPq = VectorPipeline.bruteForceScoredPq(emb, queries, books).cache()
+      val bf = bfF()
       val one = VectorPipeline.topKFromScored(scoredPq, 10)
         .select(col("q_id"), col("n_id"))
       val recall = bf.join(one, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
@@ -1053,14 +1108,8 @@ object PipelineEntries {
         .select(col("q_id"), col("n_id"))
       val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
       scoredPq.unpersist()
-      val base = scratchDir("graft_q53_size")
-      val ratio = try {
-        emb.select(col("embedding")).repartition(1)
-          .write.mode("overwrite").parquet(s"$base/f32")
-        emb.select(graft.spark.catalyst.pqEncodeNative(col("embedding"), books).as("pq"))
-          .repartition(1).write.mode("overwrite").parquet(s"$base/pq")
-        dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/pq"), 1L)
-      } finally deleteTmpDir(s, base)
+      val ratio = try ratioF() finally deleteTmpDir(s, base)
+      val deterministic = deterministicF()
       bf.unpersist(); emb.unpersist()
       Seq((nq, deterministic, recall >= 0.6, recallRerank >= 0.95, ratio >= 6.0))
         .toDF("n_queries", "deterministic", "recall_ok", "recall_rerank_ok",
@@ -1089,12 +1138,38 @@ object PipelineEntries {
       val full = scratchDir("graft_q54_full")
       val half = scratchDir("graft_q54_half")
       try {
+        // r07 (guide §2.6): the float brute-force baseline depends only
+        // on the cached embeddings — overlap it with the full-index build
+        val bfF = graft.spark.Par.overlapped {
+          val x = VectorPipeline.bruteForceTopK(emb, queries, 10)
+            .select(col("q_id"), col("n_id")).cache()
+          x.count(); x
+        }
         VectorPipeline.writeIvfIndexPq(emb, book, pqBooks, full)
         val roundtrip = VectorPipeline.pqBooksFingerprint(
           VectorPipeline.readPqBooks(s, full)) ==
           VectorPipeline.pqBooksFingerprint(pqBooks)
-        val bf = VectorPipeline.bruteForceTopK(emb, queries, 10)
-          .select(col("q_id"), col("n_id")).cache()
+        def sig(path: String): (Long, Long) = {
+          // coalesce: bit_xor over an empty relation is NULL — an empty
+          // index must sign as (0, 0) and fail the compare, not NPE
+          // (the shared bandIndexSig rule)
+          val r = s.read.parquet(path)
+            .agg(expr("coalesce(bit_xor(xxhash64(vec_id, pq, centroid_id)), 0L)"),
+              count(lit(1))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        // append-equivalence: assignment and encoding are pure functions
+        // of (vector, sidecar state), so the split build must match the
+        // one-shot build byte for byte. The half-build + append + its
+        // signature touch only `half` — independent of the probe/recall
+        // path over `full`, so the whole arm runs on a background thread
+        val halfSigF = graft.spark.Par.overlapped {
+          VectorPipeline.writeIvfIndexPq(
+            emb.filter(col("vec_id") % 2 === 0), book, pqBooks, half)
+          VectorPipeline.appendToIvfIndexPq(emb.filter(col("vec_id") % 2 === 1), half)
+          sig(half)
+        }
+        val bf = bfF()
         // ONE pruned ADC pass at maxProbe=16; both nprobe depths are
         // ranked slices of it (the q46 shape)
         val scored = VectorPipeline
@@ -1108,19 +1183,7 @@ object PipelineEntries {
         val r8 = recallAt(8)
         val r16 = recallAt(16)
         scored.unpersist(); bf.unpersist()
-        // append-equivalence: assignment and encoding are pure functions
-        // of (vector, sidecar state), so the split build must match the
-        // one-shot build byte for byte
-        VectorPipeline.writeIvfIndexPq(
-          emb.filter(col("vec_id") % 2 === 0), book, pqBooks, half)
-        VectorPipeline.appendToIvfIndexPq(emb.filter(col("vec_id") % 2 === 1), half)
-        def sig(path: String): (Long, Long) = {
-          val r = s.read.parquet(path)
-            .agg(expr("bit_xor(xxhash64(vec_id, pq, centroid_id))"),
-              count(lit(1))).head
-          (r.getLong(0), r.getLong(1))
-        }
-        val appendEq = sig(full) == sig(half)
+        val appendEq = sig(full) == halfSigF()
         Seq((nq, roundtrip, r8 >= 0.55, r16 >= 0.7, appendEq))
           .toDF("n_queries", "pqbooks_roundtrip", "recall8_ok", "recall16_ok",
             "append_equivalent")
@@ -1154,6 +1217,22 @@ object PipelineEntries {
         // above the small-file floor at bench scale — at corpus scale the
         // 256 default (or higher) buys finer probe pruning. Fan-out
         // independence of results is pinned by LshIndexSpec.
+        // r07 (guide §2.6): the exact-truth pair set and the from-scratch
+        // signature projection depend only on the input docs — both run
+        // on background threads while the index write+append mutates the
+        // on-disk store; same values, overlapped wall-clock
+        val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
+        val truthF = graft.spark.Par.overlapped {
+          val tp = TextPipeline.exactJaccardPairs(d)
+            .filter(isNew(col("doc_a")) =!= isNew(col("doc_b")))
+            .select(
+              when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
+              when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_old"))
+            .cache()
+          (tp, tp.count())
+        }
+        val scratchSigF = graft.spark.Par.overlapped(
+          bandIndexSig(graft.pipeline.LshIndex.indexRows(corpus, numBuckets = 64)))
         graft.pipeline.LshIndex.write(
           corpus.filter(col("doc_id") % 3 === 1), split, numBuckets = 64)
         graft.pipeline.LshIndex.append(corpus.filter(col("doc_id") % 3 === 2), split)
@@ -1161,22 +1240,17 @@ object PipelineEntries {
         // append) xor-signs identical to the from-scratch signature
         // projection of the full corpus — no second index is materialized
         // (LshIndexSpec additionally pins write↔one-shot row identity)
-        val appendEq = bandIndexSig(s.read.parquet(split)) ==
-          bandIndexSig(graft.pipeline.LshIndex.indexRows(corpus, numBuckets = 64))
-        val isNew = (c: org.apache.spark.sql.Column) => c % 3 === 0
-        val truePairs = TextPipeline.exactJaccardPairs(d)
-          .filter(isNew(col("doc_a")) =!= isNew(col("doc_b")))
-          .select(
-            when(isNew(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_new"),
-            when(isNew(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_old"))
-          .cache()
-        val nTrue = truePairs.count()
+        val appendEq = bandIndexSig(s.read.parquet(split)) == scratchSigF()
+        val (truePairs, nTrue) = truthF()
         val verified = graft.pipeline.LshIndex
           .verifiedDupPairs(s, split, batch, corpus).cache()
         val pairs = verified.select(col("doc_new"), col("doc_old"))
-        val pairSetExact =
-          pairs.join(truePairs, Seq("doc_new", "doc_old"), "left_anti").count() == 0 &&
+        // the two anti-join directions are independent — overlap them
+        val extraEmptyF = graft.spark.Par.overlapped(
+          pairs.join(truePairs, Seq("doc_new", "doc_old"), "left_anti").count() == 0)
+        val missedEmpty =
           truePairs.join(pairs, Seq("doc_new", "doc_old"), "left_anti").count() == 0
+        val pairSetExact = extraEmptyF() && missedEmpty
         val nNovel = graft.pipeline.LshIndex
           .novelDocs(s, split, batch, corpus, Some(verified)).count()
         verified.unpersist(); truePairs.unpersist()
@@ -1207,22 +1281,33 @@ object PipelineEntries {
       val b = d.filter(col("doc_id") % 2 =!= 0).cache()
       val base = scratchDir("graft_q60")
       try {
+        // r07 (guide §2.6): the exact-truth recomputation (the verifier —
+        // deliberately the expensive thing the operator replaces) is
+        // independent of both index builds, and the two builds are
+        // independent of each other — overlap all three
+        val isA = (c: org.apache.spark.sql.Column) => c % 2 === 0
+        val truthF = graft.spark.Par.overlapped {
+          val tr = TextPipeline.exactJaccardPairs(d)
+            .filter(isA(col("doc_a")) =!= isA(col("doc_b")))
+            .select(
+              when(isA(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+              when(isA(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
+            .cache()
+          (tr, tr.count())
+        }
+        val ixBF = graft.spark.Par.overlapped(
+          graft.pipeline.LshIndex.write(b, s"$base/ixB", numBuckets = 64))
         graft.pipeline.LshIndex.write(a, s"$base/ixA", numBuckets = 32)
-        graft.pipeline.LshIndex.write(b, s"$base/ixB", numBuckets = 64)
+        ixBF()
         val verified = graft.pipeline.LshIndex
           .verifiedCrossPairs(s, s"$base/ixA", s"$base/ixB", a, b)
           .select(col("doc_a"), col("doc_b")).cache()
-        val isA = (c: org.apache.spark.sql.Column) => c % 2 === 0
-        val truth = TextPipeline.exactJaccardPairs(d)
-          .filter(isA(col("doc_a")) =!= isA(col("doc_b")))
-          .select(
-            when(isA(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
-            when(isA(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("doc_b"))
-          .cache()
-        val nTrue = truth.count()
-        val pairExact =
-          verified.join(truth, Seq("doc_a", "doc_b"), "left_anti").count() == 0 &&
+        val (truth, nTrue) = truthF()
+        val extraEmptyF = graft.spark.Par.overlapped(
+          verified.join(truth, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+        val missedEmpty =
           truth.join(verified, Seq("doc_a", "doc_b"), "left_anti").count() == 0
+        val pairExact = extraEmptyF() && missedEmpty
         val res = Seq((a.count(), b.count(), nTrue, pairExact))
           .toDF("n_docs_a", "n_docs_b", "n_true_pairs", "pair_set_exact")
         verified.unpersist(); truth.unpersist()
@@ -1281,6 +1366,20 @@ object PipelineEntries {
         }
         val stream = s.readStream.schema(d.schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        // r07 (guide §2.6): the exact-pair truth set the batch-side gates
+        // need is independent of the streaming ingest — build it on a
+        // background thread so its jobs overlap the micro-batch commits.
+        // pairs cached BEFORE the orientation union — otherwise the
+        // union's two branches evaluate the exact shingle self-join twice
+        val pairsF = graft.spark.Par.overlapped {
+          val p = TextPipeline.exactJaccardPairs(d)
+            .select(col("doc_a"), col("doc_b")).cache()
+          val b2 = p.select(col("doc_a").as("x"), col("doc_b").as("y"))
+            .unionByName(p.select(col("doc_b").as("x"), col("doc_a").as("y")))
+            .cache()
+          b2.count()
+          (p, b2)
+        }
         val q = stream.writeStream
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1295,14 +1394,9 @@ object PipelineEntries {
           .start()
         q.awaitTermination()
         val keptStream = s.read.parquet(keptDir).cache()
-        // batch recomputation of the same greedy rule over the exact pairs
-        // pairs cached BEFORE the orientation union — otherwise the union's
-        // two branches evaluate the exact shingle self-join twice
-        val pairs = TextPipeline.exactJaccardPairs(d)
-          .select(col("doc_a"), col("doc_b")).cache()
-        val both = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
-          .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
-          .cache()
+        // batch recomputation of the same greedy rule over the exact
+        // pairs (materialized concurrently with the stream above)
+        val (pairs, both) = pairsF()
         def t(i: Int) = d.filter(col("doc_id") % 3 === i).select(col("doc_id"))
         val k0 = t(0)
         val k1 = t(1).join(
@@ -1365,30 +1459,37 @@ object PipelineEntries {
       val nBatch = batch.count()
       val split = scratchDir("graft_q57_split")
       try {
+        // r07 (guide §2.6): the brute-force exact truth (the scale path
+        // the index replaces — the point of gating against it) and the
+        // from-scratch signature projection are independent of the
+        // on-disk index — overlap both with the write+append
+        val truthF = graft.spark.Par.overlapped {
+          val tr = batch
+            .select(col("vec_id").as("vec_new"), col("embedding").as("__en"))
+            .crossJoin(emb.select(col("vec_id").as("vec_old"), col("embedding").as("__eo")))
+            .filter(graft.spark.catalyst.cosineNative(col("__en"), col("__eo"))
+              >= graft.pipeline.SrpIndex.DefaultTau)
+            .select(col("vec_new"), col("vec_old")).cache()
+          (tr, tr.count())
+        }
+        val scratchSigF = graft.spark.Par.overlapped(
+          bandIndexSig(graft.pipeline.SrpIndex.indexRows(emb, 64), "vec_id"))
         // the q55 sizing rule: 64 buckets at bench scale; 256+ at corpus
         // scale for finer probe pruning
         graft.pipeline.SrpIndex.write(
           emb.filter(col("vec_id") % 2 === 0), split, numBuckets = 64)
         graft.pipeline.SrpIndex.append(emb.filter(col("vec_id") % 2 === 1), split)
         val appendEq =
-          bandIndexSig(s.read.parquet(split), "vec_id") ==
-          bandIndexSig(graft.pipeline.SrpIndex.indexRows(emb, 64), "vec_id")
-        // exact truth: brute-force cosine over the (batch × corpus) cross —
-        // bounded by the fixture; the scale path is exactly what the index
-        // replaces, which is the point of gating against it
-        val truth = batch
-          .select(col("vec_id").as("vec_new"), col("embedding").as("__en"))
-          .crossJoin(emb.select(col("vec_id").as("vec_old"), col("embedding").as("__eo")))
-          .filter(graft.spark.catalyst.cosineNative(col("__en"), col("__eo"))
-            >= graft.pipeline.SrpIndex.DefaultTau)
-          .select(col("vec_new"), col("vec_old")).cache()
-        val nTrue = truth.count()
+          bandIndexSig(s.read.parquet(split), "vec_id") == scratchSigF()
+        val (truth, nTrue) = truthF()
         val verified = graft.pipeline.SrpIndex
           .verifiedDupPairs(s, split, batch, emb).cache()
         val pairs = verified.select(col("vec_new"), col("vec_old"))
-        val pairSetExact =
-          pairs.join(truth, Seq("vec_new", "vec_old"), "left_anti").count() == 0 &&
+        val extraEmptyF = graft.spark.Par.overlapped(
+          pairs.join(truth, Seq("vec_new", "vec_old"), "left_anti").count() == 0)
+        val missedEmpty =
           truth.join(pairs, Seq("vec_new", "vec_old"), "left_anti").count() == 0
+        val pairSetExact = extraEmptyF() && missedEmpty
         val nNovel = graft.pipeline.SrpIndex
           .novelVecs(s, split, batch, emb, verifiedPairs = Some(verified)).count()
         verified.unpersist(); truth.unpersist()

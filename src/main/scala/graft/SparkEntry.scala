@@ -52,15 +52,22 @@ object SparkEntry {
     // §2.1 #1–7, #10–12: build KM Bloom over (conv_id, turn_idx), probe
     // every inserted key — zero false negatives (lib.rs:207–208) makes the
     // per-role contained-counts EXACTLY the per-role row counts.
+    // r07: the events→transcripts row_number window used to run THREE
+    // times (count, build, probe) — now once into a cache whose release
+    // is made safe by materializing the 3-row result eagerly (the q38
+    // collect+parallelize pattern; values and schema unchanged).
     "q01_bloom_membership" -> ((s, dir) => {
-      val t = Transcripts.load(s, dir)
+      val t = Transcripts.load(s, dir).cache()
       val n = t.count()
       val sketch = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
         "sk" -> gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
         .getAs[Array[Byte]]("sk")
-      t.filter(gf.bloomProbe(sketch)(key2("conv_id", "turn_idx")))
+      val out = t.filter(gf.bloomProbe(sketch)(key2("conv_id", "turn_idx")))
         .groupBy(col("role")).agg(count(lit(1)).as("n_contained"))
         .orderBy(col("role"))
+      val rows = out.collect()
+      t.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
     }),
 
     // §2.1 #7 negative side + #16: probe n DISJOINT keys (turn_idx shifted
@@ -68,13 +75,17 @@ object SparkEntry {
     // theoretical bound (integration.rs:148–189 shape).
     "q02_bloom_fpr" -> ((s, dir) => {
       import s.implicits._
-      val t = Transcripts.load(s, dir)
+      // r07: cached — count, sharded build and FP probe each re-derived
+      // the row_number window before; the result row is local, so the
+      // cache releases before return
+      val t = Transcripts.load(s, dir).cache()
       val n = t.count()
       val sketch = shardedBlobRow(t, Seq("conv_id", "turn_idx"),
         "sk" -> gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
         .getAs[Array[Byte]]("sk")
       val probeKey = gf.sketchKey(col("conv_id"), (col("turn_idx") + 1000000).cast("int"))
       val fp = t.filter(gf.bloomProbe(sketch)(probeKey)).count()
+      t.unpersist()
       val fprOk = fp <= n * P * 1.05 + 3 * math.sqrt(n * P) + 1
       val estOk = SketchCodec.decodeBloom(sketch).approximateCurrentFpp <= P * 1.05
       Seq((n, estOk, fprOk)).toDF("n_probes", "est_fpp_ok", "fpr_ok")
@@ -86,7 +97,9 @@ object SparkEntry {
     // to bulk insertion; integration.rs:310–366).
     "q03_bloom_union_shards" -> ((s, dir) => {
       import s.implicits._
-      val t = Transcripts.load(s, dir)
+      // r07: cached — count, sharded-union build, bulk comparandum and
+      // zero-FN probe each re-derived the window before (4 passes → 1)
+      val t = Transcripts.load(s, dir).cache()
       val n = t.count()
       // shard function mirrored exactly by the oracle's n_shards count
       val shard = pmod(expr("CAST(SUBSTR(conv_id, 2) AS BIGINT)"), lit(8L))
@@ -111,6 +124,7 @@ object SparkEntry {
         t.agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx"))).head.getAs[Array[Byte]](0))
       val zeroFn = t.filter(gf.bloomProbe(mergedBlob)(
         key2("conv_id", "turn_idx"))).count() == n
+      t.unpersist()
       Seq((nShards, SketchCodec.decodeBloom(mergedBlob) == bulk, zeroFn))
         .toDF("n_shards", "union_equals_bulk", "zero_false_negatives")
     }),
@@ -119,7 +133,9 @@ object SparkEntry {
     // (the reference's query-side set algebra, km_bloom_filter.rs:253–263).
     "q04_bloom_intersect" -> ((s, dir) => {
       import s.implicits._
-      val t = Transcripts.load(s, dir)
+      // r07: cached — the parity aggregate and the sharded two-sided
+      // build each re-derived the window before (2 passes → 1)
+      val t = Transcripts.load(s, dir).cache()
       // one shuffle: per-conv parity spread — `parity` is both the distinct
       // conv list (nConv) and, filtered to par=2, the true intersection
       val parity = t.groupBy(col("conv_id"))
@@ -145,7 +161,7 @@ object SparkEntry {
       // false positives on the rest within margin (reference margin 0.07)
       val extra = probed.getLong(0) - probed.getLong(1)
       val fpOk = extra <= (nConv - nBoth) * P * 1.07 + 3 * math.sqrt(nConv * P) + 1
-      parity.unpersist()
+      parity.unpersist(); t.unpersist()
       Seq((nBoth, noFn, fpOk)).toDF("n_both", "intersect_no_fn", "fp_within_margin")
     }),
 
@@ -207,16 +223,24 @@ object SparkEntry {
     // §2.2 CMS heavy hitters: per-tool frequency, estimate ≥ exact (one-
     // sided guarantee) and ≤ exact + εN.
     "q08_cms_tools" -> ((s, dir) => {
-      val t = Transcripts.load(s, dir)
+      // r07: 3 window derivations → 1 — sketch and row count fold into
+      // ONE aggregation over a cache, and the 5-row result materializes
+      // eagerly so the cache releases before return (values unchanged)
+      val t = Transcripts.load(s, dir).cache()
       val eps = 0.0005
-      val sketch = t.agg(gf.cmsAgg(eps, 0.01)(key1("tool"))).head.getAs[Array[Byte]](0)
-      val total = t.count()
-      t.groupBy(col("tool")).agg(count(lit(1)).as("exact_cnt"))
+      val row = t.agg(gf.cmsAgg(eps, 0.01)(key1("tool")).as("sk"),
+        count(lit(1)).as("n")).head
+      val sketch = row.getAs[Array[Byte]]("sk")
+      val total = row.getAs[Long]("n")
+      val out = t.groupBy(col("tool")).agg(count(lit(1)).as("exact_cnt"))
         .select(col("tool"), col("exact_cnt"),
           (gf.cmsEstimate(lit(sketch), key1("tool")) >= col("exact_cnt") &&
             gf.cmsEstimate(lit(sketch), key1("tool")) <= col("exact_cnt")
               + lit(math.ceil(eps * total).toLong)).as("cms_ok"))
         .orderBy(col("tool"))
+      val rows = out.collect()
+      t.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
     }),
 
     // §2.2 t-digest over ts-gap seconds (lag window per conversation,
@@ -260,12 +284,14 @@ object SparkEntry {
     // estimate within 2% of truth, FPP estimate at/below configured bound.
     "q11_bloom_estimators" -> ((s, dir) => {
       import s.implicits._
-      val t = Transcripts.load(s, dir)
+      // r07: cached — count + sharded build re-derived the window twice
+      val t = Transcripts.load(s, dir).cache()
       val n = t.count()
       val sk = SketchCodec.decodeBloom(
         shardedBlobRow(t, Seq("conv_id", "turn_idx"),
           "sk" -> gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
           .getAs[Array[Byte]]("sk"))
+      t.unpersist()
       val countOk = math.abs(sk.approximateElementCount - n) / math.max(n, 1L) <= 0.02
       val fppOk = sk.approximateCurrentFpp <= P * 1.05
       Seq((n, countOk, fppOk)).toDF("exact_n", "count_est_ok", "fpp_le_bound")
@@ -369,12 +395,26 @@ object SparkEntry {
       val signed = t.select(key2("conv_id", "turn_idx").as("k"), lit(1L).as("m"))
         .unionByName(t.filter(bad)
           .select(key2("conv_id", "turn_idx").as("k"), lit(-1L).as("m")))
-      val cbfBlob = signed
-        .agg(gf.cbfAgg(cap(n), P)(col("k"), col("m")).as("cbf"))
+      // r07: SHARDED two-stage builds (the q01/q26 shape) instead of
+      // global aggs. The global `signed.agg(cbfAgg)` allocated one
+      // full-size DENSE counting buffer (1 B/cell ⇒ ~51.7 MB at sf0.1's
+      // cap) PER INPUT PARTITION and funneled every partial through ONE
+      // reducer — measured as 8.1 s of GC on the bench's cold run.
+      // Sharding on the key co-locates each key's +1/−1 rows, full-size
+      // buffers exist once per shard, and the per-shard blobs (sparse —
+      // each shard holds ~1/16 of the keys) fold executor-side via
+      // sketchMergeAgg. Counting-cell addition is commutative and
+      // key-partitioned, so the merged cells — and the encoded blob —
+      // are BIT-IDENTICAL to the global build's (the same union law the
+      // q03 gate pins for the bit filter; inc_cbf_eq pins the counting
+      // merge). The direct comparandum build is sharded identically.
+      val cbfBlob = graft.spark.catalyst.shardedSketchBlobs(
+        signed, BuildShards, col("k"))(
+        "cbf" -> gf.cbfAgg(cap(n), P)(col("k"), col("m")))
         .head.getAs[Array[Byte]]("cbf")
-      val directBlob = t.filter(!bad)
-        .agg(gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")).as("sk"))
-        .head.getAs[Array[Byte]]("sk")
+      val directBlob = shardedBlobRow(t.filter(!bad), Seq("conv_id", "turn_idx"),
+        "sk" -> gf.bloomAgg(cap(n), P)(key2("conv_id", "turn_idx")))
+        .getAs[Array[Byte]]("sk")
       // ONE probe pass over the raw table: kept/retracted counts and both
       // probe tallies in a single aggregation
       val hit = gf.cbfProbe(cbfBlob)(key2("conv_id", "turn_idx"))
@@ -508,7 +548,10 @@ object SparkEntry {
     // Replay batch count and temp layout are set below where passed.
     "q33_stream_batch_equiv" -> ((s, dir) => {
       val t = Transcripts.load(s, dir)
-      val n = t.count()
+      // capacity sizing only — row_number preserves cardinality, so the
+      // raw events parquet count (footer metadata, no window shuffle)
+      // equals the transcript count exactly
+      val n = Transcripts.events(s, dir).count()
       // (4 micro-batches; tmpfs when available — the stream replay + two
       // checkpoints are pure fixed cost, keep them off rotating disk)
       val base = java.nio.file.Paths.get(
@@ -538,11 +581,18 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory(base, "graft_q35_").toString
       try {
         graft.pipeline.CheckpointedBuild.run(s, t, s"$tmp/ckpt", 16 * cap(n), P, "q35")
-        val hits = graft.pipeline.CheckpointedBuild
-          .probeShards(s, s"$tmp/ckpt", t, col("conv_id"), col("turn_idx")).count()
+        // r07: the zero-FN sweep and the disjoint-key FP sweep are
+        // independent probe jobs over the same cache — run them
+        // concurrently (guide §2.6) instead of back-to-back
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val hitsF = scala.concurrent.Future(graft.pipeline.CheckpointedBuild
+          .probeShards(s, s"$tmp/ckpt", t, col("conv_id"), col("turn_idx")).count())
         val disjoint = t.withColumn("turn_idx", (col("turn_idx") + 1000000).cast("int"))
         val fp = graft.pipeline.CheckpointedBuild
           .probeShards(s, s"$tmp/ckpt", disjoint, col("conv_id"), col("turn_idx")).count()
+        val hits = scala.concurrent.Await.result(hitsF,
+          scala.concurrent.duration.Duration.Inf)
         t.unpersist()
         val fprOk = fp <= n * P * 1.05 + 3 * math.sqrt(n * P) + 1
         Seq((n, hits == n, fprOk)).toDF("n_turns", "zero_fn", "fpr_ok")

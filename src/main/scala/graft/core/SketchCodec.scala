@@ -741,6 +741,12 @@ object SketchCodec {
         var i = 0
         while (i < nz) {
           idx += getVarint(bb)
+          // corrupt/truncated varint deltas must surface as the codec's
+          // descriptive error, not a raw ArrayIndexOutOfBounds (the
+          // dense path validates its cell count the same way)
+          require(idx >= 0 && idx < config.totalBits,
+            s"counting blob sparse cell index $idx outside configured " +
+              s"${config.totalBits} cells — corrupt blob")
           c(idx.toInt) = bb.get()
           i += 1
         }

@@ -80,15 +80,23 @@ object AsOfJoin {
         .orderBy(col(tsCol).asc, col(sideCol).asc, col(tieCol).asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-  /** Earliest right row at-or-after: running first-non-null over the
-    * FOLLOWING frame with (ts asc, side desc [left first at equal ts —
-    * the same-ts right row stays inside the frame], tie desc [first hit =
-    * largest tiebreak]). */
+  /** Earliest right row at-or-after, as the MIRROR of [[backwardMatch]]:
+    * running last-non-null over (ts DESC, side asc [right first at equal
+    * ts — inclusive], tie asc [largest tiebreak sorts last and wins under
+    * last()]) with an unboundedPreceding..currentRow frame. The previous
+    * formulation (`first` over currentRow..unboundedFollowing) was
+    * algebraically identical but executed as
+    * UnboundedFollowingWindowFunctionFrame, which RESCANS the remainder
+    * of the partition for every row — O(n²) in per-key row count, at
+    * odds with the 100 TB hot-key argument above. The running frame is
+    * O(n): one state update per row. Same single Exchange (the reversed
+    * sort shares the key partitioning); results bit-identical (gated by
+    * AsOfJoinSpec's pandas-parity matrix and q59's exact oracle). */
   private def forwardMatch(u: DataFrame, keys: Seq[String], tsCol: String): Column =
-    first(col(bwCol), ignoreNulls = true).over(
+    last(col(bwCol), ignoreNulls = true).over(
       Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(tsCol).asc, col(sideCol).desc, col(tieCol).desc_nulls_last)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .orderBy(col(tsCol).desc, col(sideCol).asc, col(tieCol).asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   /** Gap in µs between the left ts and a matched struct's ts (positive in
     * the match's valid direction). NTZ columns cast through timestamp

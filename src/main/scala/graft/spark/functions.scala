@@ -133,16 +133,37 @@ object functions {
   def bloomIntersect(a: Column, b: Column): Column =
     udf((x: Array[Byte], y: Array[Byte]) => mergeBlobs(x, y, intersect = true)).apply(a, b)
 
+  /** Shared blob-level kernels of the counting-filter binary/probe
+    * functions — ONE implementation behind both the Column API and the
+    * SQL registrations below, so the key-mode guards can never drift
+    * between the two surfaces (a bytes-keyed blob probed or combined
+    * with a native-row-hash one must throw, not silently mis-answer —
+    * false negatives included). */
+  private def cbfMightContainBlob(s: Array[Byte], k: Array[Byte]): Boolean =
+    if (s == null || k == null) false
+    else {
+      require(SketchCodec.countingBloomKeyMode(s) == SketchCodec.KeyMode.Bytes,
+        "counting filter was built with native row-hash keys")
+      cbfOf(s).mightContain(k)
+    }
+
+  private def cbfCombineBlobs(x: Array[Byte], y: Array[Byte],
+      subtract: Boolean): Array[Byte] =
+    if (x == null || y == null) null
+    else {
+      val mode = SketchCodec.countingBloomKeyMode(x)
+      require(mode == SketchCodec.countingBloomKeyMode(y),
+        "cannot combine counting filters built with different key conventions")
+      val a = SketchCodec.decodeCountingBloom(x).copySketch()
+      SketchCodec.encodeCountingBloom(
+        if (subtract) a.subtractInPlace(SketchCodec.decodeCountingBloom(y))
+        else a.mergeInPlace(SketchCodec.decodeCountingBloom(y)), mode)
+    }
+
   /** Probe a counting-Bloom column. Same never-false-negative contract as
     * the bit filters, PROVIDED retractions only ever matched inserts. */
   def cbfMightContain(sketch: Column, key: Column): Column =
-    udf((s: Array[Byte], k: Array[Byte]) =>
-      if (s == null || k == null) false
-      else {
-        require(SketchCodec.countingBloomKeyMode(s) == SketchCodec.KeyMode.Bytes,
-          "counting filter was built with native row-hash keys")
-        cbfOf(s).mightContain(k)
-      }).apply(sketch, key)
+    udf(cbfMightContainBlob _).apply(sketch, key)
 
   /** Broadcast-style counting-filter probe: decode once on the driver,
     * ship the decoded filter in the UDF closure (the bloomProbe shape). */
@@ -173,31 +194,15 @@ object functions {
     * CbfAggregator's signed path runs internally). Configs, hash pairs
     * and key conventions must match. */
   def cbfSubtract(a: Column, b: Column): Column =
-    udf((x: Array[Byte], y: Array[Byte]) =>
-      if (x == null || y == null) null
-      else {
-        val mode = SketchCodec.countingBloomKeyMode(x)
-        require(mode == SketchCodec.countingBloomKeyMode(y),
-          "cannot combine counting filters built with different key conventions")
-        SketchCodec.encodeCountingBloom(
-          SketchCodec.decodeCountingBloom(x).copySketch()
-            .subtractInPlace(SketchCodec.decodeCountingBloom(y)), mode)
-      }).apply(a, b)
+    udf((x: Array[Byte], y: Array[Byte]) => cbfCombineBlobs(x, y, subtract = true))
+      .apply(a, b)
 
   /** Saturating per-cell merge of two counting-Bloom blobs (the
     * aggregation merge as a query-side binary function, the bloomUnion
     * sibling). */
   def cbfMerge(a: Column, b: Column): Column =
-    udf((x: Array[Byte], y: Array[Byte]) =>
-      if (x == null || y == null) null
-      else {
-        val mode = SketchCodec.countingBloomKeyMode(x)
-        require(mode == SketchCodec.countingBloomKeyMode(y),
-          "cannot combine counting filters built with different key conventions")
-        SketchCodec.encodeCountingBloom(
-          SketchCodec.decodeCountingBloom(x).copySketch()
-            .mergeInPlace(SketchCodec.decodeCountingBloom(y)), mode)
-      }).apply(a, b)
+    udf((x: Array[Byte], y: Array[Byte]) => cbfCombineBlobs(x, y, subtract = false))
+      .apply(a, b)
 
   def cbfElementCount(sketch: Column): Column =
     udf((s: Array[Byte]) =>
@@ -354,25 +359,20 @@ object functions {
         .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
     spark.udf.register("cbf_agg",
       udaf(new CbfAggregator(defaultCapacity, defaultFpp)))
-    spark.udf.register("cbf_might_contain", (s: Array[Byte], k: Array[Byte]) =>
-      s != null && k != null && cbfOf(s).mightContain(k))
+    // SQL lambdas route through the SAME guarded kernels as the Column
+    // API (cbfMightContainBlob / cbfCombineBlobs): mixing a native-row-
+    // hash-built blob with a bytes-keyed one errors instead of silently
+    // returning wrong membership
+    spark.udf.register("cbf_might_contain", cbfMightContainBlob _)
     spark.udf.register("cbf_to_bloom", (s: Array[Byte]) =>
       if (s == null) null
       else SketchCodec.encodeBloom(cbfOf(s).collapse(),
         SketchCodec.countingBloomKeyMode(s)))
     spark.udf.register("cbf_element_count", (s: Array[Byte]) =>
       if (s == null) null else Double.box(cbfOf(s).approximateElementCount))
-    spark.udf.register("cbf_subtract", (x: Array[Byte], y: Array[Byte]) =>
-      if (x == null || y == null) null
-      else SketchCodec.encodeCountingBloom(
-        SketchCodec.decodeCountingBloom(x).copySketch()
-          .subtractInPlace(SketchCodec.decodeCountingBloom(y)),
-        SketchCodec.countingBloomKeyMode(x)))
-    spark.udf.register("cbf_merge", (x: Array[Byte], y: Array[Byte]) =>
-      if (x == null || y == null) null
-      else SketchCodec.encodeCountingBloom(
-        SketchCodec.decodeCountingBloom(x).copySketch()
-          .mergeInPlace(SketchCodec.decodeCountingBloom(y)),
-        SketchCodec.countingBloomKeyMode(x)))
+    spark.udf.register("cbf_subtract",
+      (x: Array[Byte], y: Array[Byte]) => cbfCombineBlobs(x, y, subtract = true))
+    spark.udf.register("cbf_merge",
+      (x: Array[Byte], y: Array[Byte]) => cbfCombineBlobs(x, y, subtract = false))
   }
 }
