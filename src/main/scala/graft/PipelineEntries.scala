@@ -248,13 +248,15 @@ object PipelineEntries {
       val nDocs = d.count()
       // 1. exact-dedup survivors: min doc_id per text
       val surv = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      val nUnique = surv.count()
+      // r07 (guide §2.6): the two stage counts are anchors, not inputs
+      // of later stages — overlap them with the shingle/Bloom stage
+      val nUniqueF = graft.spark.Par.overlapped(surv.count())
       // 2. token-length window + eval-set exclusion (doc_id < 20 = eval)
       val tok = surv
         .filter(TextPipeline.wsTokenCount(col("text")).between(5, 1000)
           && col("doc_id") >= 20)
         .select(col("doc_id")).cache()
-      val nCandidates = tok.count()
+      val nCandidatesF = graft.spark.Par.overlapped(tok.count())
       // 3. decontamination: one Bloom over eval shingles, probed in the
       // corpus scan; FPs die in the exact verify join
       // shingling is restricted up front: eval docs on the build side,
@@ -281,6 +283,7 @@ object PipelineEntries {
           lit(sampleBlob))).as("did"))
       val holdoutSize = sampleDf.count()
       val allExist = sampleDf.join(clean, Seq("did"), "left_anti").count() == 0
+      val (nUnique, nCandidates) = (nUniqueF(), nCandidatesF())
       clean.unpersist(); evalSh.unpersist(); tok.unpersist(); d.unpersist()
       Seq((nDocs, nUnique, nCandidates, nClean, holdoutSize, allExist))
         .toDF("n_docs", "n_unique", "n_candidates", "n_clean",
@@ -336,9 +339,11 @@ object PipelineEntries {
       val queries = emb.filter(col("vec_id") < 20)
       val bf = VectorPipeline.bruteForceTopK(emb, queries, 10).cache()
       val nq = queries.count()
-      val nRes = bf.count()
-      val cosSane = bf.agg(max(col("cos")), min(col("cos"))).head
-      val ok = cosSane.getDouble(0) <= 1.000001 && cosSane.getDouble(1) >= -1.000001
+      // r07: result count and cosine sanity folded into ONE aggregation
+      // (they were two separate jobs over the same cache)
+      val cosSane = bf.agg(count(lit(1)), max(col("cos")), min(col("cos"))).head
+      val nRes = cosSane.getLong(0)
+      val ok = cosSane.getDouble(1) <= 1.000001 && cosSane.getDouble(2) >= -1.000001
       val perQ = bf.groupBy(col("q_id")).count().agg(min(col("count")), max(col("count"))).head
       val ranked = perQ.getLong(0) == 10L && perQ.getLong(1) == 10L
       bf.unpersist(); emb.unpersist()
@@ -374,8 +379,11 @@ object PipelineEntries {
           .select(col("q_id"), col("n_id"))
         bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
       }
-      val r8 = recallAt(8)
+      // r07 (guide §2.6): the two probe depths are independent ranked
+      // slices of the same cached scoring pass — overlap them
+      val r8F = graft.spark.Par.overlapped(recallAt(8))
       val r12 = recallAt(12)
+      val r8 = r8F()
       scored.unpersist(); bf.unpersist(); assigned.unpersist(); book.unpersist(); emb.unpersist()
       // measured (deterministic codebook ⇒ exact): r8 = .77/.80/.77,
       // r12 = .94/.96/.94 across sf0.001/.01/.1 — see BENCH.md sweep
@@ -421,10 +429,15 @@ object PipelineEntries {
         VectorPipeline.codebookFingerprint(book)
       val scored = VectorPipeline
         .ivfScoredCandidatesFromIndex(s, ixPath, queries, 12).cache()
+      // r07: memScored cached — the two exceptAll directions each
+      // re-evaluated the whole in-memory assignment+scoring pass before;
+      // the two directions and the recall depths also overlap (§2.6)
       val memScored = VectorPipeline.ivfScoredCandidates(
-        VectorPipeline.ivfAssign(emb, book), book, queries, 12)
-      val equiv = scored.exceptAll(memScored).isEmpty &&
-        memScored.exceptAll(scored).isEmpty
+        VectorPipeline.ivfAssign(emb, book), book, queries, 12).cache()
+      val equivAF = graft.spark.Par.overlapped(scored.exceptAll(memScored).isEmpty)
+      val equivB = memScored.exceptAll(scored).isEmpty
+      val equiv = equivAF() && equivB
+      memScored.unpersist()
       // the executed plan (AQE-final in its string form) must show the
       // partition filter reaching the index scan
       val pruned = "PartitionFilters: \\[[^\\]]*centroid_id".r
@@ -435,8 +448,9 @@ object PipelineEntries {
           .select(col("q_id"), col("n_id"))
         bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
       }
-      val r8 = recallAt(8)
+      val r8F = graft.spark.Par.overlapped(recallAt(8))
       val r12 = recallAt(12)
+      val r8 = r8F()
       scored.unpersist(); bf.unpersist(); book.unpersist(); emb.unpersist()
       Seq((nq, r8 >= 0.70, r12 >= 0.90, equiv, pruned, codebookRoundtrip))
         .toDF("n_queries", "recall8_ok", "recall12_ok",
@@ -489,8 +503,10 @@ object PipelineEntries {
             .select(col("q_id"), col("n_id"))
           bf.join(ivf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
         }
-        val r16 = recallAt(16)
+        // r07 (guide §2.6): independent ranked slices — overlap
+        val r16F = graft.spark.Par.overlapped(recallAt(16))
         val r32 = recallAt(32)
+        val r16 = r16F()
         scored.unpersist(); bf.unpersist(); book.unpersist(); emb.unpersist()
         Seq((nq, deterministic, r16 >= 0.65, r32 >= 0.85))
           .toDF("n_queries", "deterministic", "recall16_ok", "recall32_ok")
@@ -535,10 +551,13 @@ object PipelineEntries {
       val bf = bfF()
       val qbf = VectorPipeline.topKFromScored(scoredI8, 10)
         .select(col("q_id"), col("n_id"))
-      val recall = bf.join(qbf, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      // one-stage and two-stage recalls are independent slices — overlap
+      val recallF = graft.spark.Par.overlapped(
+        bf.join(qbf, Seq("q_id", "n_id")).count().toDouble / (nq * 10))
       val rr = VectorPipeline.rerankTopK(scoredI8, emb, queries, 10, 40)
         .select(col("q_id"), col("n_id"))
       val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      val recall = recallF()
       scoredI8.unpersist()
       val ratio = try ratioF() finally deleteTmpDir(s, base)
       bf.unpersist(); emb.unpersist()
@@ -636,14 +655,18 @@ object PipelineEntries {
     "q21_fingerprint" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).cache()
-      val row = d.agg(
-        countDistinct(col("text")).as("cd_text"),
-        countDistinct(xxhash64(col("text"))).as("cd_fp")).head
       val n = d.count()
+      // r07 (guide §2.6): the injectivity aggregate is independent of
+      // the Bloom build+probe — overlap it (the count above filled the
+      // cache both read)
+      val rowF = graft.spark.Par.overlapped(d.agg(
+        countDistinct(col("text")).as("cd_text"),
+        countDistinct(xxhash64(col("text"))).as("cd_fp")).head)
       val sketch = shardedSketchBlobs(d.select(col("doc_id"), col("text")), 8, col("doc_id"))(
         "sk" -> bloomAggNative(math.max(n, 1000L), 0.001)(col("text")))
         .head.getAs[Array[Byte]]("sk")
       val zeroFn = d.filter(bloomMightContainNative(lit(sketch), col("text"))).count() == n
+      val row = rowF()
       d.unpersist()
       Seq((row.getLong(0), row.getLong(0) == row.getLong(1), zeroFn))
         .toDF("n_distinct_texts", "fp_injective", "bloom_zero_fn")
@@ -1103,10 +1126,13 @@ object PipelineEntries {
       val bf = bfF()
       val one = VectorPipeline.topKFromScored(scoredPq, 10)
         .select(col("q_id"), col("n_id"))
-      val recall = bf.join(one, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      // one-stage and two-stage recalls are independent slices — overlap
+      val recallF = graft.spark.Par.overlapped(
+        bf.join(one, Seq("q_id", "n_id")).count().toDouble / (nq * 10))
       val rr = VectorPipeline.rerankTopK(scoredPq, emb, queries, 10, 40)
         .select(col("q_id"), col("n_id"))
       val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+      val recall = recallF()
       scoredPq.unpersist()
       val ratio = try ratioF() finally deleteTmpDir(s, base)
       val deterministic = deterministicF()
@@ -1180,8 +1206,10 @@ object PipelineEntries {
             .select(col("q_id"), col("n_id"))
           bf.join(got, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
         }
-        val r8 = recallAt(8)
+        // r07 (guide §2.6): independent ranked slices — overlap
+        val r8F = graft.spark.Par.overlapped(recallAt(8))
         val r16 = recallAt(16)
+        val r8 = r8F()
         scored.unpersist(); bf.unpersist()
         val appendEq = sig(full) == halfSigF()
         Seq((nq, roundtrip, r8 >= 0.55, r16 >= 0.7, appendEq))

@@ -249,8 +249,11 @@ object SparkEntry {
     "q09_tdigest_gaps" -> ((s, dir) => {
       import s.implicits._
       val gaps = tsGaps(s, dir).cache()
-      val nG = gaps.count()
-      val sketch = gaps.agg(gf.tdigestAgg(col("gap"))).head.getAs[Array[Byte]](0)
+      // r07: sketch and row count fold into ONE pass (the count used to
+      // be a separate cache-fill job before the aggregation)
+      val row = gaps.agg(gf.tdigestAgg(col("gap")).as("sk"), count(lit(1)).as("n")).head
+      val nG = row.getAs[Long]("n")
+      val sketch = row.getAs[Array[Byte]]("sk")
       val td = SketchCodec.decodeTDigest(sketch)
       val ranks = exactRanks(gaps, nG, td.quantile(0.5), td.quantile(0.95), td.quantile(0.99))
       val out = Seq((nG,
@@ -266,8 +269,10 @@ object SparkEntry {
     "q10_kll_gaps" -> ((s, dir) => {
       import s.implicits._
       val gaps = tsGaps(s, dir).cache()
-      val nG = gaps.count()
-      val sketch = gaps.agg(gf.kllAgg(col("gap"))).head.getAs[Array[Byte]](0)
+      // r07: sketch + count in ONE pass (the q09 fold)
+      val row = gaps.agg(gf.kllAgg(col("gap")).as("sk"), count(lit(1)).as("n")).head
+      val nG = row.getAs[Long]("n")
+      val sketch = row.getAs[Array[Byte]]("sk")
       val kll = SketchCodec.decodeKll(sketch)
       val bound = 3 * kll.normalizedRankError
       val ranks = exactRanks(gaps, nG, kll.quantile(0.5), kll.quantile(0.95), kll.quantile(0.99))

@@ -49,8 +49,12 @@ private[pipeline] object BandIndexOps {
     * equi-join the from-scratch candidate paths use). */
   def probeJoin(spark: SparkSession, path: String, probeRows: DataFrame,
       idCol: String, newCol: String, oldCol: String,
-      broadcastProbe: Boolean): DataFrame = {
-    val probe = probeRows.localCheckpoint(true)
+      broadcastProbe: Boolean, materializeProbe: Boolean = true): DataFrame = {
+    // `materializeProbe = false` when the caller already holds the band
+    // rows materialized (the ingest loop signs each batch ONCE and
+    // reuses the rows here and in the append) — a second localCheckpoint
+    // would copy the blocks for nothing
+    val probe = if (materializeProbe) probeRows.localCheckpoint(true) else probeRows
     val touched = probe.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(path)
@@ -161,15 +165,34 @@ private[pipeline] object BandIndexOps {
     *    not in the kept corpus) and removable by the family's compact.
     *    The kept table — the store the greedy semantics read — is exact.
     *
+    * THE BATCH IS SIGNED ONCE (r07): its band rows are projected and
+    * materialized a single time and reused by BOTH the novelty probe and
+    * the index write — the probe-then-append flow previously ran the
+    * family's signature projection (shingle+minhash / SRP) twice per
+    * micro-batch, which at the documented "daily ingest of ΔN docs costs
+    * O(ΔN) signature work" accounting was a silent 2×. Band rows are a
+    * pure deterministic function of the payload, so the written rows are
+    * identical to a fresh projection of the kept subset (q56's
+    * index_consistent gate and both families' append-equivalence specs
+    * pin exactly this identity end-to-end).
+    *
     * Family-specific seams: `payloadCols` (the kept table's schema, id
-    * first), `bootstrap`/`append` (the index write paths), and `novel`
-    * (batch, keptBefore) → novel batch rows (probe + exact verify +
-    * anti-join, e.g. [[LshIndex.novelDocs]] / [[SrpIndex.novelVecs]]). */
+    * first); `defaultBuckets` (fan-out for a fresh index) with
+    * `sidecarBuckets` (fan-out recorded by an existing sidecar — appends
+    * must sign at the INDEX's fan-out, not the parameter's);
+    * `signRows(docs, buckets)` (the family's signature projection →
+    * (id, band, bkey, bucket)); `installMeta(buckets)` (sidecar install,
+    * bootstrap only, AFTER the data lands — the torn-write contract);
+    * `verifyMeta()` (family check before an append); and
+    * `novelFromRows(batch, keptBefore, batchBandRows)` → novel batch
+    * rows (probe + exact verify + anti-join over the pre-signed rows,
+    * e.g. [[LshIndex.novelDocsFromRows]] / [[SrpIndex.novelVecsFromRows]]). */
   def ingestNovel(spark: SparkSession, indexPath: String, keptDir: String,
       batch: DataFrame, batchId: Long, payloadCols: Seq[String],
-      metaDir: String,
-      bootstrap: DataFrame => Unit, append: DataFrame => Unit,
-      novel: (DataFrame, DataFrame) => DataFrame): Long = {
+      metaDir: String, defaultBuckets: Int, sidecarBuckets: () => Int,
+      signRows: (DataFrame, Int) => DataFrame,
+      installMeta: Int => Unit, verifyMeta: () => Unit,
+      novelFromRows: (DataFrame, DataFrame, DataFrame) => DataFrame): Long = {
     val idCol = payloadCols.head
     val ixP = new org.apache.hadoop.fs.Path(indexPath)
     val fs = ixP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -225,6 +248,12 @@ private[pipeline] object BandIndexOps {
           s"non-band-index content (${foreign.take(3).mkString(", ")}…) — " +
           "refusing to overwrite; pass an empty/new path or a torn index dir")
     }
+    // sign the batch ONCE at the effective fan-out (the existing
+    // sidecar's on append — fan-out is an index property, not a call
+    // parameter); materialized so the probe and the append read the
+    // same physical rows without recomputing the projection
+    val buckets = if (isBootstrap) defaultBuckets else sidecarBuckets()
+    val bandRows = signRows(batch, buckets).localCheckpoint(true)
     val nv0 =
       if (isBootstrap) batch
       else {
@@ -233,13 +262,22 @@ private[pipeline] object BandIndexOps {
             spark.read.parquet(keptDir).select(payloadCols.map(col): _*)
               .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
           else batch.select(payloadCols.map(col): _*).limit(0)
-        novel(batch, keptBefore)
+        novelFromRows(batch, keptBefore, bandRows)
       }
     // materialize BEFORE mutating either store: the novelty decision must
     // be taken against the pre-batch state, and the index append below
     // must not re-evaluate the probe over a half-updated kept table
     val nv = nv0.localCheckpoint(true)
-    if (isBootstrap) bootstrap(nv) else append(nv)
+    // index rows of the KEPT subset = the pre-signed batch rows filtered
+    // to kept ids (identical to a fresh projection — determinism)
+    val keptRows = bandRows.join(nv.select(col(idCol)), Seq(idCol))
+    if (isBootstrap) {
+      writeRows(keptRows, indexPath, "overwrite")
+      installMeta(buckets)
+    } else {
+      verifyMeta()
+      writeRows(keptRows, indexPath, "append")
+    }
     // one file per ingest step: the kept table accretes one small parquet
     // per batch instead of one per task; per-batch overwrite = replay-safe
     nv.coalesce(1).write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")

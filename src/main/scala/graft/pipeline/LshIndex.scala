@@ -163,6 +163,19 @@ object LshIndex {
       idCol = "doc_id", newCol = "doc_new", oldCol = "doc_old", broadcastProbe)
   }
 
+  /** [[probeCandidates]] over PRE-SIGNED, already-materialized batch band
+    * rows (the ingest loop's sign-once path — see
+    * [[BandIndexOps.ingestNovel]]): the signature projection is not
+    * recomputed and the rows are not re-materialized. */
+  def probeCandidatesFromRows(spark: SparkSession, path: String,
+      bandRows: DataFrame, broadcastProbe: Boolean = true): DataFrame = {
+    readVerifiedMeta(spark, path)
+    BandIndexOps.probeJoin(spark, path,
+      bandRows.select(col("band"), col("bkey"), col("bucket"), col("doc_id").as("doc_new")),
+      idCol = "doc_id", newCol = "doc_new", oldCol = "doc_old", broadcastProbe,
+      materializeProbe = false)
+  }
+
   /** Novelty filter — the ingest-gate shape: batch docs with NO exact
     * near-dup (Jaccard ≥ 1/2 after exact verification of LSH candidates)
     * already in the corpus. `corpusDocs`/`batchDocs` supply the text for
@@ -174,6 +187,14 @@ object LshIndex {
       corpusDocs: DataFrame, verifiedPairs: Option[DataFrame] = None): DataFrame = {
     val pairs = verifiedPairs.getOrElse(
       verifiedDupPairs(spark, path, batchDocs, corpusDocs))
+    val dups = pairs.select(col("doc_new").as("doc_id")).distinct()
+    batchDocs.join(dups, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[novelDocs]] over pre-signed batch band rows (sign-once ingest). */
+  def novelDocsFromRows(spark: SparkSession, path: String, bandRows: DataFrame,
+      batchDocs: DataFrame, corpusDocs: DataFrame): DataFrame = {
+    val pairs = verifiedDupPairsFromRows(spark, path, bandRows, batchDocs, corpusDocs)
     val dups = pairs.select(col("doc_new").as("doc_id")).distinct()
     batchDocs.join(dups, Seq("doc_id"), "left_anti")
   }
@@ -191,9 +212,13 @@ object LshIndex {
       batch: DataFrame, batchId: Long, numBuckets: Int = NumBuckets): Long =
     BandIndexOps.ingestNovel(spark, indexPath, keptDir, batch, batchId,
       payloadCols = Seq("doc_id", "text"), metaDir = MetaDir,
-      bootstrap = nv => write(nv, indexPath, numBuckets),
-      append = nv => append(nv, indexPath),
-      novel = (b, keptBefore) => novelDocs(spark, indexPath, b, keptBefore))
+      defaultBuckets = numBuckets,
+      sidecarBuckets = () => readVerifiedMeta(spark, indexPath).buckets,
+      signRows = (docs, buckets) => indexRows(docs, buckets),
+      installMeta = buckets => writeMeta(spark, indexPath, buckets),
+      verifyMeta = () => { readVerifiedMeta(spark, indexPath); () },
+      novelFromRows = (b, keptBefore, rows) =>
+        novelDocsFromRows(spark, indexPath, rows, b, keptBefore))
 
   /** Index observability: per-bucket row/doc/file counts straight from
     * the partitioned layout, plus the bucket's share of the index. The
@@ -308,8 +333,21 @@ object LshIndex {
     * rather than .cache() so ingest loops cannot accumulate cached-plan
     * entries (see the probe-relation note in [[probeCandidates]]). */
   def verifiedDupPairs(spark: SparkSession, path: String, batchDocs: DataFrame,
+      corpusDocs: DataFrame): DataFrame =
+    verifiedFromCands(
+      probeCandidates(spark, path, batchDocs).localCheckpoint(true),
+      batchDocs, corpusDocs)
+
+  /** [[verifiedDupPairs]] over pre-signed batch band rows (sign-once
+    * ingest — same verify stage, no signature recomputation). */
+  def verifiedDupPairsFromRows(spark: SparkSession, path: String,
+      bandRows: DataFrame, batchDocs: DataFrame, corpusDocs: DataFrame): DataFrame =
+    verifiedFromCands(
+      probeCandidatesFromRows(spark, path, bandRows).localCheckpoint(true),
+      batchDocs, corpusDocs)
+
+  private def verifiedFromCands(cands: DataFrame, batchDocs: DataFrame,
       corpusDocs: DataFrame): DataFrame = {
-    val cands = probeCandidates(spark, path, batchDocs).localCheckpoint(true)
     // verify ONLY candidate docs: semi-join both text relations down to
     // docs that appear in some candidate pair, then run the ONE
     // sort-merge shingle self-join pairStatsFromShingled is built around

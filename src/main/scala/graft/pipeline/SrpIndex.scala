@@ -161,6 +161,18 @@ object SrpIndex {
       idCol = "vec_id", newCol = "vec_new", oldCol = "vec_old", broadcastProbe)
   }
 
+  /** [[probeCandidates]] over PRE-SIGNED, already-materialized batch band
+    * rows (the ingest loop's sign-once path — see
+    * [[BandIndexOps.ingestNovel]]). */
+  def probeCandidatesFromRows(spark: SparkSession, path: String,
+      bandRows: DataFrame, broadcastProbe: Boolean = true): DataFrame = {
+    readVerifiedMeta(spark, path)
+    BandIndexOps.probeJoin(spark, path,
+      bandRows.select(col("band"), col("bkey"), col("bucket"), col("vec_id").as("vec_new")),
+      idCol = "vec_id", newCol = "vec_new", oldCol = "vec_old", broadcastProbe,
+      materializeProbe = false)
+  }
+
   /** Exact-verified near-dup pairs of a batch against the indexed
     * corpus: SRP candidates → codegen'd-cosine verify join restricted to
     * candidate vec ids (never the full corpus), cos ≥ `tau`. Returns
@@ -168,8 +180,22 @@ object SrpIndex {
     * joins, so it is materialized once — localCheckpoint, not .cache(),
     * for the ingest-loop reason in [[BandIndexOps.probeJoin]]. */
   def verifiedDupPairs(spark: SparkSession, path: String, batchVecs: DataFrame,
-      corpusVecs: DataFrame, tau: Double = DefaultTau): DataFrame = {
-    val cands = probeCandidates(spark, path, batchVecs).localCheckpoint(true)
+      corpusVecs: DataFrame, tau: Double = DefaultTau): DataFrame =
+    verifiedFromCands(
+      probeCandidates(spark, path, batchVecs).localCheckpoint(true),
+      batchVecs, corpusVecs, tau)
+
+  /** [[verifiedDupPairs]] over pre-signed batch band rows (sign-once
+    * ingest — same verify stage, no re-projection). */
+  def verifiedDupPairsFromRows(spark: SparkSession, path: String,
+      bandRows: DataFrame, batchVecs: DataFrame, corpusVecs: DataFrame,
+      tau: Double = DefaultTau): DataFrame =
+    verifiedFromCands(
+      probeCandidatesFromRows(spark, path, bandRows).localCheckpoint(true),
+      batchVecs, corpusVecs, tau)
+
+  private def verifiedFromCands(cands: DataFrame, batchVecs: DataFrame,
+      corpusVecs: DataFrame, tau: Double): DataFrame =
     cands
       .join(batchVecs.select(col("vec_id").as("vec_new"),
         col("embedding").as("__e_new")), Seq("vec_new"))
@@ -178,7 +204,6 @@ object SrpIndex {
       .select(col("vec_new"), col("vec_old"),
         graft.spark.catalyst.cosineNative(col("__e_new"), col("__e_old")).as("cos"))
       .filter(col("cos") >= tau)
-  }
 
   /** Corpus × corpus SRP candidate pairs between TWO persisted indexes —
     * the dense-vector sibling of [[LshIndex.crossCandidates]] (scale
@@ -221,6 +246,15 @@ object SrpIndex {
     batchVecs.join(dups, Seq("vec_id"), "left_anti")
   }
 
+  /** [[novelVecs]] over pre-signed batch band rows (sign-once ingest). */
+  def novelVecsFromRows(spark: SparkSession, path: String, bandRows: DataFrame,
+      batchVecs: DataFrame, corpusVecs: DataFrame,
+      tau: Double = DefaultTau): DataFrame = {
+    val pairs = verifiedDupPairsFromRows(spark, path, bandRows, batchVecs, corpusVecs, tau)
+    val dups = pairs.select(col("vec_new").as("vec_id")).distinct()
+    batchVecs.join(dups, Seq("vec_id"), "left_anti")
+  }
+
   /** One step of a streaming embedding-ingest novelty gate: the vector
     * binding of [[BandIndexOps.ingestNovel]] (full contract — greedy
     * order, `_ingested` marker protocol, torn-replay residue — in its
@@ -233,9 +267,13 @@ object SrpIndex {
       numBuckets: Int = NumBuckets): Long =
     BandIndexOps.ingestNovel(spark, indexPath, keptDir, batch, batchId,
       payloadCols = Seq("vec_id", "embedding"), metaDir = MetaDir,
-      bootstrap = nv => write(nv, indexPath, numBuckets),
-      append = nv => append(nv, indexPath),
-      novel = (b, keptBefore) => novelVecs(spark, indexPath, b, keptBefore, tau))
+      defaultBuckets = numBuckets,
+      sidecarBuckets = () => readVerifiedMeta(spark, indexPath).buckets,
+      signRows = (vecs, buckets) => indexRows(vecs, buckets),
+      installMeta = buckets => writeMeta(spark, indexPath, buckets),
+      verifyMeta = () => { readVerifiedMeta(spark, indexPath); () },
+      novelFromRows = (b, keptBefore, rows) =>
+        novelVecsFromRows(spark, indexPath, rows, b, keptBefore, tau))
 
   /** Index observability — see [[BandIndexOps.stats]]. (`n_docs` counts
     * distinct vec_ids; a hot bucket signals near-axis-aligned embedding

@@ -275,19 +275,22 @@ object StreamingSketch {
         lt <= q + eps && le >= q - eps
       }
     }
-    val tdOk = tdState.get.exists { blob =>
+    // r07 (guide §2.6): the three global bound-level gates are
+    // independent single-job aggregations over the cached batch table —
+    // overlap them with each other and with the windowed gates below
+    val tdOkF = scala.concurrent.Future(tdState.get.exists { blob =>
       val td = SketchCodec.decodeTDigest(blob)
       rankOk(Seq((0.5, td.quantile(0.5), 0.02), (0.95, td.quantile(0.95), 0.02)))
-    }
-    val kllOk = kllState.get.exists { blob =>
+    })
+    val kllOkF = scala.concurrent.Future(kllState.get.exists { blob =>
       val kll = SketchCodec.decodeKll(blob)
       val eps = 3 * kll.normalizedRankError
       rankOk(Seq((0.5, kll.quantile(0.5), eps), (0.95, kll.quantile(0.95), eps)))
-    }
+    })
     // Misra–Gries is bound-level too (its merge prunes differently per
     // tree): stream-merged sketch must satisfy all three MG theorems vs
     // the exact tool counts, with N = the full stream's weight
-    val mgOk = mgState.get.exists { blob =>
+    val mgOkF = scala.concurrent.Future(mgState.get.exists { blob =>
       val mg = SketchCodec.decodeMg(blob)
       val exact = transcripts.groupBy(col("tool")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -301,7 +304,7 @@ object StreamingSketch {
           f - est.getOrElse(key, 0L) <= mg.decrementTotal &&
             (f <= thresh || est.contains(key))
         }
-    }
+    })
 
     // shape 1 gate: the stream's windowed state (q2 above, already
     // terminated) vs the batch twin materialized concurrently with it
@@ -418,6 +421,9 @@ object StreamingSketch {
 
     spark.catalog.dropTempView(sinkName) // memory sink hygiene (all uses materialized)
     batchWin.unpersist()
+    val tdOk = Await.result(tdOkF, Duration.Inf)
+    val kllOk = Await.result(kllOkF, Duration.Inf)
+    val mgOk = Await.result(mgOkF, Duration.Inf)
 
     Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"),
         eq(thetaState, "th"), eq(bkState, "bk"), eq(wbkState, "wbk"),
