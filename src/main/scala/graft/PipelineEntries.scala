@@ -1437,11 +1437,18 @@ object PipelineEntries {
           Seq("doc_id"), "left_anti")
         val keptBatch = k01.unionByName(k2).cache()
         val streamIds = keptStream.select(col("doc_id"))
-        val streamEqBatch =
-          streamIds.join(keptBatch, Seq("doc_id"), "left_anti").count() == 0 &&
+        // r07 (guide §2.6): the four equality/consistency gates are
+        // mutually independent single-job comparisons — overlap them
+        val eqAF = graft.spark.Par.overlapped(
+          streamIds.join(keptBatch, Seq("doc_id"), "left_anti").count() == 0)
+        val diskSigF = graft.spark.Par.overlapped(
+          bandIndexSig(s.read.parquet(indexPath)))
+        val scratchSigF = graft.spark.Par.overlapped(
+          bandIndexSig(graft.pipeline.LshIndex.indexRows(keptStream, buckets)))
+        val eqB =
           keptBatch.join(streamIds, Seq("doc_id"), "left_anti").count() == 0
-        val indexConsistent = bandIndexSig(s.read.parquet(indexPath)) ==
-          bandIndexSig(graft.pipeline.LshIndex.indexRows(keptStream, buckets))
+        val streamEqBatch = eqAF() && eqB
+        val indexConsistent = diskSigF() == scratchSigF()
         val perT = keptStream.groupBy((col("doc_id") % 3).as("t"))
           .agg(count(lit(1)).as("n")).collect()
           .map(r => r.getAs[Long]("t") -> r.getAs[Long]("n")).toMap

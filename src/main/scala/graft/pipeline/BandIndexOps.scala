@@ -157,8 +157,9 @@ private[pipeline] object BandIndexOps {
     *    (`kept ∖ batch` — the "kept BEFORE the batch" contract made
     *    literal), so recomputing the decision is correct even when a
     *    torn previous attempt already appended this batch somewhere;
-    *  - writes land index FIRST, then the kept rows as an OVERWRITTEN
-    *    per-batch partition (`batch=<id>`), then the marker. The only
+    *  - the index append and the kept rows (an OVERWRITTEN per-batch
+    *    partition `batch=<id>`) land concurrently, the marker strictly
+    *    LAST — every torn combination replays safely. The only
     *    torn-replay residue is duplicate band rows in the index —
     *    harmless for novelty (candidates are `.distinct()`ed, and a
     *    same-batch candidate cannot exact-verify because its payload is
@@ -271,6 +272,17 @@ private[pipeline] object BandIndexOps {
     // index rows of the KEPT subset = the pre-signed batch rows filtered
     // to kept ids (identical to a fresh projection — determinism)
     val keptRows = bandRows.join(nv.select(col(idCol)), Seq(idCol))
+    // the two store writes both read materialized blocks and are
+    // independent of each other — overlap them (guide §2.6). The
+    // replay contract is unchanged: the marker still lands strictly
+    // LAST, so any torn combination of the two writes replays into an
+    // overwritten kept partition plus (at worst) duplicate band rows —
+    // the same harmless residue as the sequential order, analyzed in
+    // the scaladoc above.
+    // (kept table: one file per ingest step — one small parquet per
+    // batch instead of one per task; per-batch overwrite = replay-safe)
+    val keptWriteF = graft.spark.Par.overlapped(
+      nv.coalesce(1).write.mode("overwrite").parquet(s"$keptDir/batch=$batchId"))
     if (isBootstrap) {
       writeRows(keptRows, indexPath, "overwrite")
       installMeta(buckets)
@@ -278,9 +290,7 @@ private[pipeline] object BandIndexOps {
       verifyMeta()
       writeRows(keptRows, indexPath, "append")
     }
-    // one file per ingest step: the kept table accretes one small parquet
-    // per batch instead of one per task; per-batch overwrite = replay-safe
-    nv.coalesce(1).write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+    keptWriteF()
     val n = nv.count()
     val out = fs.create(marker, true)
     try out.writeLong(n) finally out.close()
