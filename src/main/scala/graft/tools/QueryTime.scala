@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 object QueryTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-querytime")
       .config("spark.sql.shuffle.partitions", "32")
@@ -15,7 +15,13 @@ object QueryTime {
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // mirror Bench's AQE initial-partition setting on demand, to
+    // attribute in-suite-only slowness (QT_INITIAL_PARTITIONS=128)
+    sys.env.get("QT_INITIAL_PARTITIONS").foreach(n =>
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    sys.env.get("QT_CACHE_ADAPTIVE").foreach(v =>
+      builder.config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
