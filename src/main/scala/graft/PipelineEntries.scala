@@ -1383,9 +1383,17 @@ object PipelineEntries {
         // file source replays t0 -> t1 -> t2 deterministically
         val fs = new org.apache.hadoop.fs.Path(base)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // r07 (guide §2.6): the three tercile files are independent
+        // writes — run them concurrently; the renames + mtimes that
+        // define the deterministic replay ORDER stay sequential after
+        val partWrites = (0 to 2).map { i =>
+          graft.spark.Par.overlapped(
+            d.filter(col("doc_id") % 3 === i).coalesce(1)
+              .write.parquet(s"$base/part$i"))
+        }
+        partWrites.foreach(_())
         for (i <- 0 to 2) {
           val part = s"$base/part$i"
-          d.filter(col("doc_id") % 3 === i).coalesce(1).write.parquet(part)
           val f = fs.globStatus(new org.apache.hadoop.fs.Path(s"$part/part-*"))(0).getPath
           fs.mkdirs(new org.apache.hadoop.fs.Path(streamDir))
           val dst = new org.apache.hadoop.fs.Path(s"$streamDir/t$i.parquet")
