@@ -1158,9 +1158,14 @@ object PipelineEntries {
       val emb = VectorPipeline.embeddings(s, dir).cache()
       val queries = emb.filter(col("vec_id") < 20)
       val nq = queries.count()
-      val book = VectorPipeline.trainedCodebookDistributed(emb, 16,
-        sampleN = 1 << 12, iters = 5).cache()
+      // r07 (guide §2.6): the routing codebook and the PQ subspace
+      // books are independent trainings over the same cached embeddings
+      // — overlap them (both are needed before the first index write)
+      val bookF = graft.spark.Par.overlapped(
+        VectorPipeline.trainedCodebookDistributed(emb, 16,
+          sampleN = 1 << 12, iters = 5).cache())
       val pqBooks = VectorPipeline.trainedPqBooks(emb, m = 16, ksub = 256)
+      val book = bookF()
       val full = scratchDir("graft_q54_full")
       val half = scratchDir("graft_q54_half")
       try {
@@ -1276,11 +1281,12 @@ object PipelineEntries {
         // the two anti-join directions are independent — overlap them
         val extraEmptyF = graft.spark.Par.overlapped(
           pairs.join(truePairs, Seq("doc_new", "doc_old"), "left_anti").count() == 0)
+        val nNovelF = graft.spark.Par.overlapped(graft.pipeline.LshIndex
+          .novelDocs(s, split, batch, corpus, Some(verified)).count())
         val missedEmpty =
           truePairs.join(pairs, Seq("doc_new", "doc_old"), "left_anti").count() == 0
         val pairSetExact = extraEmptyF() && missedEmpty
-        val nNovel = graft.pipeline.LshIndex
-          .novelDocs(s, split, batch, corpus, Some(verified)).count()
+        val nNovel = nNovelF()
         verified.unpersist(); truePairs.unpersist()
         Seq((nNew, nTrue, nNovel, pairSetExact, appendEq))
           .toDF("n_new_docs", "n_true_pairs", "n_novel", "pair_set_exact",
