@@ -546,21 +546,31 @@ object PipelineEntries {
         dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/i8"), 1L)
       }
       // ONE int8 scoring pass serves both stages: the one-stage top-10
-      // and the two-stage candidate set are ranked slices of it
-      val scoredI8 = VectorPipeline.bruteForceScoredQuantized(emb, queries).cache()
-      val bf = bfF()
-      val qbf = VectorPipeline.topKFromScored(scoredI8, 10)
-        .select(col("q_id"), col("n_id"))
-      // one-stage and two-stage recalls are independent slices — overlap
-      val recallF = graft.spark.Par.overlapped(
-        bf.join(qbf, Seq("q_id", "n_id")).count().toDouble / (nq * 10))
-      val rr = VectorPipeline.rerankTopK(scoredI8, emb, queries, 10, 40)
-        .select(col("q_id"), col("n_id"))
-      val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
-      val recall = recallF()
-      scoredI8.unpersist()
+      // and the two-stage candidate set are ranked slices of it.
+      // A scoring-path failure must not orphan the background writes
+      // racing the scratch-dir delete (nor leak the dir) — the catch
+      // waits the writes out quietly, cleans up, and rethrows.
+      val (recall, recallRerank) = try {
+        val scoredI8 = VectorPipeline.bruteForceScoredQuantized(emb, queries).cache()
+        val bf = bfF()
+        val qbf = VectorPipeline.topKFromScored(scoredI8, 10)
+          .select(col("q_id"), col("n_id"))
+        // one-stage and two-stage recalls are independent slices — overlap
+        val recallF = graft.spark.Par.overlapped(
+          bf.join(qbf, Seq("q_id", "n_id")).count().toDouble / (nq * 10))
+        val rr = VectorPipeline.rerankTopK(scoredI8, emb, queries, 10, 40)
+          .select(col("q_id"), col("n_id"))
+        val rrk = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+        val r = recallF()
+        scoredI8.unpersist(); bf.unpersist()
+        (r, rrk)
+      } catch { case e: Throwable =>
+        graft.spark.Par.quietly(ratioF)
+        deleteTmpDir(s, base)
+        throw e
+      }
       val ratio = try ratioF() finally deleteTmpDir(s, base)
-      bf.unpersist(); emb.unpersist()
+      emb.unpersist()
       Seq((nq, recall >= 0.90, recallRerank >= 0.99, ratio >= 2.5))
         .toDF("n_queries", "recall_ok", "recall_rerank_ok", "storage_4x_ok")
     }),
@@ -1121,22 +1131,32 @@ object PipelineEntries {
           .repartition(1).write.mode("overwrite").parquet(s"$base/pq")
         dirBytes(s, s"$base/f32").toDouble / math.max(dirBytes(s, s"$base/pq"), 1L)
       }
-      // ONE ADC scoring pass serves both stages (the q44 shape)
-      val scoredPq = VectorPipeline.bruteForceScoredPq(emb, queries, books).cache()
-      val bf = bfF()
-      val one = VectorPipeline.topKFromScored(scoredPq, 10)
-        .select(col("q_id"), col("n_id"))
-      // one-stage and two-stage recalls are independent slices — overlap
-      val recallF = graft.spark.Par.overlapped(
-        bf.join(one, Seq("q_id", "n_id")).count().toDouble / (nq * 10))
-      val rr = VectorPipeline.rerankTopK(scoredPq, emb, queries, 10, 40)
-        .select(col("q_id"), col("n_id"))
-      val recallRerank = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
-      val recall = recallF()
-      scoredPq.unpersist()
+      // ONE ADC scoring pass serves both stages (the q44 shape); the
+      // q44 error-path rule — a failure here must not orphan the
+      // background writes/training racing the cleanup
+      val (recall, recallRerank) = try {
+        val scoredPq = VectorPipeline.bruteForceScoredPq(emb, queries, books).cache()
+        val bf = bfF()
+        val one = VectorPipeline.topKFromScored(scoredPq, 10)
+          .select(col("q_id"), col("n_id"))
+        // one-stage and two-stage recalls are independent slices — overlap
+        val recallF = graft.spark.Par.overlapped(
+          bf.join(one, Seq("q_id", "n_id")).count().toDouble / (nq * 10))
+        val rr = VectorPipeline.rerankTopK(scoredPq, emb, queries, 10, 40)
+          .select(col("q_id"), col("n_id"))
+        val rrk = bf.join(rr, Seq("q_id", "n_id")).count().toDouble / (nq * 10)
+        val r = recallF()
+        scoredPq.unpersist(); bf.unpersist()
+        (r, rrk)
+      } catch { case e: Throwable =>
+        graft.spark.Par.quietly(ratioF)
+        graft.spark.Par.quietly(deterministicF)
+        deleteTmpDir(s, base)
+        throw e
+      }
       val ratio = try ratioF() finally deleteTmpDir(s, base)
       val deterministic = deterministicF()
-      bf.unpersist(); emb.unpersist()
+      emb.unpersist()
       Seq((nq, deterministic, recall >= 0.6, recallRerank >= 0.95, ratio >= 6.0))
         .toDF("n_queries", "deterministic", "recall_ok", "recall_rerank_ok",
           "storage_ok")

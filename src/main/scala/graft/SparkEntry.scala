@@ -621,15 +621,12 @@ object SparkEntry {
         // r07: the zero-FN sweep and the disjoint-key FP sweep are
         // independent probe jobs over the same cache — run them
         // concurrently (guide §2.6) instead of back-to-back
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.global
-        val hitsF = scala.concurrent.Future(graft.pipeline.CheckpointedBuild
+        val hitsF = graft.spark.Par.overlapped(graft.pipeline.CheckpointedBuild
           .probeShards(s, s"$tmp/ckpt", t, col("conv_id"), col("turn_idx")).count())
         val disjoint = t.withColumn("turn_idx", (col("turn_idx") + 1000000).cast("int"))
         val fp = graft.pipeline.CheckpointedBuild
           .probeShards(s, s"$tmp/ckpt", disjoint, col("conv_id"), col("turn_idx")).count()
-        val hits = scala.concurrent.Await.result(hitsF,
-          scala.concurrent.duration.Duration.Inf)
+        val hits = hitsF()
         t.unpersist()
         val fprOk = fp <= n * P * 1.05 + 3 * math.sqrt(n * P) + 1
         Seq((n, hits == n, fprOk)).toDF("n_turns", "zero_fn", "fpr_ok")

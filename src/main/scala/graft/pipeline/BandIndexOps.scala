@@ -283,12 +283,22 @@ private[pipeline] object BandIndexOps {
     // batch instead of one per task; per-batch overwrite = replay-safe)
     val keptWriteF = graft.spark.Par.overlapped(
       nv.coalesce(1).write.mode("overwrite").parquet(s"$keptDir/batch=$batchId"))
-    if (isBootstrap) {
-      writeRows(keptRows, indexPath, "overwrite")
-      installMeta(buckets)
-    } else {
-      verifyMeta()
-      writeRows(keptRows, indexPath, "append")
+    try {
+      if (isBootstrap) {
+        writeRows(keptRows, indexPath, "overwrite")
+        installMeta(buckets)
+      } else {
+        verifyMeta()
+        writeRows(keptRows, indexPath, "append")
+      }
+    } catch { case e: Throwable =>
+      // a failed index write must not leave the kept write ORPHANED:
+      // the streaming replay of this batch would overwrite the same
+      // batch=<id> partition while the orphan is still committing —
+      // two jobs colliding on one output dir. Wait it out (suppressing
+      // its own error so the index failure stays primary), THEN rethrow.
+      graft.spark.Par.quietly(keptWriteF)
+      throw e
     }
     keptWriteF()
     val n = nv.count()

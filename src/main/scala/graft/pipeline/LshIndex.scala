@@ -169,9 +169,15 @@ object LshIndex {
     * recomputed and the rows are not re-materialized. */
   def probeCandidatesFromRows(spark: SparkSession, path: String,
       bandRows: DataFrame, broadcastProbe: Boolean = true): DataFrame = {
-    readVerifiedMeta(spark, path)
+    val meta = readVerifiedMeta(spark, path)
+    // the bucket is RE-DERIVED from the stored band key at THIS index's
+    // sidecar fan-out — rows signed at a different fan-out would
+    // otherwise silently miss every candidate (bucket participates in
+    // the equi-join); a cheap projection over the materialized rows
     BandIndexOps.probeJoin(spark, path,
-      bandRows.select(col("band"), col("bkey"), col("bucket"), col("doc_id").as("doc_new")),
+      bandRows.select(col("band"), col("bkey"),
+        BandIndexOps.bucketOf(col("bkey"), meta.buckets).as("bucket"),
+        col("doc_id").as("doc_new")),
       idCol = "doc_id", newCol = "doc_new", oldCol = "doc_old", broadcastProbe,
       materializeProbe = false)
   }

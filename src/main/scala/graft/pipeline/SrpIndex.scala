@@ -166,9 +166,13 @@ object SrpIndex {
     * [[BandIndexOps.ingestNovel]]). */
   def probeCandidatesFromRows(spark: SparkSession, path: String,
       bandRows: DataFrame, broadcastProbe: Boolean = true): DataFrame = {
-    readVerifiedMeta(spark, path)
+    val meta = readVerifiedMeta(spark, path)
+    // bucket re-derived at the sidecar fan-out (the LshIndex rule) —
+    // rows signed at a different fan-out must not silently miss
     BandIndexOps.probeJoin(spark, path,
-      bandRows.select(col("band"), col("bkey"), col("bucket"), col("vec_id").as("vec_new")),
+      bandRows.select(col("band"), col("bkey"),
+        BandIndexOps.bucketOf(col("bkey"), meta.buckets).as("bucket"),
+        col("vec_id").as("vec_new")),
       idCol = "vec_id", newCol = "vec_new", oldCol = "vec_old", broadcastProbe,
       materializeProbe = false)
   }

@@ -180,8 +180,7 @@ object StreamingSketch {
     // sequential because this code called them sequentially). Results
     // are unchanged: each piece computes exactly what it computed
     // before, and FIFO scheduling only changes WHEN its jobs run.
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
+    import graft.spark.Par.overlapped
     val q1 = stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -232,7 +231,7 @@ object StreamingSketch {
     // canonical encoding) is merge-tree independent, proven kernel-side
     // in ThetaSketchSpec/BottomKSketchSpec/WeightedBottomKSpec and
     // gated here across real micro-batch splits.
-    val batchRowF = scala.concurrent.Future(transcripts.agg(
+    val batchRowF = overlapped(transcripts.agg(
       bloomAggNative(capacity, 0.001)(col("conv_id"), col("turn_idx")).as("b"),
       hllAggNative(col("conv_id")).as("h"),
       cmsAggNative(0.001, 0.01)(col("tool")).as("c"),
@@ -244,14 +243,12 @@ object StreamingSketch {
     // batch twin of the windowed aggregation, also materialized while
     // the streams run (cached: the equality join below reads it once)
     val batchWin = windowedSketches(transcripts, capacity = capacity).cache()
-    val batchWinF = scala.concurrent.Future(batchWin.count())
+    val batchWinF = overlapped(batchWin.count())
 
     q1.awaitTermination()
     q2.awaitTermination()
-    import scala.concurrent.Await
-    import scala.concurrent.duration.Duration
-    val batchRow = Await.result(batchRowF, Duration.Inf)
-    Await.result(batchWinF, Duration.Inf)
+    val batchRow = batchRowF()
+    batchWinF()
     def eq(state: IncrementalState, c: String): Boolean =
       state.get.exists(java.util.Arrays.equals(_, batchRow.getAs[Array[Byte]](c)))
 
@@ -278,11 +275,11 @@ object StreamingSketch {
     // r07 (guide §2.6): the three global bound-level gates are
     // independent single-job aggregations over the cached batch table —
     // overlap them with each other and with the windowed gates below
-    val tdOkF = scala.concurrent.Future(tdState.get.exists { blob =>
+    val tdOkF = overlapped(tdState.get.exists { blob =>
       val td = SketchCodec.decodeTDigest(blob)
       rankOk(Seq((0.5, td.quantile(0.5), 0.02), (0.95, td.quantile(0.95), 0.02)))
     })
-    val kllOkF = scala.concurrent.Future(kllState.get.exists { blob =>
+    val kllOkF = overlapped(kllState.get.exists { blob =>
       val kll = SketchCodec.decodeKll(blob)
       val eps = 3 * kll.normalizedRankError
       rankOk(Seq((0.5, kll.quantile(0.5), eps), (0.95, kll.quantile(0.95), eps)))
@@ -290,7 +287,7 @@ object StreamingSketch {
     // Misra–Gries is bound-level too (its merge prunes differently per
     // tree): stream-merged sketch must satisfy all three MG theorems vs
     // the exact tool counts, with N = the full stream's weight
-    val mgOkF = scala.concurrent.Future(mgState.get.exists { blob =>
+    val mgOkF = overlapped(mgState.get.exists { blob =>
       val mg = SketchCodec.decodeMg(blob)
       val exact = transcripts.groupBy(col("tool")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -421,9 +418,9 @@ object StreamingSketch {
 
     spark.catalog.dropTempView(sinkName) // memory sink hygiene (all uses materialized)
     batchWin.unpersist()
-    val tdOk = Await.result(tdOkF, Duration.Inf)
-    val kllOk = Await.result(kllOkF, Duration.Inf)
-    val mgOk = Await.result(mgOkF, Duration.Inf)
+    val tdOk = tdOkF()
+    val kllOk = kllOkF()
+    val mgOk = mgOkF()
 
     Seq((n, eq(bloomState, "b"), eq(hllState, "h"), eq(cmsState, "c"),
         eq(thetaState, "th"), eq(bkState, "bk"), eq(wbkState, "wbk"),

@@ -55,6 +55,16 @@ class LshIndexSpec extends AnyFunSuite {
       // shuffle-hash (non-broadcast) probe shape answers identically
       val big = LshIndex.probeCandidates(spark, path, batch, broadcastProbe = false)
       assert(big.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(big).isEmpty)
+      // FromRows probe (the sign-once ingest path) answers identically
+      // even when the rows were signed at a DIFFERENT fan-out: the
+      // bucket is re-derived from the band key at the sidecar's fan-out
+      // (rows signed at 256 against a 32-bucket index would otherwise
+      // silently miss every candidate — bucket joins)
+      val foreignRows = LshIndex.indexRows(batch, numBuckets = 256)
+        .localCheckpoint(true)
+      val viaRows = LshIndex.probeCandidatesFromRows(spark, path, foreignRows)
+      assert(viaRows.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(viaRows).isEmpty,
+        "FromRows probe must re-derive buckets at the index's own fan-out")
     } finally { rm(path); d.unpersist() }
   }
 
