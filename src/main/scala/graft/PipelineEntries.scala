@@ -984,16 +984,36 @@ object PipelineEntries {
               count(lit(1))).head
           (r.getLong(0), r.getLong(1))
         }
-        val a1 = answerSig(VectorPipeline.currentIvfIndexPath(s, root))
-        val resolves1 = VectorPipeline.currentIvfIndexPath(s, root) == gen1
-        val gen2 = VectorPipeline.compactIvfIndexVersioned(s, root)
+        val p1 = VectorPipeline.currentIvfIndexPath(s, root)
+        val resolves1 = p1 == gen1
+        // r07: the gen-1 probe overlaps the compaction (guide §2.6).
+        // Safe by the lifecycle's own contract: compaction writes a NEW
+        // generation dir and "the old generation is left on disk for
+        // in-flight readers" (compactIvfIndex scaladoc) — the probe
+        // reads exactly the immutable files a racing production reader
+        // would. The manifest is resolved BEFORE compaction starts, so
+        // the probe's path never races the flip.
+        val a1T = graft.spark.Par.overlapped(answerSig(p1))
+        val gen2 =
+          try VectorPipeline.compactIvfIndexVersioned(s, root)
+          catch { case e: Throwable => graft.spark.Par.quietly(a1T); throw e }
+        val a1 = a1T()
         val resolves2 = gen2 != gen1 &&
           VectorPipeline.currentIvfIndexPath(s, root) == gen2
-        val stableAfterFlip = a1._2 > 0 &&
-          answerSig(VectorPipeline.currentIvfIndexPath(s, root)) == a1
-        val compactedOneFile = VectorPipeline.ivfIndexStats(s, gen2)
-          .filter(col("n_files") =!= 1L).isEmpty
-        val retired = VectorPipeline.retireIvfIndexGenerations(s, root)
+        // r07: the two gen-2 readers (flip-stability probe, one-file
+        // stats) overlap the retire, which deletes only generations
+        // STRICTLY older than current (IndexManifest.retireOldGenerations)
+        // and never touches gen2. resolves2 already pinned current==gen2,
+        // so probing gen2 directly is the same observation.
+        val flipT = graft.spark.Par.overlapped(a1._2 > 0 && answerSig(gen2) == a1)
+        val oneFileT = graft.spark.Par.overlapped(VectorPipeline.ivfIndexStats(s, gen2)
+          .filter(col("n_files") =!= 1L).isEmpty)
+        val retired =
+          try VectorPipeline.retireIvfIndexGenerations(s, root)
+          catch { case e: Throwable =>
+            graft.spark.Par.quietly(flipT); graft.spark.Par.quietly(oneFileT); throw e }
+        val stableAfterFlip = flipT()
+        val compactedOneFile = oneFileT()
         val gen1Path = new org.apache.hadoop.fs.Path(gen1)
         val oldGone = retired == Seq(gen1) && !gen1Path
           .getFileSystem(s.sparkContext.hadoopConfiguration).exists(gen1Path)
