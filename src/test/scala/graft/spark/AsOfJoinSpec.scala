@@ -129,6 +129,73 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(exchanges === 1, s"both windows must share one shuffle, got $exchanges:\n$plan")
   }
 
+  // r07 focused coverage: forward/nearest were rewritten from a
+  // currentRow..unboundedFollowing frame (executed as an O(n²)-per-key
+  // re-scan) to the backward direction's mirrored RUNNING frame. The
+  // two tests below pin (a) value parity against an independent
+  // brute-force reference on a HOT KEY with duplicate timestamps and
+  // tiebreak collisions — the shape the reversed sort could get subtly
+  // wrong — and (b) the plan property that every frame stays a running
+  // unboundedPreceding..currentRow frame (the O(n) guarantee).
+  test("hot key with duplicate ts: forward/nearest match a brute-force reference") {
+    val rnd = new scala.util.Random(20260822L)
+    // one hot key (k=1, 300 rows/side, ts drawn from just 60 distinct
+    // seconds ⇒ heavy duplicates) + two sparse keys
+    def gen(n: Int, k: Long, tsSpread: Int, idBase: Long) =
+      (0 until n).map(i => (k, 1000L + rnd.nextInt(tsSpread).toLong, idBase + i))
+    val leftRows = gen(300, 1L, 60, 10000L) ++ gen(20, 2L, 40, 20000L) ++
+      Seq((3L, 1500L, 30000L)) // key with no right rows at all
+    val rightRows = gen(300, 1L, 60, 50000L) ++ gen(20, 2L, 40, 60000L)
+    val left = leftRows.toDF("k", "sec", "id").withColumn("ts", col("sec").cast("timestamp"))
+    val right = rightRows.toDF("k", "sec", "id").withColumn("ts", col("sec").cast("timestamp"))
+    def bruteBw(k: Long, lts: Long): Option[(Long, Long)] = {
+      val c = rightRows.filter(r => r._1 == k && r._2 <= lts)
+      if (c.isEmpty) None else {
+        val ts = c.map(_._2).max
+        Some((ts, c.filter(_._2 == ts).map(_._3).max)) // largest tiebreak
+      }
+    }
+    def bruteFw(k: Long, lts: Long): Option[(Long, Long)] = {
+      val c = rightRows.filter(r => r._1 == k && r._2 >= lts)
+      if (c.isEmpty) None else {
+        val ts = c.map(_._2).min
+        Some((ts, c.filter(_._2 == ts).map(_._3).max))
+      }
+    }
+    val fw = AsOfJoin.forward(left, right, Seq("k"), "ts", "id", Seq("id"))
+      .select(col("k"), col("sec"), col("id"), col("asof_id")).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("asof_id"))).toMap
+    leftRows.foreach { case (k, sec, id) =>
+      assert(fw(id) === bruteFw(k, sec).map(_._2),
+        s"forward mismatch for left id=$id (k=$k, sec=$sec)")
+    }
+    val nr = AsOfJoin.nearest(left, right, Seq("k"), "ts", "id", Seq("id"))
+      .select(col("id"), col("asof_id")).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("asof_id"))).toMap
+    leftRows.foreach { case (k, sec, id) =>
+      val expected = (bruteBw(k, sec), bruteFw(k, sec)) match {
+        case (Some((bts, bid)), Some((fts, fid))) =>
+          if (sec - bts <= fts - sec) Some(bid) else Some(fid) // tie → backward
+        case (b, f) => b.orElse(f).map(_._2)
+      }
+      assert(nr(id) === expected, s"nearest mismatch for left id=$id (k=$k, sec=$sec)")
+    }
+  }
+
+  test("plan: every as-of window frame is a RUNNING frame (the O(n) shape)") {
+    val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
+    val right = tsDf(Seq((1L, "2026-01-01 09:00:00", 200L)))
+    for ((name, df) <- Seq(
+        "forward" -> AsOfJoin.forward(left, right, Seq("k"), "ts", "id", Seq("id")),
+        "nearest" -> AsOfJoin.nearest(left, right, Seq("k"), "ts", "id", Seq("id")))) {
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("unboundedfollowing"),
+        s"$name regressed to an UnboundedFollowing frame (O(n²) per-key re-scan):\n$plan")
+      assert(plan.contains("unboundedpreceding"),
+        s"$name lost its running frame:\n$plan")
+    }
+  }
+
   test("asof_* name collision on the left is rejected") {
     val left = tsDf(Seq((1L, "2026-01-01 10:00:00", 100L)))
       .withColumn("asof_x", lit(1))
